@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operator layer (SURVEY §2.2 P1-P11, §2.3 J1-J3, §2.6).
+  *
+  * The reference hand-rolls a semi-join as inner-join + `select(left['*'])`
+  * (`ibs_ordinary_payment_utilities.py:38-42,51-55`); Spark has first-class
+  * `left_semi`/`left_anti` which avoid materializing the right side's
+  * columns and never duplicate left rows — strictly better plans (the
+  * build side of the semi hash join carries keys only).
+  */
+object Relational {
+
+  /** J1: keep left rows with ≥1 match on the right (EXISTS). */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** P8-as-join: keep left rows with no match (NOT EXISTS). */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** J3: left join against a small dimension, broadcast to every executor so
+    * the fact side never shuffles (reference joins 3 tiny filtered slices of
+    * one code table, `ibs_ordinary_payment_utilities.py:255-261`).
+    */
+  def dimJoin(fact: DataFrame, dim: DataFrame, cond: Column): DataFrame =
+    fact.join(broadcast(dim), cond, "left")
+
+  /** P6: half-open date window `[start, end)`
+    * (`ibs_ordinary_payment_utilities.py:28,40,53`).
+    */
+  def dateWindow(c: Column, startInclusive: String, endExclusive: String): Column =
+    c >= lit(startInclusive) && c < lit(endExclusive)
+
+  /** P7/P8: IN-list and negated IN-list predicates
+    * (`ibs_ordinary_payment_utilities.py:33,46`).
+    */
+  def inList(c: Column, values: Seq[String]): Column = c.isin(values: _*)
+  def notInList(c: Column, values: Seq[String]): Column = !c.isin(values: _*)
+
+  /** P9: dimension-slice predicate — trimmed equality plus nonblank code
+    * (`ibs_ordinary_payment_utilities.py:127,133,139`).
+    */
+  def trimmedSlice(nameCol: Column, nameValue: String, codeCol: Column): Column =
+    trim(nameCol) === lit(nameValue) && trim(codeCol) =!= lit("")
+}

@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Casts, Tables}
+import graft.ops.{Aggregates, Docs, Relational, Windows}
+import graft.pipeline.{OrdinaryPayment, RunParams, WorkflowType}
+
+/** Parity query catalog: one oracle-checked query per operator family in
+  * SURVEY §2, retargeted at the TPC-H-ish testdata (FIXTURES.md §3).
+  *
+  * Oracle-compare conventions (the driver hash-compares values):
+  *  - money aggregates are computed EXACTLY in decimal(18,2+) and presented
+  *    as double — decimal sums are order-independent, so Spark's partial
+  *    aggregation and DuckDB's serial sum agree bit-for-bit;
+  *  - double→int always goes through floor() (Spark truncates double→int,
+  *    DuckDB rounds — floor removes the divergence);
+  *  - dates render as 'yyyy-MM-dd' strings (no date/timestamp phys-type
+  *    ambiguity);
+  *  - every result has a deterministic total-order ORDER BY.
+  */
+object ParityQueries {
+
+  private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
+  private def ord(s: SparkSession, dir: String): DataFrame = Tables.orders(s, dir)
+
+  /** q01 — A-aggregates (TPC-H Q1 shape): groupBy + exact decimal sums. */
+  def q01Agg(s: SparkSession, dir: String): DataFrame = {
+    val one = Casts.asMoney(lit(1))
+    li(s, dir)
+      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(Casts.asMoney(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(Casts.asMoney(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(Casts.asMoney(col("l_extendedprice")) * (one - Casts.asMoney(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(Casts.asMoney(col("l_extendedprice")) * (one - Casts.asMoney(col("l_discount")))
+          * (one + Casts.asMoney(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m-%d') <= '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — A3 conditional sum (`sum(when(cond, x).otherwise(0))`),
+    * the `pyspark_sum_function` pattern: per-order basic/rider/total.
+    */
+  def q02ConditionalSum(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        Aggregates.conditionalSum(col("l_returnflag") === lit("N"),
+          Casts.asMoney(col("l_extendedprice"))).cast(DoubleType).as("basic_amount"),
+        Aggregates.conditionalSum(col("l_returnflag") === lit("R"),
+          Casts.asMoney(col("l_extendedprice"))).cast(DoubleType).as("rider_amount"),
+        Aggregates.conditionalSum(Relational.inList(col("l_returnflag"), Seq("N", "R")),
+          Casts.asMoney(col("l_extendedprice"))).cast(DoubleType).as("total_amount"))
+      .orderBy(col("l_orderkey"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS basic_amount,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS rider_amount,
+      |  CAST(sum(CASE WHEN l_returnflag IN ('N','R') THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS total_amount
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** q03 — J1/P6/P7: semi-join fact→status-filtered master + half-open date
+    * window (the reference's One-Time-Inforce source selection).
+    */
+  def q03SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir).withColumn("trx_dt", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    val o = ord(s, dir)
+      .filter(Relational.inList(col("o_orderstatus"), OrdinaryPayment.InForceStatuses))
+    Relational
+      .semiJoin(
+        l.filter(Relational.dateWindow(col("trx_dt"), "1996-01-01", "1998-01-01")),
+        o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("trx_dt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS trx_dt
+      |FROM lineitem l
+      |WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1996-01-01'
+      |  AND strftime(l_shipdate, '%Y-%m-%d') < '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus IN ('F','P'))
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** q04 — P8 as anti-join: fact rows whose policy is NOT in-force. */
+  def q04AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val o = ord(s, dir)
+      .filter(Relational.inList(col("o_orderstatus"), OrdinaryPayment.InForceStatuses))
+    Relational
+      .antiJoin(l, o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  val q04Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus IN ('F','P'))
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** q05 — W1/W2/W3 + F4: deterministic row_number sequencing, business key,
+    * sub-entity id.
+    */
+  def q05WindowSeq(s: SparkSession, dir: String): DataFrame = {
+    val seq = Windows.sequenceWithin(
+      Seq(col("l_orderkey")),
+      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    li(s, dir)
+      .withColumn("line_seq", seq)
+      .withColumn("business_key", Windows.businessKey("PMT_KAL_", col("l_orderkey"), col("line_seq")))
+      .withColumn("sub_id", Windows.subEntityId(col("l_orderkey"), col("line_seq")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("line_seq"), col("business_key"), col("sub_id"))
+      .orderBy(col("l_orderkey"), col("line_seq"))
+  }
+
+  val q05Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(row_number() OVER w AS INTEGER) AS line_seq,
+      |  'PMT_KAL_' || l_orderkey::VARCHAR || '_' || (row_number() OVER w)::VARCHAR AS business_key,
+      |  l_orderkey::VARCHAR || '_' || (row_number() OVER w)::VARCHAR AS sub_id
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)
+      |ORDER BY l_orderkey, line_seq""".stripMargin
+
+  /** q06 — A1 + J2: sorted collect_list(struct) roll-up attached to the
+    * header via left join (the rider pre-aggregation), rendered as a
+    * canonical digest string.
+    */
+  def q06RollupCollect(s: SparkSession, dir: String): DataFrame = {
+    val seq = Windows.sequenceWithin(
+      Seq(col("l_orderkey")),
+      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    val riders = li(s, dir)
+      .filter(col("l_returnflag") === lit("R"))
+      .withColumn("rid_seq", seq)
+      .withColumn("rid_number", Windows.subEntityId(col("l_orderkey"), col("rid_seq")))
+      .withColumn("rid_amount", Casts.asMoney(col("l_extendedprice")))
+      .groupBy(col("l_orderkey").as("rid_orderkey"))
+      .agg(Aggregates.collectSortedStructs(
+        col("rid_seq").as("rid_seq"),
+        col("rid_number").as("rid_number"),
+        col("rid_amount").as("rid_amount")).as("riders"))
+    val o = ord(s, dir)
+    o.join(riders, o("o_orderkey") === riders("rid_orderkey"), "left")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        coalesce(
+          array_join(
+            transform(col("riders"), r =>
+              concat_ws(",", r.getField("rid_seq").cast(StringType),
+                r.getField("rid_number"), r.getField("rid_amount").cast(StringType))),
+            "~"),
+          lit("")).as("riders_digest"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q06Sql: String =
+    """WITH riders AS (
+      |  SELECT l_orderkey,
+      |    array_to_string(
+      |      list(rid_seq::VARCHAR || ',' || rid_number || ',' || rid_amount::VARCHAR ORDER BY rid_seq),
+      |      '~') AS riders_digest
+      |  FROM (
+      |    SELECT l_orderkey,
+      |      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rid_seq,
+      |      l_orderkey::VARCHAR || '_' || row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)::VARCHAR AS rid_number,
+      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS rid_amount
+      |    FROM lineitem WHERE l_returnflag = 'R')
+      |  GROUP BY l_orderkey)
+      |SELECT o.o_orderkey, o.o_orderstatus, COALESCE(r.riders_digest, '') AS riders_digest
+      |FROM orders o LEFT JOIN riders r ON o.o_orderkey = r.l_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q07 — A4/A5: pivot aggregation + post-pivot derive/rename
+    * (`all_from_gemini.txt:560-576`).
+    */
+  def q07PivotSum(s: SparkSession, dir: String): DataFrame = {
+    val base = li(s, dir).withColumn("amount", Casts.asMoney(col("l_extendedprice")))
+    Aggregates
+      .pivotSum(base, Seq(col("l_orderkey")), "l_returnflag", Seq("N", "R", "A"), "amount")
+      .withColumn("total", col("N") + col("R") + col("A"))
+      .withColumnRenamed("N", "basic_amount")
+      .withColumnRenamed("R", "rider_amount")
+      .withColumnRenamed("A", "other_amount")
+      .select(col("l_orderkey"),
+        col("basic_amount").cast(DoubleType).as("basic_amount"),
+        col("rider_amount").cast(DoubleType).as("rider_amount"),
+        col("other_amount").cast(DoubleType).as("other_amount"),
+        col("total").cast(DoubleType).as("total"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q07Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(COALESCE(sum(CASE WHEN l_returnflag='N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS basic_amount,
+      |  CAST(COALESCE(sum(CASE WHEN l_returnflag='R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rider_amount,
+      |  CAST(COALESCE(sum(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS other_amount,
+      |  CAST(COALESCE(sum(CASE WHEN l_returnflag='N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0)
+      |     + COALESCE(sum(CASE WHEN l_returnflag='R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0)
+      |     + COALESCE(sum(CASE WHEN l_returnflag='A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** q08 — J3 ×3 broadcast dim joins + P4 role renames + F8 decode table. */
+  def q08DimJoinDecode(s: SparkSession, dir: String): DataFrame = {
+    val o = ord(s, dir)
+    val customer = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name").as("customer_name"), col("c_nationkey"))
+    val nation = Tables.nation(s, dir)
+      .filter(Relational.trimmedSlice(lit("dim"), "dim", col("n_name")))
+      .select(col("n_nationkey"), col("n_name").as("nation_name"), col("n_regionkey"))
+    val region = Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name").as("region_name"))
+    val joined = Relational.dimJoin(o, customer, o("o_custkey") === customer("c_custkey"))
+    val withN = Relational.dimJoin(joined, nation, col("c_nationkey") === nation("n_nationkey"))
+    val withR = Relational.dimJoin(withN, region, col("n_regionkey") === region("r_regionkey"))
+    withR
+      .withColumn("priority_code",
+        Docs.decode(col("o_orderpriority"), OrdinaryPayment.PriorityCodes, "99"))
+      .select(col("o_orderkey"), col("customer_name"), col("nation_name"),
+        col("region_name"), col("priority_code"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q08Sql: String =
+    """SELECT o.o_orderkey, c.c_name AS customer_name, n.n_name AS nation_name,
+      |  r.r_name AS region_name,
+      |  CASE o.o_orderpriority WHEN '1-URGENT' THEN '01' WHEN '2-HIGH' THEN '02'
+      |    WHEN '3-MEDIUM' THEN '03' WHEN '4-NOT SPECIFIED' THEN '04'
+      |    WHEN '5-LOW' THEN '05' ELSE '99' END AS priority_code
+      |FROM orders o
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN (SELECT * FROM nation WHERE trim('dim') = 'dim' AND trim(n_name) <> '') n
+      |  ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q09 — S5/F1/F2/F5: run-index partition key derivation
+    * (`pyspark_add_index_on_s3.py:31-41`): format_string over a
+    * reparsed date. The write path itself is exercised in LakeWriterSpec.
+    */
+  def q09DateIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("event_date",
+        date_format(to_date(date_format(col("ts"), "yyyyMMdd"), "yyyyMMdd"), "yyyy-MM-dd"))
+      .withColumn("run_index", format_string("%s_%s", col("event_date"), lit(1)))
+      .select(col("event_id"), col("event_type"), col("event_date"), col("run_index"))
+      .orderBy(col("event_id"))
+
+  val q09Sql: String =
+    """SELECT event_id, event_type,
+      |  strftime(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d'), '%Y-%m-%d') AS event_date,
+      |  strftime(strptime(strftime(ts, '%Y%m%d'), '%Y%m%d'), '%Y-%m-%d') || '_1' AS run_index
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q10 — the flagship nested-document pipeline (SURVEY §3.1), flattened to
+    * canonical digests for the oracle.
+    */
+  def q10Flagship(s: SparkSession, dir: String): DataFrame =
+    OrdinaryPayment.flattened(s, dir,
+      RunParams(WorkflowType.OneTimeInforce, "1996-01-01", "1998-01-01"))
+
+  val q10Sql: String =
+    """WITH fact AS (
+      |  SELECT l.*, strftime(l.l_shipdate, '%Y-%m-%d') AS trx_dt,
+      |    row_number() OVER (PARTITION BY l.l_orderkey ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey) AS prd_seq
+      |  FROM lineitem l
+      |  WHERE strftime(l.l_shipdate, '%Y-%m-%d') >= '1996-01-01'
+      |    AND strftime(l.l_shipdate, '%Y-%m-%d') < '1998-01-01'
+      |    AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      |                AND o.o_orderstatus IN ('F','P'))),
+      |periods AS (
+      |  SELECT l_orderkey,
+      |    array_to_string(list(
+      |      prd_seq::VARCHAR || ';' || l_linenumber::VARCHAR || ';'
+      |      || CAST(floor(l_quantity) AS INTEGER)::VARCHAR || ';'
+      |      || CAST(l_extendedprice AS DECIMAL(18,2))::VARCHAR || ';'
+      |      || CAST(CASE WHEN l_returnflag='N' THEN l_extendedprice ELSE 0 END AS DECIMAL(18,2))::VARCHAR || ';'
+      |      || CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DECIMAL(18,2))::VARCHAR || ';'
+      |      || CASE l_returnflag || l_linestatus WHEN 'AF' THEN '11' WHEN 'AO' THEN '12'
+      |           WHEN 'NF' THEN '21' WHEN 'NO' THEN '22' WHEN 'RF' THEN '31' ELSE '99' END || ';'
+      |      || trx_dt || 'T00:00:00+07:00' || ';'
+      |      || strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') || 'T00:00:00+07:00' || ';'
+      |      || 'R' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || ';'
+      |      || CASE WHEN l_returnflag='R'
+      |           THEN l_orderkey::VARCHAR || '_' || prd_seq::VARCHAR || ','
+      |                || CAST(l_extendedprice AS DECIMAL(18,2))::VARCHAR
+      |           ELSE '' END || ';'
+      |      || ',0.00'
+      |      ORDER BY prd_seq), '||') AS periods_digest,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS pmt_total_amount,
+      |    CAST(count(*) AS INTEGER) AS pmt_period_count
+      |  FROM fact GROUP BY l_orderkey),
+      |riders AS (
+      |  SELECT l_orderkey,
+      |    array_to_string(list(
+      |      rid_seq::VARCHAR || ',' || rid_number || ',' || rid_amount::VARCHAR ORDER BY rid_seq),
+      |      '~') AS riders_digest
+      |  FROM (
+      |    SELECT l_orderkey,
+      |      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rid_seq,
+      |      l_orderkey::VARCHAR || '_' || row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)::VARCHAR AS rid_number,
+      |      CAST(l_extendedprice AS DECIMAL(18,2)) AS rid_amount
+      |    FROM fact WHERE l_returnflag = 'R')
+      |  GROUP BY l_orderkey)
+      |SELECT
+      |  'PMT_KAL_' || p.l_orderkey::VARCHAR || '_1' AS pmt_refer_code_of_company,
+      |  'POL_' || o.o_custkey::VARCHAR AS pmt_policy_no,
+      |  o.o_orderstatus AS pmt_status,
+      |  CASE o.o_orderpriority WHEN '1-URGENT' THEN '01' WHEN '2-HIGH' THEN '02'
+      |    WHEN '3-MEDIUM' THEN '03' WHEN '4-NOT SPECIFIED' THEN '04'
+      |    WHEN '5-LOW' THEN '05' ELSE '99' END AS pmt_priority_code,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') || 'T00:00:00+07:00' AS pmt_effective_datetime,
+      |  CAST(p.pmt_total_amount AS DOUBLE) AS pmt_total_amount,
+      |  p.pmt_period_count,
+      |  c.c_name AS customer_name,
+      |  n.n_name AS nation_name,
+      |  rg.r_name AS region_name,
+      |  '1' AS record_version,
+      |  'IBS' AS source_system,
+      |  COALESCE(r.riders_digest, '') AS riders_digest,
+      |  p.periods_digest,
+      |  sha256(
+      |    'PMT_KAL_' || p.l_orderkey::VARCHAR || '_1' || '|'
+      |    || 'POL_' || o.o_custkey::VARCHAR || '|'
+      |    || o.o_orderstatus || '|'
+      |    || CASE o.o_orderpriority WHEN '1-URGENT' THEN '01' WHEN '2-HIGH' THEN '02'
+      |         WHEN '3-MEDIUM' THEN '03' WHEN '4-NOT SPECIFIED' THEN '04'
+      |         WHEN '5-LOW' THEN '05' ELSE '99' END || '|'
+      |    || strftime(o.o_orderdate, '%Y-%m-%d') || 'T00:00:00+07:00' || '|'
+      |    || p.pmt_total_amount::VARCHAR || '|'
+      |    || p.pmt_period_count::VARCHAR) AS id
+      |FROM periods p
+      |JOIN orders o ON p.l_orderkey = o.o_orderkey
+      |LEFT JOIN riders r ON p.l_orderkey = r.l_orderkey
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region rg ON n.n_regionkey = rg.r_regionkey
+      |ORDER BY pmt_refer_code_of_company""".stripMargin
+
+  /** q11 — scalar-function surface (F1-F15): date parse/format round-trips,
+    * concat/trim/substring, when-chains, null-guarded casts.
+    */
+  def q11ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .withColumn("trx_dt", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .withColumn("compact_dt", date_format(to_date(col("trx_dt"), "yyyy-MM-dd"), "yyyyMMdd"))
+      .withColumn("flag_code",
+        when(col("l_returnflag") === lit("N"), lit("basic"))
+          .when(col("l_returnflag") === lit("R"), lit("rider"))
+          .otherwise(lit("other")))
+      .withColumn("padded", substring(concat(lit("00000000"), col("l_orderkey").cast(StringType)), -8, 8))
+      .withColumn("trimmed", trim(concat(lit("  "), col("l_returnflag"), lit("  "))))
+      .withColumn("amount", Casts.reqMoney(col("l_extendedprice")).cast(DoubleType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("trx_dt"), col("compact_dt"), col("flag_code"), col("padded"),
+        col("trimmed"), col("amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+
+  val q11Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS trx_dt,
+      |  strftime(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y%m%d') AS compact_dt,
+      |  CASE WHEN l_returnflag = 'N' THEN 'basic' WHEN l_returnflag = 'R' THEN 'rider'
+      |    ELSE 'other' END AS flag_code,
+      |  right('00000000' || l_orderkey::VARCHAR, 8) AS padded,
+      |  trim('  ' || l_returnflag || '  ') AS trimmed,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** q12 — sort/limit (top-k) with pinned tiebreaker. */
+  def q12TopK(s: SparkSession, dir: String): DataFrame =
+    ord(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q12Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q13 — set operations: UNION (distinct), INTERSECT, EXCEPT. */
+  def q13SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = ord(s, dir)
+    val f = o.filter(col("o_orderstatus") === lit("F")).select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === lit("P")).select(col("o_custkey"))
+    val oo = o.filter(col("o_orderstatus") === lit("O")).select(col("o_custkey"))
+    f.intersect(p).except(oo).union(f.union(p).distinct().except(f.intersect(p)))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  val q13Sql: String =
+    """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+      |p AS (SELECT o_custkey FROM orders WHERE o_orderstatus='P'),
+      |oo AS (SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+      |SELECT DISTINCT o_custkey FROM (
+      |  SELECT * FROM ((SELECT * FROM f INTERSECT SELECT * FROM p)
+      |                 EXCEPT SELECT * FROM oo)
+      |  UNION
+      |  SELECT * FROM ((SELECT * FROM f UNION SELECT * FROM p)
+      |                 EXCEPT (SELECT * FROM f INTERSECT SELECT * FROM p)))
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q14 — rollup (grouping-sets family; free via Spark built-ins, SURVEY
+    * §2.4 note). Null grouping keys rendered as '(all)' for the compare.
+    */
+  def q14Rollup(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(Casts.asMoney(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q14Sql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Registry consumed by SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01Agg _),
+    "q02_conditional_sum" -> (q02ConditionalSum _),
+    "q03_semi_join" -> (q03SemiJoin _),
+    "q04_anti_join" -> (q04AntiJoin _),
+    "q05_window_seq" -> (q05WindowSeq _),
+    "q06_rollup_collect" -> (q06RollupCollect _),
+    "q07_pivot_sum" -> (q07PivotSum _),
+    "q08_dim_join_decode" -> (q08DimJoinDecode _),
+    "q09_date_index" -> (q09DateIndex _),
+    "q10_flagship_document" -> (q10Flagship _),
+    "q11_scalar_funcs" -> (q11ScalarFuncs _),
+    "q12_topk" -> (q12TopK _),
+    "q13_setops" -> (q13SetOps _),
+    "q14_rollup" -> (q14Rollup _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" -> q01Sql,
+    "q02_conditional_sum" -> q02Sql,
+    "q03_semi_join" -> q03Sql,
+    "q04_anti_join" -> q04Sql,
+    "q05_window_seq" -> q05Sql,
+    "q06_rollup_collect" -> q06Sql,
+    "q07_pivot_sum" -> q07Sql,
+    "q08_dim_join_decode" -> q08Sql,
+    "q09_date_index" -> q09Sql,
+    "q10_flagship_document" -> q10Sql,
+    "q11_scalar_funcs" -> q11Sql,
+    "q12_topk" -> q12Sql,
+    "q13_setops" -> q13Sql,
+    "q14_rollup" -> q14Sql)
+}
