@@ -1,0 +1,203 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. North-star extension layer (SURVEY §7.9).
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-groupBy shuffle on a 128-bit content hash — the
+  *    cheapest possible global dedup; survivor choice (min id) is a
+  *    map-side-combinable `min`, not a window sort.
+  *  - n-gram Jaccard: inverted-index self-join (explode shingles → join on
+  *    shingle → count per pair). Exact, but pair blowup is bounded by
+  *    shingle document frequency — `maxDocFreq` prunes stop-shingles, the
+  *    standard guard at corpus scale.
+  *  - MinHash+LSH: constant-size signatures (n hashes) per doc; banding
+  *    turns near-dup search into an equi-join on (band, bandHash) — the
+  *    only approach whose shuffle volume is O(corpus), not O(pairs), at
+  *    100 TB. Candidates are then verified with exact Jaccard so the
+  *    output has no false positives.
+  *  - SimHash: one 64-bit signature per doc; hamming-ball search via
+  *    half-signature banding (any pair with distance ≤ 32 bits shares a
+  *    half exactly when the differing bits fall in one half — with the
+  *    4-quarter refinement any pair within distance 3 must share a
+  *    quarter; we band on quarters).
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) per document.
+    * Output: (idCol, shingle).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))))
+          .as("shingle"))
+  }
+
+  /** Exact dedup: canonical survivor (min id) per normalized-content hash.
+    * Returns (idCol, content_hash, group_size) for survivors only.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("group_size"))
+      .select(col(idCol), col("content_hash"), col("group_size"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    *
+    * @param maxDocFreq drop shingles appearing in more than this many docs
+    *                   (0 = no pruning; pruning makes the result a lower
+    *                   bound, use only at scale where stop-shingles
+    *                   dominate the join).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxDocFreq <= 0) sh0
+      else {
+        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("shingle")
+        sh0.join(broadcast(freq), "shingle")
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for each doc, numHashes minimums of seeded 64-bit
+    * hashes over its shingle set — one groupBy with numHashes partial `min`
+    * aggregates (map-side combinable; shuffle carries one row per doc).
+    */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    shingleDf.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: (doc, band, bandHash) — bandHash fuses r consecutive
+    * signature components.
+    */
+  def lshBands(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("band_hash"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard (no false
+    * positives; recall governed by bands/rowsPerBand).
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sig = minhashSignatures(sh, idCol, numHashes)
+    val banded = lshBands(sig, idCol, bands, numHashes / bands)
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    // Exact verification: intersect shingle sets of candidate pairs only.
+    val setsA = sh.groupBy(col(idCol).as("id_a"))
+      .agg(collect_set(col("shingle")).as("sh_a"))
+    val setsB = sh.groupBy(col(idCol).as("id_b"))
+      .agg(collect_set(col("shingle")).as("sh_b"))
+    candidates
+      .join(setsA, Seq("id_a"))
+      .join(setsB, Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType)
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token stream: majority vote per bit of each
+    * token's xxhash64. Pure HOF expression — no UDF, no shuffle.
+    */
+  def simhash(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(acc, transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j)
+            .bitwiseAND(lit(1L)) === lit(1L), lit(1))
+            .otherwise(lit(-1))), (a, b) => a + b))
+    // Fold votes into a signed 64-bit signature.
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, j) => struct(v.as("v"), j.as("j"))),
+      lit(0L),
+      (acc, s) =>
+        when(s.getField("v") > lit(0),
+          acc.bitwiseOR(call_function("shiftleft", lit(1L), s.getField("j"))))
+          .otherwise(acc))
+  }
+
+  /** SimHash near-dup pairs: band on the four 16-bit quarters (any pair
+    * with hamming distance ≤ 3 shares at least one quarter), verify with
+    * bit_count(xor) ≤ maxHamming.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df
+      .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    val banded = sigs.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qh"))): _*))
+        .as("qb"))
+      .select(col(idCol), col("simhash"), col("qb.q").as("q"), col("qb.qh").as("qh"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.q") === col("y.q") && col("x.qh") === col("y.qh")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= lit(maxHamming))
+  }
+}

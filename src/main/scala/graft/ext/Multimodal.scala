@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque binary
+  * columns with typed metadata, processed batch-wise per partition.
+  * North-star extension layer (SURVEY §7.9).
+  *
+  * The decode step is a clearly-marked deterministic STUB (no codec
+  * libraries in this environment); the Spark-side plumbing — schema,
+  * partitioning, per-partition batch iteration, feature-vector shape — is
+  * real and tested. Swapping `stubDecode` for a JNI/ffmpeg/PIL-backed
+  * decoder changes no plan shape: mapPartitions keeps the codec's state
+  * (contexts, buffers) alive across a whole partition, which is the
+  * Scala-side equivalent of `mapInPandas` batch processing.
+  */
+object Multimodal {
+
+  /** Media record schema: opaque payload + typed metadata struct. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("declared_chars", LongType, nullable = true),
+      StructField("container", StringType, nullable = true))), nullable = false)))
+
+  /** Ingest the documents table as a media table: the text payload stands
+    * in for image/audio bytes (deterministic fake), metadata is real.
+    */
+  def ingestFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("source").as("kind"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        octet_length(col("text")).as("n_bytes"),
+        col("n_chars").as("declared_chars"),
+        lit("raw/v1").as("container")).as("meta"))
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      checksum: Long,
+      features: Array[Double])
+
+  /** STUB DECODER — deterministic fake standing in for image/audio decode.
+    * Real implementation would parse the container format and emit pixel /
+    * sample statistics; this computes an 8-bin byte histogram (normalized)
+    * plus a modular checksum so outputs are reproducible and testable.
+    */
+  private[ext] def stubDecode(payload: Array[Byte]): (Long, Array[Double]) = {
+    val hist = new Array[Double](8)
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      hist(b % 8) += 1.0
+      checksum = (checksum * 31 + b) % 1000000007L
+      i += 1
+    }
+    val n = math.max(1, payload.length).toDouble
+    var j = 0
+    while (j < 8) { hist(j) = hist(j) / n; j += 1 }
+    (checksum, hist)
+  }
+
+  /** Batch feature extraction over the media table: one decoder pass per
+    * partition (codec state amortized across the batch, the mapInPandas
+    * shape). Repartition by kind first when codecs differ per kind.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // Per-partition decoder init would go here (real codecs are not
+        // serializable; construct once per partition, reuse per record).
+        batch.map { case (id, kind, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val (checksum, features) = stubDecode(bytes)
+          MediaFeatures(id, kind, bytes.length, checksum, features)
+        }
+      }
+  }
+}

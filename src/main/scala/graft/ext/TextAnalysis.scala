@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. North-star extension layer (SURVEY §7.9) — not present
+  * in the reference; capabilities follow standard LLM-corpus curation
+  * practice.
+  *
+  * Every operator is a pure Catalyst expression tree (no UDFs): columnar,
+  * whole-stage-codegen'd, trivially parallel — per-row work with no
+  * shuffle, so it scales linearly with input splits at 100 TB.
+  *
+  * Oracle-compatibility notes: only IEEE-exact arithmetic (+,*,/, min/max,
+  * sqrt) — no transcendentals, whose libm results differ across engines;
+  * expression trees are mirrored exactly in the DuckDB oracle SQL.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish sub-token pattern: runs of letters, runs of digits, or single
+    * non-alphanumeric marks (a simplified byte-pair-style pre-tokenizer).
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and SQL-portable by construction.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "que", "como"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  private def inListLambda(values: Seq[String]): Column => Column =
+    t => t.isin(values.map(v => v: Any): _*)
+
+  /** Total stopword occurrences for one language (duplicates counted). */
+  def stopwordHits(toks: Column, lang: String): Column = {
+    val list = Stopwords.toMap.apply(lang)
+    size(filter(toks, inListLambda(list)))
+  }
+
+  /** Language-ID: argmax of per-language stopword hit counts with a fixed
+    * precedence order (en > de > es > fr > zh on ties) so the result is
+    * total-order deterministic.
+    */
+  def langId(toks: Column): Column = {
+    val scores = Stopwords.map { case (lang, _) => lang -> stopwordHits(toks, lang) }
+    val langs = scores.map(_._1)
+    // lang L wins if its score >= every later language's score and is
+    // strictly > every earlier one's (first-max-wins).
+    langs.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), elseCol) =>
+      val s = scores(i)._2
+      val beatsLater = scores.drop(i + 1).map(s >= _._2).reduceOption(_ && _).getOrElse(lit(true))
+      if (i == langs.size - 1) elseCol
+      else when(beatsLater, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-score feature columns + a [0,1] composite. IEEE-exact ops only. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_words", size(toks))
+      .withColumn("n_chars_ws", length(col(textCol)))
+      .withColumn("avg_word_len",
+        length(regexp_replace(col(textCol), "\\s", "")).cast(DoubleType)
+          / col("n_words").cast(DoubleType))
+      .withColumn("punct_ratio",
+        (length(col(textCol)) - length(regexp_replace(col(textCol), "[^a-zA-Z0-9\\s]", "")))
+          .cast(DoubleType) / length(col(textCol)).cast(DoubleType))
+      .withColumn("stopword_ratio",
+        stopwordHits(toks, "en").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.25) * least(col("avg_word_len") / lit(5.0), lit(1.0))
+            + lit(0.25) * (lit(1.0) - col("punct_ratio"))
+            + lit(0.25) * least(col("n_words").cast(DoubleType) / lit(200.0), lit(1.0))
+            + lit(0.25) * least(col("stopword_ratio") * lit(5.0), lit(1.0)))))
+  }
+
+  /** Canonical text normalization used by fingerprinting and exact dedup:
+    * lowercase, collapse whitespace runs, trim.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** Rolling polynomial fingerprint over the token stream, in modular
+    * arithmetic (mod 1e9+7) so the fold never overflows — BIGINT overflow
+    * wraps in Spark but errors in other engines, so staying under 2^63
+    * keeps the value portable.
+    */
+  def fingerprintRolling(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (h, t) =>
+        (h * lit(31L) + ascii(substring(t, 1, 1)).cast(LongType) * lit(131L)
+          + length(t).cast(LongType)) % lit(1000000007L))
+}

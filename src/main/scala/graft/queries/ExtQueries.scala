@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Extension-layer query catalog: dedup, similarity search, multimodal,
+  * text analysis, streaming — the training-data-pipeline operators the
+  * engine adds beyond the reference surface (BASELINE.json north star).
+  *
+  * Queries whose semantics involve engine-specific 64-bit hashing
+  * (MinHash/SimHash/LSH) have no DuckDB oracle — the driver records a
+  * rows-only check; their correctness is covered by ScalaTest properties
+  * (e.g. LSH candidates ⊆-verified against exact Jaccard).
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  /** x20 — token counting: whitespace tokens + BPE-ish regex sub-tokens. */
+  def x20TokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  val x20Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** x21 — quality scoring: length/punct/stopword features + composite. */
+  def x21Quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(docs(s, dir), "text")
+      .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+        col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val x21Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words,
+      |  length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      |    / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS avg_word_len,
+      |  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |    / length(text)::DOUBLE AS punct_ratio,
+      |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      t -> t IN ('the','a','of','and','to','is')))::DOUBLE
+      |    / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio,
+      |  greatest(0.0, least(1.0,
+      |    0.25 * least((length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) / 5.0, 1.0)
+      |    + 0.25 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |        / length(text)::DOUBLE)
+      |    + 0.25 * least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 200.0, 1.0)
+      |    + 0.25 * least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t IN ('the','a','of','and','to','is')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) * 5.0, 1.0)))
+      |    AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** x22 — language ID: per-language stopword scoring, first-max-wins. */
+  def x22LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs(s, dir)
+      .select(
+        col("doc_id"), col("lang").as("lang_declared"),
+        TextAnalysis.langId(toks).as("lang_pred"),
+        TextAnalysis.stopwordHits(toks, "en").as("s_en"),
+        TextAnalysis.stopwordHits(toks, "de").as("s_de"),
+        TextAnalysis.stopwordHits(toks, "es").as("s_es"),
+        TextAnalysis.stopwordHits(toks, "fr").as("s_fr"),
+        TextAnalysis.stopwordHits(toks, "zh").as("s_zh"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x22Sql: String =
+    """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','is'))) AS INTEGER) s_en,
+      |  CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht'))) AS INTEGER) s_de,
+      |  CAST(len(list_filter(tk, x -> x IN ('el','los','las','y','que','como'))) AS INTEGER) s_es,
+      |  CAST(len(list_filter(tk, x -> x IN ('le','les','et','des','une','est'))) AS INTEGER) s_fr,
+      |  CAST(len(list_filter(tk, x -> x IN ('的','是','了','在','我','不'))) AS INTEGER) s_zh
+      |FROM t)
+      |SELECT doc_id, lang AS lang_declared,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END AS lang_pred,
+      |  s_en, s_de, s_es, s_fr, s_zh
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** x23 — document fingerprinting: md5 of normalized text + rolling
+    * polynomial hash over tokens (modular, engine-portable).
+    */
+  def x23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.fingerprintRolling(TextAnalysis.tokens(col("text"))).as("fp_rolling"))
+      .orderBy(col("doc_id"))
+
+  val x23Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> CAST(ascii(t[1]) * 131 + length(t) AS BIGINT))),
+      |    (h, v) -> (h * 31 + v) % 1000000007) AS fp_rolling
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** x30 — exact dedup: survivor (min doc_id) per content hash. */
+  def x30DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
+
+  val x30Sql: String =
+    """SELECT min(doc_id) AS doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |  count(*) AS group_size
+      |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin
+
+  /** x31 — exact word-bigram Jaccard near-dup pairs (inverted index). */
+  def x31JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val x31Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS shingle
+      |  FROM t WHERE len(tk) >= 2),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** x32 — MinHash+LSH near-dup pairs (banded candidates, exact-verified).
+    * No oracle: MinHash uses Spark's xxhash64. ScalaTest asserts the
+    * output is a subset of the exact x31 pairs with full recall on the
+    * planted high-similarity pairs.
+    */
+  def x32MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** x33 — SimHash signatures + banded hamming near-dup pairs. No oracle
+    * (xxhash64-derived); covered by ScalaTest.
+    */
+  def x33SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** x40 — exact cosine top-5 neighbors per vector (broadcast brute force,
+    * sequential-double accumulation = DuckDB list_sum bit-exact).
+    */
+  def x40CosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(s, dir), k = 5)
+      .toDF()
+      .orderBy(col("vec_id"), col("rank"))
+
+  val x40Sql: String =
+    """SELECT a.vec_id AS vec_id,
+      |  CAST(row_number() OVER w AS INTEGER) AS rank,
+      |  b.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS score
+      |FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |WINDOW w AS (PARTITION BY a.vec_id ORDER BY
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) DESC, b.vec_id)
+      |QUALIFY row_number() OVER w <= 5
+      |ORDER BY a.vec_id, rank""".stripMargin
+
+  /** x41 — ANN top-5 via sign-random-projection LSH + exact re-rank.
+    * Approximate by construction — no oracle; ScalaTest checks recall
+    * against x40 on the small fixture.
+    */
+  def x41AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embs(s, dir), k = 5)
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** x50 — multimodal ingestion metadata (binary payload plumbing). */
+  def x50MediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ingestFromDocuments(docs(s, dir))
+      .select(col("media_id"), col("kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.declared_chars").as("declared_chars"),
+        col("meta.container").as("container"))
+      .orderBy(col("media_id"))
+
+  val x50Sql: String =
+    """SELECT doc_id AS media_id, source AS kind,
+      |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+      |  n_chars AS declared_chars,
+      |  'raw/v1' AS container
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** x51 — batch feature extraction over binary payloads (stub decoder;
+    * real per-partition batch plumbing). Checksum is engine-portable math
+    * but byte iteration isn't SQL-expressible — rows-only check +
+    * ScalaTest.
+    */
+  def x51MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.ingestFromDocuments(docs(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+      .orderBy(col("media_id"))
+
+  /** x60 — hourly tumbling-window event aggregation (batch plan). */
+  def x60EventHourly(s: SparkSession, dir: String): DataFrame =
+    Streams.eventsHourly(s, dir)
+      .orderBy(col("window_start"), col("event_type"))
+
+  val x60Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** x61 — the same aggregation through Structured Streaming
+    * (Trigger.AvailableNow over the parquet file source, memory sink):
+    * results must equal the batch plan, so it shares the oracle.
+    */
+  def x61EventHourlyStream(s: SparkSession, dir: String): DataFrame =
+    Streams.hourlyAggStreaming(s, dir)
+      .orderBy(col("window_start"), col("event_type"))
+
+  val x61Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_token_stats" -> (x20TokenStats _),
+    "x21_quality" -> (x21Quality _),
+    "x22_langid" -> (x22LangId _),
+    "x23_fingerprint" -> (x23Fingerprint _),
+    "x30_dedup_exact" -> (x30DedupExact _),
+    "x31_jaccard_pairs" -> (x31JaccardPairs _),
+    "x32_minhash_pairs" -> (x32MinhashPairs _),
+    "x33_simhash_pairs" -> (x33SimhashPairs _),
+    "x40_cosine_topk" -> (x40CosineTopK _),
+    "x41_ann_lsh" -> (x41AnnLsh _),
+    "x50_media_meta" -> (x50MediaMeta _),
+    "x51_media_features" -> (x51MediaFeatures _),
+    "x60_event_hourly" -> (x60EventHourly _),
+    "x61_event_hourly_stream" -> (x61EventHourlyStream _))
+
+  val oracles: Map[String, String] = Map(
+    "x20_token_stats" -> x20Sql,
+    "x21_quality" -> x21Sql,
+    "x22_langid" -> x22Sql,
+    "x23_fingerprint" -> x23Sql,
+    "x30_dedup_exact" -> x30Sql,
+    "x31_jaccard_pairs" -> x31Sql,
+    "x40_cosine_topk" -> x40Sql,
+    "x50_media_meta" -> x50Sql,
+    "x60_event_hourly" -> x60Sql,
+    "x61_event_hourly_stream" -> x61Sql)
+}
