@@ -29,11 +29,12 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct) per document.
+  /** Word n-gram shingles (distinct) per document, over case-normalized
+    * text so shingling agrees with the exact-dedup normalization.
     * Output: (idCol, shingle).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
     df.select(col(idCol), toks.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol),

@@ -130,8 +130,8 @@ object Similarity {
   def lshTopK(
       embeddings: DataFrame,
       k: Int,
-      tables: Int = 8,
-      planesPerTable: Int = 12,
+      tables: Int = 16,
+      planesPerTable: Int = 6,
       seed: Long = 42L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -1,0 +1,70 @@
+package graft.orchestrate
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.Try
+
+/** Driver-side multi-table orchestrator (SURVEY §2.10 O1-O6).
+  *
+  * Mirrors the reference's priority-group dispatcher
+  * (`test_glue_job.ipynb` cell `9a918133`): jobs carry a priority and a
+  * parallel flag; priorities run in ascending order with a barrier between
+  * groups; within a group, sequential jobs run first one-by-one, then
+  * parallel jobs fan out over a fixed thread pool with per-job failure
+  * capture.
+  *
+  * Spark-specific: concurrent driver threads submitting jobs against one
+  * shared SparkSession are the supported multi-tenancy model; pair with
+  * `spark.scheduler.mode=FAIR` (set in graft.core.Sessions) so parallel
+  * jobs share executors fairly instead of FIFO-starving.
+  */
+object Orchestrator {
+
+  /** O1: job-control row (`{table_id, target_table, piority, parallel_run}`
+    * — reference misspelling preserved in the source concept, not the API).
+    */
+  final case class JobSpec(
+      tableId: Int,
+      targetTable: String,
+      priority: Int,
+      parallelRun: Boolean)
+
+  final case class JobResult(
+      spec: JobSpec,
+      outcome: Try[Unit],
+      durationMs: Long)
+
+  /** Run all jobs honoring priority-group barriers and the
+    * sequential-then-parallel discipline within each group (O2-O4).
+    * Failures are captured per-job, never aborting the run (the
+    * reference's per-future try/except).
+    */
+  def run(
+      jobs: Seq[JobSpec],
+      maxConcurrentThreads: Int = 3)(
+      process: JobSpec => Unit): Seq[JobResult] = {
+    val pool = Executors.newFixedThreadPool(maxConcurrentThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      jobs.map(_.priority).distinct.sorted.flatMap { priority =>
+        val group = jobs.filter(_.priority == priority)
+        val (parallel, sequential) = group.partition(_.parallelRun)
+        val seqResults = sequential.map(timed(process))
+        val parResults =
+          if (parallel.isEmpty) Seq.empty
+          else Await.result(
+            Future.sequence(parallel.map(j => Future(timed(process)(j)))),
+            Duration.Inf)
+        seqResults ++ parResults
+      }
+    } finally pool.shutdown()
+  }
+
+  private def timed(process: JobSpec => Unit)(spec: JobSpec): JobResult = {
+    val t0 = System.nanoTime()
+    val outcome = Try(process(spec))
+    JobResult(spec, outcome, (System.nanoTime() - t0) / 1000000L)
+  }
+}

@@ -138,7 +138,7 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   val x31Sql: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS shingle
       |  FROM t WHERE len(tk) >= 2),

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Extension-layer specs with planted fixtures (the synthetic corpus has
+  * no exact dups, so dedup behavior is proven on constructed data here and
+  * on the real corpus via the oracle queries).
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsFixture = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "THE  quick   Brown fox jumps over the lazy dog"), // normalized dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (5L, "completely different content about spark engines here"),
+    (6L, "der schnelle braune fuchs und der faule hund ist da")).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates under min survivor id") {
+    val out = Dedup.exact(docsFixture, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"group_size").as[(Long, Long)].collect()
+    assert(out === Seq((1L, 3L), (4L, 1L), (5L, 1L), (6L, 1L)))
+  }
+
+  test("n-gram Jaccard finds the planted near-dup pair and its score") {
+    val pairs = Dedup.jaccardPairs(docsFixture, "doc_id", "text", n = 2, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // 1, 2, 3 are mutual exact/normalized dups (jaccard 1.0); 4 is near.
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) === 1.0)
+    assert(pairs((1L, 4L)) > 0.5 && pairs((1L, 4L)) < 1.0)
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("MinHash+LSH pairs = exact Jaccard pairs on the fixture (verified, no FPs)") {
+    val exact = Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docsFixture, "doc_id", "text", 2, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not produce false positives (exact-verified)")
+    // identical docs hash to identical signatures — full recall guaranteed
+    assert(lsh.contains((1L, 2L)) && lsh.contains((1L, 3L)))
+  }
+
+  test("SimHash distance 0 for identical docs; banded pairs respect maxHamming") {
+    val pairs = Dedup.simhashPairs(docsFixture, "doc_id", "text", maxHamming = 8)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(byPair((1L, 2L)) === 0)
+    assert(pairs.forall(_._3 <= 8))
+  }
+
+  test("df-pruned Jaccard drops stop-shingle-only pairs") {
+    val pruned = Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5, maxDocFreq = 1)
+    assert(pruned.count() === 0) // every shared shingle has df >= 2
+  }
+
+  test("langid picks the language with most stopword hits deterministically") {
+    val out = docsFixture
+      .select($"doc_id", TextAnalysis.langId(TextAnalysis.tokens($"text")).as("lang"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(6L) === "de")
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+      TextAnalysis.fingerprintRolling(TextAnalysis.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("brute-force cosine top-k ranks hand-computed neighbors correctly") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), // closest to 1
+      (3L, Array(0f, 1f, 0f)), // orthogonal to 1
+      (4L, Array(-1f, 0f, 0f))) // opposite of 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, k = 3).collect()
+      .filter(_.vec_id == 1L).sortBy(_.rank)
+    assert(out.map(_.neighbor_id).toSeq === Seq(2L, 3L, 4L))
+    assert(out.head.score > 0.99 && out.last.score < -0.99)
+  }
+
+  test("LSH ANN achieves high recall vs brute force on the real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    val approx = Similarity.lshTopK(embs, k = 1, tables = 16, planesPerTable = 4)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.7, s"nearest-neighbor recall $recall too low")
+  }
+
+  test("cosine near-dup pairs finds planted duplicate vectors") {
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f, 0.1f)),
+      (2L, Array(0.5f, 0.5f, 0.1f)), // exact dup
+      (3L, Array(-0.3f, 0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("multimodal feature extraction is deterministic with unit-sum histogram") {
+    val media = Multimodal.ingestFromDocuments(
+      Seq((1L, "hello world", "en", "src0", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes === 11)
+    assert(math.abs(f.features.sum - 1.0) < 1e-9)
+    val f2 = Multimodal.extractFeatures(media).collect().head
+    assert(f.checksum === f2.checksum)
+  }
+}

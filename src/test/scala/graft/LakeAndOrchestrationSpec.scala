@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeWriter
+import graft.orchestrate.Orchestrator
+import graft.orchestrate.Orchestrator.JobSpec
+
+/** Lake-writer (S3-S7) and orchestrator (O1-O6) specs, pinned to the
+  * reference fixtures: the partition-write fixture
+  * (`pyspark_add_index_on_s3.py:20-25`, expected layout
+  * `transactiondate_index=2026-01-23_1/`) and the 7-job/3-priority
+  * job-control fixture (`test_glue_job.ipynb` cell `9a918133`).
+  */
+class LakeAndOrchestrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture = Seq(
+    (1L, "widget", 100L, 20260123),
+    (2L, "gadget", 200L, 20260123),
+    (3L, "doohickey", 300L, 20260123)).toDF("id", "product", "amount", "transactiondate")
+
+  test("run-index partition write produces the reference layout and survives read-back") {
+    val out = Files.createTempDirectory("graft-lake").toString
+    val df = writeFixture.withColumn("transactiondate_index",
+      LakeWriter.runIndexKey($"transactiondate", 1))
+    assert(df.select($"transactiondate_index").distinct().as[String].collect()
+      === Array("2026-01-23_1"))
+    LakeWriter.appendPartitioned(df, out, "transactiondate_index")
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dirs.toSeq === Seq("transactiondate_index=2026-01-23_1"))
+    val back = LakeWriter.readBack(df, out)
+    assert(back.count() === 3)
+    assert(back.schema("transactiondate_index").dataType.typeName === "string")
+  }
+
+  test("append mode re-runs land in new run-index folders without overwriting") {
+    val out = Files.createTempDirectory("graft-lake2").toString
+    (1 to 2).foreach { run =>
+      val df = writeFixture.withColumn("transactiondate_index",
+        LakeWriter.runIndexKey($"transactiondate", run))
+      LakeWriter.appendPartitioned(df, out, "transactiondate_index")
+    }
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted
+    assert(dirs.toSeq === Seq(
+      "transactiondate_index=2026-01-23_1", "transactiondate_index=2026-01-23_2"))
+    assert(LakeWriter.readBack(writeFixture, out).count() === 6)
+  }
+
+  test("maxRecordsPerFile bounds output file sizes (debug small-file setting)") {
+    val out = Files.createTempDirectory("graft-lake3").toString
+    val df = spark.range(1000).toDF("id")
+      .withColumn("part", lit("2026-01-23_1"))
+    LakeWriter.appendPartitioned(df, out, "part", maxRecordsPerFile = 100L)
+    val files = new java.io.File(s"$out/part=2026-01-23_1").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.length >= 10, s"expected >=10 bounded files, got ${files.length}")
+  }
+
+  test("JSON document sink round-trips the nested flagship shape") {
+    val out = Files.createTempDirectory("graft-json").toString
+    val docs = Seq((1L, Seq((1, "a"), (2, "b")))).toDF("id", "periods")
+    LakeWriter.writeJsonDocuments(docs, out)
+    assert(spark.read.json(out).count() === 1)
+  }
+
+  /** The 7-job/3-priority fixture with its expected dispatch discipline. */
+  private val jobControl = Seq(
+    JobSpec(1, "users", 1, parallelRun = true),
+    JobSpec(2, "products", 1, parallelRun = true),
+    JobSpec(3, "orders", 2, parallelRun = false),
+    JobSpec(4, "logs_a", 2, parallelRun = true),
+    JobSpec(5, "logs_b", 2, parallelRun = true),
+    JobSpec(6, "logs_c", 2, parallelRun = true),
+    JobSpec(7, "history", 3, parallelRun = false))
+
+  test("orchestrator honors priority barriers and sequential-first discipline") {
+    val started = mutable.ArrayBuffer[(Int, String)]()
+    val results = Orchestrator.run(jobControl, maxConcurrentThreads = 3) { spec =>
+      started.synchronized { started += ((spec.priority, spec.targetTable)) }
+      Thread.sleep(10)
+    }
+    assert(results.size === 7)
+    assert(results.forall(_.outcome.isSuccess))
+    val priorities = started.map(_._1).toSeq
+    assert(priorities === priorities.sorted, "priority groups must run in ascending order")
+    // within priority 2, the sequential job starts before any parallel job
+    val p2 = started.filter(_._1 == 2).map(_._2)
+    assert(p2.head === "orders")
+  }
+
+  test("orchestrator captures per-job failures without aborting the run") {
+    val results = Orchestrator.run(jobControl, maxConcurrentThreads = 3) { spec =>
+      if (spec.targetTable == "logs_b") sys.error("boom")
+    }
+    assert(results.count(_.outcome.isFailure) === 1)
+    assert(results.find(_.spec.targetTable == "logs_b").get.outcome.isFailure)
+    assert(results.size === 7)
+  }
+
+  test("orchestrated Spark jobs share one session across driver threads") {
+    val counts = mutable.Map[String, Long]()
+    Orchestrator.run(jobControl.filter(_.priority == 2)) { spec =>
+      val n = spark.range(1000).filter($"id" % 7 === 0).count()
+      counts.synchronized { counts(spec.targetTable) = n }
+    }
+    assert(counts.values.toSet === Set(143L))
+  }
+}

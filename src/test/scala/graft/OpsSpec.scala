@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Casts
+import graft.ops.{Aggregates, Docs, Relational, Windows}
+
+/** Operator-layer specs pinned to the reference's own mock fixtures
+  * (FIXTURES.md §2).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The conditional-sum fixture (`pyspark_sum_function:9-21`): the `tax`
+    * row must be excluded from total (comment at `:12`).
+    */
+  private def premiumFixture = Seq(
+    ("P001", "basic", 1000L),
+    ("P001", "rider", 500L),
+    ("P001", "tax", 200L),
+    ("P002", "basic", 2000L),
+    ("P003", "rider", 300L)).toDF("policy_id", "premium_level", "amount")
+
+  test("A3 conditional sum reproduces the reference fixture expectations") {
+    val out = premiumFixture
+      .groupBy($"policy_id")
+      .agg(
+        Aggregates.conditionalSum($"premium_level" === "basic", $"amount").as("basic"),
+        Aggregates.conditionalSum($"premium_level" === "rider", $"amount").as("rider"),
+        Aggregates.conditionalSum($"premium_level".isin("basic", "rider"), $"amount").as("total"))
+      .orderBy($"policy_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      ("P001", 1000L, 500L, 1500L),
+      ("P002", 2000L, 0L, 2000L),
+      ("P003", 0L, 300L, 300L)))
+  }
+
+  test("A3 conditional sum ≡ A4 pivot sum (the reference's two spellings)") {
+    val viaCond = premiumFixture
+      .groupBy($"policy_id")
+      .agg(
+        Aggregates.conditionalSum($"premium_level" === "basic", $"amount").as("basic"),
+        Aggregates.conditionalSum($"premium_level" === "rider", $"amount").as("rider"))
+    val viaPivot = Aggregates
+      .pivotSum(premiumFixture, Seq($"policy_id"), "premium_level",
+        Seq("basic", "rider"), "amount")
+      .withColumnRenamed("basic", "basic_p")
+      .withColumnRenamed("rider", "rider_p")
+    val joined = viaCond.join(viaPivot, "policy_id")
+    assert(joined.where($"basic" =!= $"basic_p" || $"rider" =!= $"rider_p").count() === 0)
+  }
+
+  test("J1 left_semi ≡ inner join + left-project + distinct when key unique") {
+    val fact = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val dim = Seq((1, "x"), (2, "y")).toDF("pk", "w")
+    val semi = Relational.semiJoin(fact, dim, fact("k") === dim("pk"))
+    val handRolled = fact.join(dim, fact("k") === dim("pk"), "inner")
+      .select(fact("k"), fact("v")).distinct()
+    assert(semi.collect().toSet === handRolled.collect().toSet)
+    assert(semi.count() === 3)
+  }
+
+  test("P8 anti-join keeps only unmatched rows") {
+    val fact = Seq((1, "a"), (2, "c"), (3, "d")).toDF("k", "v")
+    val dim = Seq((1, "x")).toDF("pk", "w")
+    val anti = Relational.antiJoin(fact, dim, fact("k") === dim("pk"))
+    assert(anti.select("k").as[Int].collect().toSet === Set(2, 3))
+  }
+
+  test("P6 date window is half-open [start, end)") {
+    val df = Seq("2026-01-01", "2026-01-15", "2026-02-01").toDF("d")
+    val got = df.filter(Relational.dateWindow($"d", "2026-01-01", "2026-02-01"))
+      .as[String].collect().toSet
+    assert(got === Set("2026-01-01", "2026-01-15"))
+  }
+
+  test("W1-W3 sequencing is deterministic and business keys format correctly") {
+    val df = Seq((10L, 2, "b"), (10L, 1, "a"), (20L, 1, "c")).toDF("grp", "ord", "v")
+    val out = df
+      .withColumn("seq", Windows.sequenceWithin(Seq($"grp"), Seq($"ord", $"v")))
+      .withColumn("bk", Windows.businessKey("PMT_KAL_", $"grp", $"seq"))
+      .withColumn("sub", Windows.subEntityId($"grp", $"seq"))
+      .orderBy($"grp", $"seq")
+      .select($"bk", $"sub").as[(String, String)].collect()
+    assert(out === Seq(
+      ("PMT_KAL_10_1", "10_1"), ("PMT_KAL_10_2", "10_2"), ("PMT_KAL_20_1", "20_1")))
+  }
+
+  test("A1 collectSortedStructs sorts by leading struct field") {
+    val df = Seq((1, 3, "c"), (1, 1, "a"), (1, 2, "b")).toDF("g", "seq", "v")
+    val arr = df.groupBy($"g")
+      .agg(Aggregates.collectSortedStructs($"seq".as("seq"), $"v".as("v")).as("xs"))
+      .select($"xs").as[Seq[(Int, String)]].collect().head
+    assert(arr === Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("F8 decode table falls back to default (channel decode default '99')") {
+    val df = Seq("1-URGENT", "UNKNOWN").toDF("p")
+    val got = df.select(Docs.decode($"p", Seq("1-URGENT" -> "01"), "99"))
+      .as[String].collect()
+    assert(got === Seq("01", "99"))
+  }
+
+  test("ISO-offset timestamp is string concat, not tz math (reference :193)") {
+    val df = Seq("2026-01-23", null).toDF("d")
+    val got = df.select(Docs.isoOffsetMidnight($"d")).as[String].collect()
+    assert(got === Seq("2026-01-23T00:00:00+07:00", null))
+  }
+
+  test("required-null sentinels preserve REQ semantics (reference :71-78)") {
+    val df = Seq(("x", null: java.lang.Double), (null, Double.box(1.5)))
+      .toDF("s", "m")
+    val got = df.select(
+      Casts.reqString($"s"), Casts.reqMoney($"m").cast(StringType)).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("x", "0.00"), ("", "1.50")))
+  }
+}
