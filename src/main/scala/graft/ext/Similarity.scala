@@ -52,6 +52,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(index)
     embeddings
       .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val idx = bc.value
@@ -102,6 +103,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(planes)
     embeddings
       .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val ps = bc.value
@@ -173,6 +175,7 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(index)
     embeddings
       .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val idx = bc.value

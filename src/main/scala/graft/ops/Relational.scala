@@ -34,6 +34,16 @@ object Relational {
   def dateWindow(c: Column, startInclusive: String, endExclusive: String): Column =
     c >= lit(startInclusive) && c < lit(endExclusive)
 
+  /** P6 at scale: the same half-open window applied to the RAW
+    * timestamp column instead of its formatted string. 'yyyy-MM-dd'
+    * strings order identically to the timestamps they format, so the
+    * predicates are equivalent — but this form pushes a range filter
+    * into the parquet scan (row-group min/max pruning; the
+    * `date_format` form pushes nothing).
+    */
+  def tsWindow(c: Column, startInclusive: String, endExclusive: String): Column =
+    c >= to_timestamp(lit(startInclusive)) && c < to_timestamp(lit(endExclusive))
+
   /** P7/P8: IN-list and negated IN-list predicates
     * (`ibs_ordinary_payment_utilities.py:33,46`).
     */

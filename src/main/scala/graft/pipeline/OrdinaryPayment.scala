@@ -84,7 +84,9 @@ object OrdinaryPayment {
     val dateCol = date_format(col("l_shipdate"), "yyyy-MM-dd")
     val windowed = lineitem
       .withColumn("trx_dt", dateCol)
-      .filter(Relational.dateWindow(col("trx_dt"), params.startDate, params.endDate))
+      // window on the raw timestamp (≡ the string window on trx_dt since
+      // 'yyyy-MM-dd' orders identically) → parquet row-group pruning
+      .filter(Relational.tsWindow(col("l_shipdate"), params.startDate, params.endDate))
     val fact = params.workflowType match {
       case WorkflowType.Daily => windowed
       case WorkflowType.OneTimeInforce =>

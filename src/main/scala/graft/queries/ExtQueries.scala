@@ -132,16 +132,22 @@ object ExtQueries {
       |  count(*) AS group_size
       |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin
 
-  /** x31 — exact word-bigram Jaccard near-dup pairs (inverted index). */
+  /** x31 — exact word-trigram Jaccard near-dup pairs (inverted index).
+    * Trigram shingles, not bigrams: this corpus draws from a ~31-word
+    * vocabulary, so bigram document frequency approaches the corpus size
+    * and the inverted-index join fans out quadratically — the stop-shingle
+    * pathology. Trigrams (≈30k distinct) keep per-shingle fan-out low;
+    * same planted near-dup pairs found.
+    */
   def x31JaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.35)
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
   val x31Sql: String =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS shingle
-      |  FROM t WHERE len(tk) >= 2),
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -151,7 +157,7 @@ object ExtQueries {
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.35
+      |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
   /** x32 — MinHash+LSH near-dup pairs (banded candidates, exact-verified).
@@ -160,7 +166,7 @@ object ExtQueries {
     * planted high-similarity pairs.
     */
   def x32MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(docs(s, dir), "doc_id", "text", n = 2, threshold = 0.35)
+    Dedup.minhashPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** x33 — SimHash signatures + banded hamming near-dup pairs. No oracle

@@ -30,7 +30,9 @@ object ParityQueries {
   def q01Agg(s: SparkSession, dir: String): DataFrame = {
     val one = Casts.asMoney(lit(1))
     li(s, dir)
-      .filter(date_format(col("l_shipdate"), "yyyy-MM-dd") <= lit("2000-12-01"))
+      // raw-timestamp window (≡ date_format(...) <= '2000-12-01') so the
+      // range predicate reaches the parquet row-group stats
+      .filter(col("l_shipdate") < to_timestamp(lit("2000-12-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(Casts.asMoney(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
@@ -86,7 +88,7 @@ object ParityQueries {
       .filter(Relational.inList(col("o_orderstatus"), OrdinaryPayment.InForceStatuses))
     Relational
       .semiJoin(
-        l.filter(Relational.dateWindow(col("trx_dt"), "1996-01-01", "1998-01-01")),
+        l.filter(Relational.tsWindow(col("l_shipdate"), "1996-01-01", "1998-01-01")),
         o, l("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("trx_dt"))
