@@ -34,19 +34,15 @@ object Dedup {
     * Output: (idCol, shingle).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
     // CPU-heavy per-row work (tokenize + n-gram build) must be spread
     // across cores even when the input is a single small parquet split —
     // the scan parallelism of a small file is NOT the right parallelism
     // for the work derived from it.
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col(idCol), toks.as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col(idCol),
-        explode(array_distinct(
-          transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
-            i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))))
-          .as("shingle"))
+    // Custom compiled expression (graft.functions.WordShingles) — the HOF
+    // spelling interprets a lambda per n-gram and profiled ~10× slower.
+    spread.select(col(idCol),
+      explode(graft.functions.GraftFunctions.wordShingles(col(textCol), n)).as("shingle"))
   }
 
   /** Exact dedup: canonical survivor (min id) per normalized-content hash.

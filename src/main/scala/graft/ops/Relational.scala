@@ -55,4 +55,33 @@ object Relational {
     */
   def trimmedSlice(nameCol: Column, nameValue: String, codeCol: Column): Column =
     trim(nameCol) === lit(nameValue) && trim(codeCol) =!= lit("")
+
+  /** Skew-safe equi-join: salt the (skewed) left side into `buckets`
+    * deterministic sub-keys and replicate the right side across all
+    * buckets, so one hot key spreads over `buckets` reducers instead of
+    * serializing into a single straggler task. AQE's skew-join split
+    * handles moderate skew at runtime; explicit salting is the tool when
+    * one key dominates an entire stage (the 100 TB hot-tenant case).
+    * Result is row-identical to `left.join(right, key === rkey, "inner")`.
+    *
+    * Salt is derived from a hash of the whole left row (deterministic,
+    * uniform) — never `rand()`, which breaks retry/lineage reproducibility.
+    */
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      buckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted
+      .join(replicated,
+        salted(leftKey) === replicated(rightKey)
+          && salted("__salt") === replicated("__salt"),
+        "inner")
+      .drop("__salt")
+  }
 }

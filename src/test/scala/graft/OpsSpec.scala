@@ -110,6 +110,43 @@ class OpsSpec extends SparkSpec {
     assert(got === Seq("2026-01-23T00:00:00+07:00", null))
   }
 
+  test("salted equi-join is row-identical to the plain join under skew") {
+    // 90% of left rows share one hot key — the salting target case.
+    val left = spark.range(1000).toDF("id")
+      .withColumn("k", when($"id" % 10 === 0, $"id" % 3).otherwise(lit(7L)))
+      .withColumn("v", $"id" * 2)
+    val right = Seq((0L, "a"), (1L, "b"), (2L, "c"), (7L, "hot")).toDF("rk", "w")
+    val plain = left.join(right, $"k" === $"rk", "inner")
+      .select($"id", $"k", $"v", $"rk", $"w")
+    val salted = graft.ops.Relational.saltedEquiJoin(left, right, "k", "rk", 8)
+      .select($"id", $"k", $"v", $"rk", $"w")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("custom WordShingles expression matches the HOF spelling exactly") {
+    import graft.functions.GraftFunctions
+    val df = Seq("The Quick  brown fox the quick brown", "a b", "x").toDF("text")
+    val custom = df.select(
+      GraftFunctions.wordShingles($"text", 2).as("sh")).as[Seq[String]].collect()
+    val toks = split(trim(org.apache.spark.sql.functions.lower($"text")), "\\s+")
+    val hof = df.select(
+      when(size(toks) >= 2,
+        array_distinct(transform(sequence(lit(1), size(toks) - lit(1)),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + lit(1))))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(custom.map(_.toSet) === hof.map(_.toSet))
+    assert(custom.head.toSet === Set("the quick", "quick brown", "brown fox",
+      "fox the"))
+    // SQL registration path
+    GraftFunctions.register(spark)
+    val viaSql = df.selectExpr("graft_word_shingles(text, 2) AS sh")
+      .as[Seq[String]].collect()
+    assert(viaSql.map(_.toSet) === custom.map(_.toSet))
+  }
+
   test("required-null sentinels preserve REQ semantics (reference :71-78)") {
     val df = Seq(("x", null: java.lang.Double), (null, Double.box(1.5)))
       .toDF("s", "m")
