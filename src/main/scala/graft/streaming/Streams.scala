@@ -19,7 +19,7 @@ import graft.core.{Casts, Tables}
   * (window, key); with a watermark, state eviction keeps the streaming
   * store bounded by (watermark horizon × key cardinality).
   */
-object Streams {
+object Streams extends Serializable {
 
   /** Raw schema of the events parquet (ts is TIMESTAMP(NANOS), read as
     * long via the nanosAsLong flag — see Tables.events).
@@ -109,4 +109,110 @@ object Streams {
 
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(Tables.events(spark, dir))
+
+  // ── Sessionization: gap-based sessions per user ──
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+
+  case class UserSessions(openStartUs: Long, openEndUs: Long,
+      openCount: Long, closedSoFar: Int)
+
+  case class Session(
+      user_id: Long,
+      session_seq: Int,
+      n_events: Long,
+      start_ts: String,
+      end_ts: String)
+
+  private def fmtUs(us: Long): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))
+  }
+
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event exceeds `gapMinutes` (window lag + running sum).
+    */
+  def sessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked
+      .groupBy(col("user_id"), col("session_seq").cast(IntegerType).as("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+  }
+
+  /** Streaming sessionization via `flatMapGroupsWithState` (the custom-
+    * state operator the engine exposes for semantics windows can't give).
+    * Emits the group's sessions in Update mode; the open tail session is
+    * carried in GroupState across micro-batches so a later batch extends
+    * it instead of double-counting. Run with AvailableNow over the file
+    * source; results land in a memory sink.
+    */
+  def sessionsStreaming(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = Files.createTempDirectory("graft-sess-ckpt").toString
+    val streamDir = Files.createTempDirectory("graft-sess-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val sinkName = s"graft_sessions_${System.nanoTime()}"
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val events = spark.readStream
+      .schema(EventsRawSchema)
+      .parquet(streamDir.toString)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[SessionEvent]
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[UserSessions]): Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var (start, end, cnt, closed) = state.getOption match {
+        case Some(s) => (s.openStartUs, s.openEndUs, s.openCount, s.closedSoFar)
+        case None => (sorted.head.ts_us, sorted.head.ts_us, 0L, 0)
+      }
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      sorted.foreach { e =>
+        if (cnt == 0L) { start = e.ts_us; end = e.ts_us; cnt = 1L }
+        else if (e.ts_us - end > gapUs) {
+          closed += 1
+          out += Session(userId, closed, cnt, fmtUs(start), fmtUs(end))
+          start = e.ts_us; end = e.ts_us; cnt = 1L
+        } else { end = e.ts_us; cnt += 1L }
+      }
+      // Emit the open tail too (Update mode: a later batch re-emits it
+      // extended; the sink's latest version per (user, seq) is current).
+      out += Session(userId, closed + 1, cnt, fmtUs(start), fmtUs(end))
+      state.update(UserSessions(start, end, cnt, closed))
+      out.iterator
+    }
+
+    val q = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
 }
