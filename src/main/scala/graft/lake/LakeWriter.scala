@@ -57,4 +57,24 @@ object LakeWriter {
   /** S6: read-back verification of a written path. */
   def readBack(df: DataFrame, path: String): DataFrame =
     df.sparkSession.read.parquet(path)
+
+  /** Bucketed catalog table: pre-shuffles data into `buckets` files per
+    * the key so future equi-joins/aggregations on that key are
+    * co-located — NO exchange at read time. This is the 100 TB answer to
+    * repeated fact⋈fact joins on the same key (pay the shuffle once at
+    * write): two tables bucketed the same way sort-merge join with zero
+    * shuffle (see LakeAndOrchestrationSpec's plan assertion).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("compression", "snappy")
+      .format("parquet")
+      .saveAsTable(table)
 }

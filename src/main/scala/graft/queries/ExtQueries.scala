@@ -266,7 +266,30 @@ object ExtQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** x62 — semi-structured props: JSON field extraction + typed cast +
+    * per-key aggregation (the events table's props column). Not in the
+    * reference surface (SURVEY §2.7 notes no JSON functions) — engine
+    * extension for event-log processing.
+    */
+  def x62EventProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val x62Sql: String =
+    """SELECT event_type,
+      |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x62_event_props" -> (x62EventProps _),
     "x20_token_stats" -> (x20TokenStats _),
     "x21_quality" -> (x21Quality _),
     "x22_langid" -> (x22LangId _),
@@ -283,6 +306,7 @@ object ExtQueries {
     "x61_event_hourly_stream" -> (x61EventHourlyStream _))
 
   val oracles: Map[String, String] = Map(
+    "x62_event_props" -> x62Sql,
     "x20_token_stats" -> x20Sql,
     "x21_quality" -> x21Sql,
     "x22_langid" -> x22Sql,

@@ -70,6 +70,24 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(spark.read.json(out).count() === 1)
   }
 
+  test("bucketed tables join with zero shuffle (co-located SMJ)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    LakeWriter.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    LakeWriter.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+    // Force SMJ (broadcast would hide the bucketing win at this size).
+    val smj = joined.hint("merge")
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(smj.count() === li.count())
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE o_bucketed")
+  }
+
   /** The 7-job/3-priority fixture with its expected dispatch discipline. */
   private val jobControl = Seq(
     JobSpec(1, "users", 1, parallelRun = true),
