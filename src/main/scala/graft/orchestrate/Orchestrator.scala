@@ -39,25 +39,36 @@ object Orchestrator {
   /** Run all jobs honoring priority-group barriers and the
     * sequential-then-parallel discipline within each group (O2-O4).
     * Failures are captured per-job, never aborting the run (the
-    * reference's per-future try/except).
+    * reference's per-future try/except). With `abortOnGroupFailure`,
+    * later priority groups are skipped once a group has a failure —
+    * the barrier semantics a dependency chain usually wants (group N+1
+    * consumes group N's outputs).
     */
   def run(
       jobs: Seq[JobSpec],
-      maxConcurrentThreads: Int = 3)(
+      maxConcurrentThreads: Int = 3,
+      abortOnGroupFailure: Boolean = false)(
       process: JobSpec => Unit): Seq[JobResult] = {
     val pool = Executors.newFixedThreadPool(maxConcurrentThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      var aborted = false
       jobs.map(_.priority).distinct.sorted.flatMap { priority =>
-        val group = jobs.filter(_.priority == priority)
-        val (parallel, sequential) = group.partition(_.parallelRun)
-        val seqResults = sequential.map(timed(process))
-        val parResults =
-          if (parallel.isEmpty) Seq.empty
-          else Await.result(
-            Future.sequence(parallel.map(j => Future(timed(process)(j)))),
-            Duration.Inf)
-        seqResults ++ parResults
+        if (aborted) Seq.empty
+        else {
+          val group = jobs.filter(_.priority == priority)
+          val (parallel, sequential) = group.partition(_.parallelRun)
+          val seqResults = sequential.map(timed(process))
+          val parResults =
+            if (parallel.isEmpty) Seq.empty
+            else Await.result(
+              Future.sequence(parallel.map(j => Future(timed(process)(j)))),
+              Duration.Inf)
+          val results = seqResults ++ parResults
+          if (abortOnGroupFailure && results.exists(_.outcome.isFailure))
+            aborted = true
+          results
+        }
       }
     } finally pool.shutdown()
   }

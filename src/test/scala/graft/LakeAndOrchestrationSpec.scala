@@ -122,6 +122,15 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(results.size === 7)
   }
 
+  test("abortOnGroupFailure stops later priority groups after a failed barrier") {
+    val results = Orchestrator.run(jobControl, abortOnGroupFailure = true) { spec =>
+      if (spec.targetTable == "users") sys.error("boom") // priority-1 job
+    }
+    assert(results.map(_.spec.priority).toSet === Set(1),
+      "groups after the failed barrier must not run")
+    assert(results.count(_.outcome.isFailure) === 1)
+  }
+
   test("orchestrated Spark jobs share one session across driver threads") {
     val counts = mutable.Map[String, Long]()
     Orchestrator.run(jobControl.filter(_.priority == 2)) { spec =>
