@@ -23,9 +23,13 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).limit(1).count() catch { case _: Throwable => () }
     }
+    // noop sink, not count(): count() lets Catalyst prune every projected
+    // column, so projection-heavy queries would measure a near-empty plan.
+    // The noop writer materializes every output column without I/O cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,12 +1,49 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Casts, Tables}
 import graft.ops.{Aggregates, Docs, Relational, Windows}
+
+/** Typed output boundary (SURVEY §1.3: `Dataset[T]` at the documented
+  * output contract, `DataFrame` internally): the golden-output document
+  * shape of `PMT_KAL_5776815_1_New.json`.
+  */
+final case class RiderDoc(rid_number: String, rid_amount: java.math.BigDecimal)
+final case class EndorsementDoc(endo_code: String, endo_amount: java.math.BigDecimal)
+final case class PeriodDoc(
+    pmt_prd_premium_seq: Int,
+    pmt_prd_seq: Option[Int],
+    pmt_prd_outstanding: Option[Int],
+    pmt_prd_premium_amount: java.math.BigDecimal,
+    pmt_prd_premium_amount_life: java.math.BigDecimal,
+    pmt_prd_investment_premium: java.math.BigDecimal,
+    pmt_prd_status: String,
+    pmt_prd_trx_datetime: Option[String],
+    pmt_prd_next_due_datetime: Option[String],
+    pmt_prd_receipt_no: Option[String],
+    payment_premium_type_riders: Seq[RiderDoc],
+    payment_premium_type_endorsements: Seq[EndorsementDoc])
+final case class SeqRiderDoc(rid_seq: Int, rid_number: String, rid_amount: java.math.BigDecimal)
+final case class PaymentDoc(
+    pmt_refer_code_of_company: String,
+    pmt_policy_no: String,
+    pmt_status: String,
+    pmt_priority_code: String,
+    pmt_effective_datetime: String,
+    pmt_total_amount: java.math.BigDecimal,
+    pmt_period_count: Int,
+    customer_name: Option[String],
+    nation_name: Option[String],
+    region_name: Option[String],
+    record_version: String,
+    source_system: String,
+    payment_riders: Option[Seq[SeqRiderDoc]],
+    payment_period_seqs: Seq[PeriodDoc],
+    id: String)
 
 /** Workflow selector (reference O6: `run_params.workflow_type` branching,
   * `ibs_ordinary_payment_utilities.py:23-55`).
@@ -253,6 +290,15 @@ object OrdinaryPayment {
         col("payment_riders"),
         col("payment_period_seqs"),
         col("id"))
+  }
+
+  /** Typed boundary: the same pipeline as a `Dataset[PaymentDoc]` — the
+    * compiler checks the document contract (field names, nullability via
+    * Option, decimal money) instead of tests discovering drift at runtime.
+    */
+  def typed(spark: SparkSession, dir: String, params: RunParams): Dataset[PaymentDoc] = {
+    import spark.implicits._
+    apply(spark, dir, params).as[PaymentDoc]
   }
 
   /** Oracle-comparable flattening of the nested document: sub-arrays are

@@ -70,6 +70,34 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(spark.read.json(out).count() === 1)
   }
 
+  test("partition-pruned reads scan only the matching run-index folder") {
+    val out = Files.createTempDirectory("graft-prune").toString
+    (1 to 3).foreach { run =>
+      val df = writeFixture.withColumn("transactiondate_index",
+        LakeWriter.runIndexKey($"transactiondate", run))
+      LakeWriter.appendPartitioned(df, out, "transactiondate_index")
+    }
+    // AQE wraps the plan and hides the executed scan's metrics — disable
+    // it for this one assertion so the leaf IS the executed scan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = spark.read.parquet(out)
+        .where($"transactiondate_index" === "2026-01-23_2")
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), s"expected partition filters:\n$scan")
+      // collect(), not count(): count() builds a separate QueryExecution,
+      // so the metrics below would belong to a plan that never ran.
+      assert(pruned.collect().length === 3)
+      // physical proof: the scan's numFiles metric shows it touched only
+      // the matching folder's file, not all three partitions
+      // (df.inputFiles is logical/pre-pruning and would list all 3).
+      val numFiles = pruned.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+      assert(numFiles === 1, s"pruned scan must read 1 file, read $numFiles")
+      assert(spark.read.parquet(out).count() === 9)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables join with zero shuffle (co-located SMJ)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

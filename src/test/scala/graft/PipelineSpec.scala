@@ -65,6 +65,18 @@ class PipelineSpec extends SparkSpec {
     assert(ids.forall(_.length == 64))
   }
 
+  test("typed Dataset[PaymentDoc] boundary round-trips the document contract") {
+    val docs = OrdinaryPayment.typed(spark, sfDir,
+      RunParams(WorkflowType.OneTimeInforce, "1996-01-01", "1998-01-01"))
+    val d = docs.head()
+    assert(d.pmt_refer_code_of_company.startsWith("PMT_KAL_"))
+    assert(d.payment_period_seqs.nonEmpty)
+    assert(d.payment_period_seqs.forall(p =>
+      p.pmt_prd_premium_amount.scale == 2
+        && p.payment_premium_type_endorsements.size == 1))
+    assert(docs.count() > 0)
+  }
+
   test("workflow branches partition the fact: inforce + noninforce = daily") {
     def count(w: WorkflowType) = OrdinaryPayment(spark, sfDir,
       RunParams(w, "1996-01-01", "1998-01-01")).count()
