@@ -288,8 +288,48 @@ object ExtQueries {
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** x70 — top-k per group via a typed Aggregator with a k-bounded,
+    * map-side-combinable buffer (graft.functions.TopKAggregator): the
+    * shuffle carries O(groups×k) rows instead of the full input that a
+    * ranking-window spelling would move and sort.
+    */
+  def x70TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{ScoredItem, TopKAggregator}
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+      .as[(Long, Double, Long, Long)]
+      .map { case (ok, price, pk, sk) => (ok, ScoredItem(price, pk, sk)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator(3).toColumn.name("topk"))
+      .map { case (ok, items) =>
+        val digest = items.map { it =>
+          java.math.BigDecimal.valueOf(it.score).setScale(2).toPlainString +
+            "," + it.tieA + "," + it.tieB
+        }.mkString("|")
+        (ok, digest)
+      }
+      .toDF("l_orderkey", "topk_digest")
+      .orderBy(col("l_orderkey"))
+  }
+
+  val x70Sql: String =
+    """WITH ranked AS (
+      |  SELECT l_orderkey, l_extendedprice, l_partkey, l_suppkey,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_extendedprice DESC, l_partkey, l_suppkey) AS rn
+      |  FROM lineitem)
+      |SELECT l_orderkey,
+      |  array_to_string(list(
+      |    CAST(l_extendedprice AS DECIMAL(18,2))::VARCHAR || ',' || l_partkey::VARCHAR
+      |      || ',' || l_suppkey::VARCHAR ORDER BY rn), '|') AS topk_digest
+      |FROM ranked WHERE rn <= 3
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x62_event_props" -> (x62EventProps _),
+    "x70_topk_per_group" -> (x70TopKPerGroup _),
     "x20_token_stats" -> (x20TokenStats _),
     "x21_quality" -> (x21Quality _),
     "x22_langid" -> (x22LangId _),
@@ -307,6 +347,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "x62_event_props" -> x62Sql,
+    "x70_topk_per_group" -> x70Sql,
     "x20_token_stats" -> x20Sql,
     "x21_quality" -> x21Sql,
     "x22_langid" -> x22Sql,

@@ -147,6 +147,25 @@ class OpsSpec extends SparkSpec {
     assert(viaSql.map(_.toSet) === custom.map(_.toSet))
   }
 
+  test("TopKAggregator ≡ ranking-window top-k (ties included)") {
+    import graft.functions.{ScoredItem, TopKAggregator}
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, 5.0, 10L, 1L), (1L, 5.0, 9L, 2L), (1L, 3.0, 8L, 3L), (1L, 1.0, 7L, 4L),
+      (2L, 2.0, 6L, 5L)).toDF("g", "score", "a", "b")
+    val viaAgg = df.as[(Long, Double, Long, Long)]
+      .map { case (g, s, a, b) => (g, ScoredItem(s, a, b)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(TopKAggregator(2).toColumn.name("topk"))
+      .flatMap { case (g, xs) => xs.zipWithIndex.map { case (x, i) => (g, i + 1, x.score, x.tieA) } }
+      .collect().toSet
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"a", $"b")
+    val viaWindow = df.withColumn("rn", row_number().over(w)).where($"rn" <= 2)
+      .select($"g", $"rn", $"score", $"a")
+      .as[(Long, Int, Double, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("required-null sentinels preserve REQ semantics (reference :71-78)") {
     val df = Seq(("x", null: java.lang.Double), (null, Double.box(1.5)))
       .toDF("s", "m")
