@@ -20,8 +20,12 @@ object Bench {
     // Warm the session (codegen compiler, shuffle machinery, parquet
     // footer reads) so the first timed query isn't charged for JVM setup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Full untimed noop run of the first query: warms the noop commit
+    // path, codegen compiler, and parquet footers so the first timed
+    // query isn't charged double for session setup.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).limit(1).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so projection-heavy queries would measure a near-empty plan.

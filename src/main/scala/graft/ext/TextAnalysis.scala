@@ -88,6 +88,16 @@ object TextAnalysis {
             + lit(0.25) * least(col("stopword_ratio") * lit(5.0), lit(1.0)))))
   }
 
+  /** PII/noise scrubbing for training corpora: URLs, e-mail addresses, and
+    * long digit runs replaced with typed placeholder tokens. Regexes stay
+    * in the RE2-compatible subset so the DuckDB oracle matches.
+    */
+  def scrub(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{6,}", "<NUM>")
+  }
+
   /** Canonical text normalization used by fingerprinting and exact dedup:
     * lowercase, collapse whitespace runs, trim.
     */

@@ -122,6 +122,45 @@ object ExtQueries {
       |    (h, v) -> (h * 31 + v) % 1000000007) AS fp_rolling
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** x24 — PII/noise scrubbing: placeholder substitution, verified via
+    * content hash of the scrubbed text.
+    */
+  def x24Scrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        md5(TextAnalysis.scrub(col("text"))).as("scrubbed_md5"),
+        (length(col("text")) - length(TextAnalysis.scrub(col("text"))))
+          .as("chars_removed"))
+      .orderBy(col("doc_id"))
+
+  val x24Sql: String =
+    """WITH s AS (SELECT doc_id, text,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^\s]+', '<URL>', 'g'),
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+      |FROM documents)
+      |SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+      |  CAST(length(text) - length(scrubbed) AS INTEGER) AS chars_removed
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** x25 — corpus vocabulary: top-50 tokens by total frequency (corpus-
+    * level aggregation with deterministic tie-break).
+    */
+  def x25Vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+
+  val x25Sql: String =
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
+
   /** x30 — exact dedup: survivor (min doc_id) per content hash. */
   def x30DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
@@ -328,6 +367,8 @@ object ExtQueries {
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_scrub" -> (x24Scrub _),
+    "x25_vocab" -> (x25Vocab _),
     "x62_event_props" -> (x62EventProps _),
     "x70_topk_per_group" -> (x70TopKPerGroup _),
     "x20_token_stats" -> (x20TokenStats _),
@@ -346,6 +387,8 @@ object ExtQueries {
     "x61_event_hourly_stream" -> (x61EventHourlyStream _))
 
   val oracles: Map[String, String] = Map(
+    "x24_scrub" -> x24Sql,
+    "x25_vocab" -> x25Sql,
     "x62_event_props" -> x62Sql,
     "x70_topk_per_group" -> x70Sql,
     "x20_token_stats" -> x20Sql,
