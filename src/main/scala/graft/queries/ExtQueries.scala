@@ -209,7 +209,10 @@ object ExtQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** x33 — SimHash signatures + banded hamming near-dup pairs. No oracle
-    * (xxhash64-derived); covered by ScalaTest.
+    * (xxhash64-derived); covered by ScalaTest. Recall note: 4-quarter
+    * banding GUARANTEES a shared band only for hamming ≤ 3 (pigeonhole);
+    * pairs at distance 4..maxHamming are found best-effort — the standard
+    * banding/recall trade, tightened by banding on more, smaller pieces.
     */
   def x33SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
