@@ -369,7 +369,63 @@ object ExtQueries {
       |FROM ranked WHERE rn <= 3
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** x63 — as-of join: for every event, the latest prior 'error' event of
+    * the same user (union + ignore-nulls-last window — one shuffle, no
+    * range self-join). Oracle: DuckDB's native ASOF JOIN.
+    */
+  def x63AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Temporal
+    val ev = Tables.events(s, dir)
+    // Dedupe right side to one error per (user, ts) — max event_id — so
+    // both engines resolve equal-timestamp ties identically.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val errors = ev.where(col("event_type") === lit("error"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    Temporal
+      .asofJoin(ev, errors, "user_id", "ts", "ts",
+        rightValueCols = Seq("event_id", "value"), rightTieBreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val x63Sql: String =
+    """WITH errors AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'error'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+      |SELECT l.event_id, l.user_id, l.event_type,
+      |  r.event_id AS asof_event_id, r.value AS asof_value
+      |FROM events l
+      |ASOF LEFT JOIN errors r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  /** x64 — banded range join: part pairs within a retail-price band, via
+    * bucket equi-join (O(rows) shuffle instead of a cartesian range scan).
+    */
+  def x64RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Temporal
+    val part = Tables.part(s, dir)
+    val a = part.select(col("p_partkey").as("key_a"), col("p_retailprice").as("price_a"))
+    val b = part.select(col("p_partkey").as("key_b"), col("p_retailprice").as("price_b"))
+    Temporal.bandedRangeJoin(a, b, "price_a", "price_b", width = 2.0)
+      .where(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  val x64Sql: String =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_retailprice AS price_a, b.p_retailprice AS price_b
+      |FROM part a JOIN part b
+      |  ON a.p_partkey < b.p_partkey
+      | AND abs(a.p_retailprice - b.p_retailprice) <= 2.0
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x63_asof_join" -> (x63AsofJoin _),
+    "x64_range_join" -> (x64RangeJoin _),
     "x24_scrub" -> (x24Scrub _),
     "x25_vocab" -> (x25Vocab _),
     "x62_event_props" -> (x62EventProps _),
@@ -390,6 +446,8 @@ object ExtQueries {
     "x61_event_hourly_stream" -> (x61EventHourlyStream _))
 
   val oracles: Map[String, String] = Map(
+    "x63_asof_join" -> x63Sql,
+    "x64_range_join" -> x64Sql,
     "x24_scrub" -> x24Sql,
     "x25_vocab" -> x25Sql,
     "x62_event_props" -> x62Sql,

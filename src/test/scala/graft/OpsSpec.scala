@@ -166,6 +166,32 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("asofJoin attaches the latest prior right row per key (inclusive)") {
+    import graft.ops.Temporal
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L, 1.0), (1L, 15L, 101L, 2.0), (2L, 99L, 102L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"tag", $"asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(out("a") === Some(100L)) // equal timestamp included (<=)
+    assert(out("b") === Some(101L)) // latest prior
+    assert(out("c") === None) // nothing before t=5
+    assert(out("d") === None) // right row is in the future
+  }
+
+  test("bandedRangeJoin ≡ naive range predicate, without duplicates") {
+    import graft.ops.Temporal
+    val a = Seq((1L, 10.0), (2L, 15.0), (3L, 30.0)).toDF("ka", "va")
+    val b = Seq((4L, 11.0), (5L, 19.9), (6L, 25.01)).toDF("kb", "vb")
+    val banded = Temporal.bandedRangeJoin(a, b, "va", "vb", 5.0)
+      .select($"ka", $"kb").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.crossJoin(b).where(abs($"va" - $"vb") <= 5.0)
+      .select($"ka", $"kb").as[(Long, Long)].collect().sorted.toSeq
+    assert(banded === naive)
+    assert(banded === banded.distinct, "each pair must appear exactly once")
+  }
+
   test("required-null sentinels preserve REQ semantics (reference :71-78)") {
     val df = Seq(("x", null: java.lang.Double), (null, Double.box(1.5)))
       .toDF("s", "m")
