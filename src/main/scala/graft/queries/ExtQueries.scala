@@ -409,7 +409,7 @@ object ExtQueries {
     val part = Tables.part(s, dir)
     val a = part.select(col("p_partkey").as("key_a"), col("p_retailprice").as("price_a"))
     val b = part.select(col("p_partkey").as("key_b"), col("p_retailprice").as("price_b"))
-    Temporal.bandedRangeJoin(a, b, "price_a", "price_b", width = 2.0)
+    Temporal.bandedRangeJoin(a, b, "price_a", "price_b", width = 0.2)
       .where(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"))
       .orderBy(col("key_a"), col("key_b"))
@@ -420,7 +420,7 @@ object ExtQueries {
       |  a.p_retailprice AS price_a, b.p_retailprice AS price_b
       |FROM part a JOIN part b
       |  ON a.p_partkey < b.p_partkey
-      | AND abs(a.p_retailprice - b.p_retailprice) <= 2.0
+      | AND abs(a.p_retailprice - b.p_retailprice) <= 0.2
       |ORDER BY key_a, key_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
