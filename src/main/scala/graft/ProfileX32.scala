@@ -17,15 +17,21 @@ object ProfileX32 {
     val dir = "/root/testdata/sf0.1"
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val docs = Tables.documents(spark, dir)
-    val sh = t("shingles"){ val s = Dedup.shingles(docs,"doc_id","text",3).cache(); s.count(); s }
-    val sig = t("signatures"){ val s = Dedup.minhashSignatures(sh,"doc_id",64).cache(); s.count(); s }
-    val banded = t("bands"){ val b = Dedup.lshBands(sig,"doc_id",16,4).cache(); b.count(); b }
+    val sigs = t("signatures (expression path)"){
+      val s = docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          graft.functions.MinHashSignature.column(col("text"), 3, 64).as("mh"))
+        .where(col("mh").isNotNull).cache()
+      s.count(); s }
+    val banded = t("bands"){ val b = Dedup.lshBands(sigs,"doc_id",16,4).cache(); b.count(); b }
     val cand = t("candidates"){
       val c = banded.as("x").join(banded.as("y"),
         col("x.band")===col("y.band") && col("x.band_hash")===col("y.band_hash") && col("x.doc_id")<col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct().cache()
       println("[prof] n_candidates: " + c.count()); c }
-    t("full minhashPairs"){ Dedup.minhashPairs(docs,"doc_id","text",3,0.3).count() }
+    t("full minhashPairs (uncached plan)"){ Dedup.minhashPairs(docs,"doc_id","text",3,0.3).count() }
+    t("aggregate path signatures (MinHashMins udaf)"){
+      Dedup.minhashSignatures(Dedup.shingles(docs,"doc_id","text",3),"doc_id",64).count() }
     spark.stop()
   }
 }

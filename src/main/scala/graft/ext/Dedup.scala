@@ -93,33 +93,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for each doc, numHashes minimums of 64-bit hashes
-    * over its shingle set — one groupBy with numHashes partial `min`
-    * aggregates (map-side combinable; shuffle carries one row per doc).
+  /** MinHash signatures from pre-exploded (idCol, shingle) rows: ONE
+    * single-pass aggregate (graft.functions.MinHashMins) holding all
+    * numHashes running minimums in a fixed array buffer — map-side
+    * combinable, shuffle carries one numHashes-long array per doc.
+    * Output: (idCol, mh: Array[Long]).
     *
-    * The variable-length shingle string is hashed ONCE (xxhash64); the
-    * hash family is derived by re-hashing the fixed 8-byte base with a
-    * per-function seed — numHashes cheap fixed-width hashes instead of
-    * numHashes string hashes, all inside whole-stage codegen. (Affine
-    * `base*a+b` mixing would be cheaper still, but Spark 4 runs ANSI mode
-    * by default and wrapping long multiplication throws.)
+    * For text input, prefer [[minhashPairs]]' expression path
+    * (graft.functions.MinHashSignature), which needs no explode or
+    * aggregation exchange at all.
     */
   def minhashSignatures(
       shingleDf: DataFrame,
       idCol: String,
       numHashes: Int): DataFrame = {
-    val withBase = shingleDf.withColumn("sh_base", xxhash64(col("shingle")))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh_base"))).as(s"mh_$i"))
-    withBase.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val mins = udaf(graft.functions.MinHashMins(numHashes))
+    shingleDf
+      .withColumn("sh_base", xxhash64(col("shingle")))
+      .groupBy(col(idCol))
+      .agg(mins(col("sh_base")).as("mh"))
   }
 
-  /** LSH banding: (doc, band, bandHash) — bandHash fuses r consecutive
-    * signature components.
+  /** LSH banding over a signature array column `mh`: (doc, band, bandHash)
+    * — bandHash fuses rowsPerBand consecutive signature components.
     */
   def lshBands(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand).map(r => col("mh").getItem(b * rowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("band_hash"))
     }
     signatures
@@ -129,6 +129,19 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard (no false
     * positives; recall governed by bands/rowsPerBand).
+    *
+    * Plan shape (the O(corpus) design, now with no wide signature stage):
+    *  1. one narrow compiled pass per document computes the whole
+    *     signature (graft.functions.MinHashSignature) — no explode, no
+    *     cache, no aggregation exchange;
+    *  2. banding explodes `bands` rows per doc; candidate generation is
+    *     the equi-join on (band, band_hash) (identical subtrees on both
+    *     sides → the exchange is planned once and reused);
+    *  3. verification joins the (small) candidate set against per-doc
+    *     shingle ARRAYS computed in one compiled pass per doc
+    *     (WordShingles) — no collect_set re-shuffle of exploded shingles.
+    * Nothing is cached, so repeated calls in a long-lived session hold no
+    * storage memory.
     */
   def minhashPairs(
       df: DataFrame,
@@ -139,26 +152,25 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sig = minhashSignatures(sh, idCol, numHashes)
-    val banded = lshBands(sig, idCol, bands, numHashes / bands)
+    // Spread the CPU-heavy signature pass across cores even when the
+    // input is one small parquet split (see [[shingles]]).
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sigs = spread
+      .select(col(idCol),
+        graft.functions.MinHashSignature.column(col(textCol), n, numHashes).as("mh"))
+      .where(col("mh").isNotNull) // docs with < n tokens have no shingles
+    val banded = lshBands(sigs, idCol, bands, numHashes / bands)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
           && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-      .cache() // tiny; referenced twice below (id list + verification join)
-    // Exact verification: intersect shingle sets of candidate-pair docs
-    // ONLY — semi-join first so collect_set aggregates the few candidate
-    // docs, not the whole corpus.
-    val candidateIds = candidates.select(col("id_a").as("cid"))
-      .union(candidates.select(col("id_b").as("cid")))
-      .distinct()
-    val sets = sh
-      .join(broadcast(candidateIds), col(idCol) === col("cid"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("sh_set"))
+    // Exact verification: per-doc distinct-shingle arrays in one compiled
+    // pass; the candidate side is small, so these joins broadcast it and
+    // stream the corpus projection — no wide exchange.
+    val sets = df.select(col(idCol),
+      graft.functions.GraftFunctions.wordShingles(col(textCol), n).as("sh_set"))
     candidates
       .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("sh_b")), Seq("id_b"))

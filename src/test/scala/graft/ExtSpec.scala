@@ -47,6 +47,25 @@ class ExtSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)) && lsh.contains((1L, 3L)))
   }
 
+  test("MinHashMins aggregate signatures equal the single-pass expression signatures") {
+    val viaAgg = Dedup
+      .minhashSignatures(Dedup.shingles(docsFixture, "doc_id", "text", 2), "doc_id", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = docsFixture
+      .select($"doc_id", graft.functions.MinHashSignature.column($"text", 2, 16).as("mh"))
+      .where($"mh".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg === viaExpr)
+  }
+
+  test("MinHash signature expression returns null below shingle length") {
+    val out = Seq((1L, "one"), (2L, "one two")).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.MinHashSignature.column($"text", 2, 8).as("mh"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).exists(_.size == 8))
+  }
+
   test("SimHash distance 0 for identical docs; banded pairs respect maxHamming") {
     val pairs = Dedup.simhashPairs(docsFixture, "doc_id", "text", maxHamming = 8)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
