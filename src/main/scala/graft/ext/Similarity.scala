@@ -23,9 +23,23 @@ import org.apache.spark.sql.functions._
   * Dot products accumulate left-to-right in double, which is what the
   *  DuckDB oracle's `list_sum(list_transform(…))` computes — bit-exact.
   */
+/** Vector pinned to a block of the blocked exact KNN (see
+  * [[Similarity.blockedTopK]]); top-level so its Encoder codegen resolves.
+  */
+case class BlockedVec(vec_id: Long, embedding: Array[Float], blk: Int)
+
+/** Per-block partial hit, merged in the final per-query combine. */
+case class PartialHit(vec_id: Long, neighbor_id: Long, score: Double)
+
 object Similarity {
 
   case class Neighbor(vec_id: Long, rank: Int, neighbor_id: Long, score: Double)
+
+  /** Broadcast-build budget for the exact paths: index sides larger than
+    * this many rows never touch the driver — [[bruteForceTopK]] and
+    * [[cosineNearDupPairs]] switch to the blocked distributed variants.
+    */
+  val MaxBroadcastIndexRows: Long = 1L << 20
 
   private[ext] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -38,12 +52,54 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Scan `idx` for the k best neighbors of (qid, qv) by (score desc,
+    * id asc), excluding qid itself. Shared by the broadcast and blocked
+    * paths so both produce bit-identical selections.
+    */
+  private def kBest(
+      qid: Long,
+      qv: Array[Float],
+      idx: Array[(Long, Array[Float])],
+      k: Int): (Array[(Long, Double)], Int) = {
+    val best = new Array[(Long, Double)](k)
+    var filled = 0
+    idx.foreach { case (cid, cv) =>
+      if (cid != qid) {
+        val s = cosine(qv, cv)
+        if (filled < k || s > best(filled - 1)._2
+          || (s == best(filled - 1)._2 && cid < best(filled - 1)._1)) {
+          var pos = math.min(filled, k - 1)
+          if (filled < k) filled += 1
+          while (pos > 0 && (best(pos - 1)._2 < s
+            || (best(pos - 1)._2 == s && best(pos - 1)._1 > cid))) {
+            best(pos) = best(pos - 1); pos -= 1
+          }
+          best(pos) = (cid, s)
+        }
+      }
+    }
+    (best, filled)
+  }
+
   /** Exact cosine top-k: for every vector, its k nearest neighbors
     * (excluding itself), ties broken by ascending neighbor id.
+    *
+    * Dispatch: an index that fits the broadcast budget is collected and
+    * broadcast (the broadcast-hash-join build-side contract — no shuffle,
+    * linear in query rows); a larger index goes through
+    * [[blockedTopK]], which never materializes the index on the driver.
     */
-  def bruteForceTopK(embeddings: DataFrame, k: Int): Dataset[Neighbor] = {
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      k: Int,
+      maxIndexRows: Long = MaxBroadcastIndexRows): Dataset[Neighbor] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val indexRows = embeddings.count()
+    if (indexRows > maxIndexRows) {
+      val blocks = math.max(1L, (indexRows + maxIndexRows - 1) / maxIndexRows).toInt
+      return blockedTopK(embeddings, k, blocks)
+    }
     val index: Array[(Long, Array[Float])] = embeddings
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -57,25 +113,47 @@ object Similarity {
       .mapPartitions { rows =>
         val idx = bc.value
         rows.flatMap { case (qid, qv) =>
-          // Bounded selection: keep best k by (score desc, id asc).
-          val best = new Array[(Long, Double)](k)
-          var filled = 0
-          idx.foreach { case (cid, cv) =>
-            if (cid != qid) {
-              val s = cosine(qv, cv)
-              if (filled < k || s > best(filled - 1)._2
-                || (s == best(filled - 1)._2 && cid < best(filled - 1)._1)) {
-                var pos = math.min(filled, k - 1)
-                if (filled < k) filled += 1
-                while (pos > 0 && (best(pos - 1)._2 < s
-                  || (best(pos - 1)._2 == s && best(pos - 1)._1 > cid))) {
-                  best(pos) = best(pos - 1); pos -= 1
-                }
-                best(pos) = (cid, s)
-              }
-            }
-          }
+          val (best, filled) = kBest(qid, qv, idx, k)
           (0 until filled).map(r => Neighbor(qid, r + 1, best(r)._1, best(r)._2))
+        }
+      }
+  }
+
+  /** Exact distributed top-k for index sides too large to broadcast:
+    * block-nested-loop KNN. The index is hash-split into `blocks` pieces
+    * (each sized to fit executor memory); queries are replicated once per
+    * block and cogrouped with their block, producing per-block k-buffers;
+    * a final O(queries × blocks × k) shuffle merges the partials under the
+    * exact (score desc, id asc) order. Nothing ever reaches the driver,
+    * so the operator scales to an index of any size by raising `blocks` —
+    * at 100 TB this is the exact-search fallback behind [[lshTopK]].
+    */
+  def blockedTopK(embeddings: DataFrame, k: Int, blocks: Int): Dataset[Neighbor] = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val idx = base.map { case (id, v) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+      BlockedVec(id, v, (((h % blocks) + blocks) % blocks).toInt)
+    }
+    val reps = base.flatMap { case (id, v) =>
+      (0 until blocks).iterator.map(b => BlockedVec(id, v, b))
+    }
+    val partials = reps.groupByKey(_.blk).cogroup(idx.groupByKey(_.blk)) { (_, qs, is) =>
+      val block = is.map(bv => (bv.vec_id, bv.embedding)).toArray.sortBy(_._1)
+      if (block.isEmpty) Iterator.empty
+      else qs.flatMap { q =>
+        val (best, filled) = kBest(q.vec_id, q.embedding, block, k)
+        (0 until filled).iterator.map(r => PartialHit(q.vec_id, best(r)._1, best(r)._2))
+      }
+    }
+    partials
+      .groupByKey(_.vec_id)
+      .flatMapGroups { (qid, hits) =>
+        val all = hits.toArray.sortBy(h => (-h.score, h.neighbor_id))
+        all.iterator.take(k).zipWithIndex.map { case (h, r) =>
+          Neighbor(qid, r + 1, h.neighbor_id, h.score)
         }
       }
   }
@@ -162,11 +240,39 @@ object Similarity {
   }
 
   /** Exact embedding near-dup pairs (cosine ≥ threshold) via broadcast
-    * brute force — used by dedup pipelines with a high threshold.
+    * brute force — used by dedup pipelines with a high threshold. Index
+    * sides over the broadcast budget take the blocked distributed path
+    * (no driver materialization), same completeness: every (query, index)
+    * combination lands in exactly one block.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      maxIndexRows: Long = MaxBroadcastIndexRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val indexRows = embeddings.count()
+    if (indexRows > maxIndexRows) {
+      val blocks = math.max(1L, (indexRows + maxIndexRows - 1) / maxIndexRows).toInt
+      val base = embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val idx = base.map { case (id, v) =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+        BlockedVec(id, v, (((h % blocks) + blocks) % blocks).toInt)
+      }
+      val reps = base.flatMap { case (id, v) =>
+        (0 until blocks).iterator.map(b => BlockedVec(id, v, b))
+      }
+      return reps.groupByKey(_.blk).cogroup(idx.groupByKey(_.blk)) { (_, qs, is) =>
+        val block = is.map(bv => (bv.vec_id, bv.embedding)).toArray
+        if (block.isEmpty) Iterator.empty
+        else qs.flatMap { q =>
+          block.iterator
+            .filter(_._1 > q.vec_id)
+            .map { case (cid, cv) => (q.vec_id, cid, cosine(q.embedding, cv)) }
+            .filter(_._3 >= threshold)
+        }
+      }.toDF("id_a", "id_b", "score")
+    }
     val index = embeddings
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]

@@ -120,6 +120,25 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.7, s"nearest-neighbor recall $recall too low")
   }
 
+  test("blocked distributed exact top-k equals the broadcast path bit-for-bit") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaBroadcast = Similarity.bruteForceTopK(embs, k = 3).collect()
+      .map(n => (n.vec_id, n.rank) -> (n.neighbor_id, n.score)).toMap
+    val viaBlocks = Similarity.blockedTopK(embs, k = 3, blocks = 7).collect()
+      .map(n => (n.vec_id, n.rank) -> (n.neighbor_id, n.score)).toMap
+    assert(viaBlocks === viaBroadcast)
+  }
+
+  test("over-budget index dispatches away from the driver collect") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // Force the blocked path by shrinking the budget below the row count.
+    val guarded = Similarity.bruteForceTopK(embs, k = 1, maxIndexRows = 10L).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    val reference = Similarity.bruteForceTopK(embs, k = 1).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    assert(guarded === reference)
+  }
+
   test("cosine near-dup pairs finds planted duplicate vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, 0.5f, 0.1f)),
