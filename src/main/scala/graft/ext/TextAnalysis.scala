@@ -67,6 +67,28 @@ object TextAnalysis {
     }
   }
 
+  /** All per-language stopword hit counts in ONE compiled tokenize pass
+    * (graft.functions.TokenListCounts): Array[Int] in [[Stopwords]] order.
+    * The fast path for corpus-scale language ID — the declarative
+    * [[stopwordHits]]/[[langId]] spellings re-tokenize per reference.
+    */
+  def stopwordScores(text: Column): Column =
+    graft.functions.TokenListCounts.column(text, Stopwords.map(_._2))
+
+  /** Language-ID from already-computed per-language score columns (same
+    * first-max-wins precedence as [[langId]], but over cheap column
+    * references instead of duplicated filter trees).
+    */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
+    val langs = scores.map(_._1)
+    langs.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), elseCol) =>
+      val s = scores(i)._2
+      val beatsLater = scores.drop(i + 1).map(s >= _._2).reduceOption(_ && _).getOrElse(lit(true))
+      if (i == langs.size - 1) elseCol
+      else when(beatsLater, lit(lang)).otherwise(elseCol)
+    }
+  }
+
   /** Quality-score feature columns + a [0,1] composite. IEEE-exact ops only. */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))

@@ -68,18 +68,25 @@ object ExtQueries {
       |    AS quality_score
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** x22 — language ID: per-language stopword scoring, first-max-wins. */
+  /** x22 — language ID: per-language stopword scoring, first-max-wins.
+    * One compiled tokenize pass computes all five scores
+    * (TextAnalysis.stopwordScores); the prediction is an argmax over the
+    * extracted count columns. Layered selects keep the expensive count
+    * expression evaluated once (CollapseProject won't duplicate non-cheap
+    * expressions into multiple consumers).
+    */
   def x22LangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    docs(s, dir)
-      .select(
-        col("doc_id"), col("lang").as("lang_declared"),
-        TextAnalysis.langId(toks).as("lang_pred"),
-        TextAnalysis.stopwordHits(toks, "en").as("s_en"),
-        TextAnalysis.stopwordHits(toks, "de").as("s_de"),
-        TextAnalysis.stopwordHits(toks, "es").as("s_es"),
-        TextAnalysis.stopwordHits(toks, "fr").as("s_fr"),
-        TextAnalysis.stopwordHits(toks, "zh").as("s_zh"))
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        TextAnalysis.stopwordScores(col("text")).as("sc"))
+      .select(Seq(col("doc_id"), col("lang_declared")) ++
+        langs.zipWithIndex.map { case (l, i) => col("sc").getItem(i).as(s"s_$l") }: _*)
+    scored
+      .withColumn("lang_pred",
+        TextAnalysis.langIdFromScores(langs.map(l => l -> col(s"s_$l"))))
+      .select(col("doc_id"), col("lang_declared"), col("lang_pred"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
       .orderBy(col("doc_id"))
   }
 

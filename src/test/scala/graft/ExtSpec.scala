@@ -87,6 +87,28 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) === "de")
   }
 
+  test("compiled stopword scores equal the declarative per-language spellings") {
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val viaExpr = docsFixture.select($"doc_id", TextAnalysis.stopwordScores($"text").as("sc"))
+      .select(Seq(col("doc_id")) ++ langs.zipWithIndex.map { case (l, i) =>
+        col("sc").getItem(i).as(l) }: _*)
+    val toks = TextAnalysis.tokens($"text")
+    val viaHof = docsFixture.select(Seq(col("doc_id")) ++
+      langs.map(l => TextAnalysis.stopwordHits(toks, l).as(l)): _*)
+    assert(viaExpr.orderBy($"doc_id").collect().toSeq ===
+      viaHof.orderBy($"doc_id").collect().toSeq)
+    // argmax over extracted scores matches the declarative langId
+    val predFast = docsFixture
+      .select($"doc_id", TextAnalysis.stopwordScores($"text").as("sc"))
+      .select($"doc_id", TextAnalysis.langIdFromScores(
+        langs.zipWithIndex.map { case (l, i) => l -> col("sc").getItem(i) }).as("p"))
+      .as[(Long, String)].collect().toMap
+    val predHof = docsFixture
+      .select($"doc_id", TextAnalysis.langId(TextAnalysis.tokens($"text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(predFast === predHof)
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
     val fps = df.select($"doc_id",
