@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, shuffle machinery, parquet
     // footer reads) so the first timed query isn't charged for JVM setup.

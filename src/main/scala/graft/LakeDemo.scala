@@ -28,6 +28,7 @@ object LakeDemo {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = Seq(

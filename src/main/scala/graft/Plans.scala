@@ -8,6 +8,7 @@ object Plans {
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64*1024*1024).toString)
       .config("spark.ui.enabled","false").getOrCreate()
+    graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     args.foreach { q =>

@@ -13,6 +13,7 @@ object ProfileX32 {
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.ui.enabled","false").getOrCreate()
+    graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     spark.range(1000000L).selectExpr("sum(id)").collect()

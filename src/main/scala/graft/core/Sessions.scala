@@ -30,6 +30,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.scheduler.mode", "FAIR") // concurrent orchestrator jobs share fairly
+      // Session-level, set ONCE here — not inside table loaders, where a
+      // mid-flight conf write would race concurrent orchestrator jobs:
+      // the events table stores TIMESTAMP(NANOS), readable only as long.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,9 +42,11 @@ object Sessions {
 
   /** Apply the engine's tuning to an externally-provided builder/session
     * (e.g. the driver's Verify/Bench sessions own their master/partitions).
+    * Runs once at entry-point setup; loaders never mutate session conf.
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -31,11 +31,13 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert with integer
-    * division — double division would lose precision on ~1e18 nano values.
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set once at session setup by
+    * [[Sessions]] — a loader must NOT mutate session conf, which would race
+    * concurrent orchestrator jobs) and convert with integer division —
+    * double division would lose precision on ~1e18 nano values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -43,4 +45,65 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  private[graft] def requireNanosConf(spark: SparkSession): Unit =
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events requires spark.sql.legacy.parquet.nanosAsLong=true; build the " +
+        "session via graft.core.Sessions.local or pass it through Sessions.tune")
+
+  // --- Catalog-by-name resolution (SURVEY §2.1 S1) -------------------------
+  //
+  // The reference's first operation is name-based catalog resolution
+  // (`spark_session.table('processing_ibs.ibs_t_policy_payment_transaction')`,
+  // ibs_ordinary_payment_utilities.py:25-26). Mirror it: register the
+  // testdata as external parquet tables in a session-catalog database, then
+  // resolve with spark.table("db.tbl"). The events table is registered as a
+  // raw external table plus a converting VIEW, so by-name readers get the
+  // same micros timestamp column as [[events]].
+
+  val DefaultDb = "graft"
+
+  // session UUID + db -> registered dir (idempotence within a session).
+  private val registeredDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register every testdata table under `db` (external parquet tables over
+    * `dir`; metastore-backed, so `spark.table("graft.lineitem")` resolves).
+    * Idempotent per (session, db, dir); re-registers when `dir` changes.
+    */
+  def registerCatalog(spark: SparkSession, dir: String, db: String = DefaultDb): Unit =
+    registeredDirs.synchronized {
+      val key = System.identityHashCode(spark) + "/" + db
+      if (registeredDirs.get(key) == dir) return
+      requireNanosConf(spark) // events_raw schema inference needs it
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      all.filterNot(_ == "events").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+        spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$dir/$t.parquet'")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
+      spark.sql(s"CREATE TABLE $db.events_raw USING parquet LOCATION '$dir/events.parquet'")
+      spark.sql(s"DROP VIEW IF EXISTS $db.events")
+      val cols = spark.table(s"$db.events_raw").schema.fields.map { f =>
+        if (f.name == "ts" && f.dataType == LongType) "timestamp_micros(ts DIV 1000) AS ts"
+        else f.name
+      }
+      spark.sql(s"CREATE VIEW $db.events AS SELECT ${cols.mkString(", ")} FROM $db.events_raw")
+      registeredDirs.put(key, dir)
+    }
+
+  /** Pure name-based resolution, the reference's `spark_session.table(...)`
+    * shape — requires a prior [[registerCatalog]] (or any saveAsTable).
+    */
+  def catalog(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Register-if-needed + resolve by name: the S1 entry point for queries
+    * that want catalog semantics against a scale-factor directory.
+    */
+  def catalogTable(spark: SparkSession, dir: String, table: String,
+      db: String = DefaultDb): DataFrame = {
+    registerCatalog(spark, dir, db)
+    spark.table(s"$db.$table")
+  }
 }

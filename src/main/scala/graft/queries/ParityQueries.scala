@@ -26,10 +26,14 @@ object ParityQueries {
   private def li(s: SparkSession, dir: String): DataFrame = Tables.lineitem(s, dir)
   private def ord(s: SparkSession, dir: String): DataFrame = Tables.orders(s, dir)
 
-  /** q01 — A-aggregates (TPC-H Q1 shape): groupBy + exact decimal sums. */
+  /** q01 — A-aggregates (TPC-H Q1 shape): groupBy + exact decimal sums.
+    * Reads through S1 catalog-by-name resolution (`spark.table("graft.
+    * lineitem")`), the reference's `spark_session.table('db.tbl')` shape —
+    * the scan below the name is the same pushdown-capable parquet relation.
+    */
   def q01Agg(s: SparkSession, dir: String): DataFrame = {
     val one = Casts.asMoney(lit(1))
-    li(s, dir)
+    Tables.catalogTable(s, dir, "lineitem")
       // raw-timestamp window (≡ date_format(...) <= '2000-12-01') so the
       // range predicate reaches the parquet row-group stats
       .filter(col("l_shipdate") < to_timestamp(lit("2000-12-02")))

@@ -55,7 +55,7 @@ object Streams extends Serializable {
     * trade; the batch form keeps the exact count.
     */
   def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.Tables.requireNanosConf(spark)
     val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
     val sinkName = s"graft_events_hourly_${System.nanoTime()}"
     // The file-stream source requires a directory; expose the single
@@ -163,7 +163,7 @@ object Streams extends Serializable {
   def sessionsStreaming(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.Tables.requireNanosConf(spark)
     val checkpoint = Files.createTempDirectory("graft-sess-ckpt").toString
     val streamDir = Files.createTempDirectory("graft-sess-src")
     Files.createSymbolicLink(

@@ -1,0 +1,56 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.types.TimestampType
+
+import graft.core.Tables
+
+/** S1 catalog-by-name resolution + session-conf hygiene regressions. */
+class CatalogSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("catalog-by-name resolves every table with path-based parity") {
+    Tables.registerCatalog(spark, dir)
+    Tables.all.foreach { t =>
+      val byName = Tables.catalog(spark, s"${Tables.DefaultDb}.$t").count()
+      val byPath =
+        (if (t == "events") Tables.events(spark, dir) else Tables.load(spark, dir, t)).count()
+      assert(byName === byPath, s"count mismatch for $t")
+    }
+  }
+
+  test("catalog events view converts nanos to a timestamp column") {
+    val ev = Tables.catalogTable(spark, dir, "events")
+    assert(ev.schema("ts").dataType === TimestampType)
+    assert(ev.schema.fieldNames.toSeq === Tables.events(spark, dir).schema.fieldNames.toSeq)
+  }
+
+  test("re-registration against a different dir repoints the catalog") {
+    Tables.registerCatalog(spark, "/root/testdata/sf0.001")
+    val small = Tables.catalog(spark, s"${Tables.DefaultDb}.lineitem").count()
+    Tables.registerCatalog(spark, "/root/testdata/sf0.01")
+    val big = Tables.catalog(spark, s"${Tables.DefaultDb}.lineitem").count()
+    assert(big > small)
+    Tables.registerCatalog(spark, dir) // restore for other specs
+  }
+
+  test("events loader never mutates session conf (fails fast when unset)") {
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val e = intercept[IllegalArgumentException](Tables.events(isolated, dir))
+    assert(e.getMessage.contains("Sessions"))
+    // and the loader did NOT flip the conf behind the caller's back
+    assert(isolated.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "false")
+  }
+
+  test("concurrent jobs read events without conf races") {
+    val counts = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(Tables.events(spark, dir).count()))),
+      2.minutes)
+    assert(counts.distinct.size === 1)
+  }
+}
