@@ -46,4 +46,21 @@ object Aggregates {
       .pivot(pivotCol, pivotValues)
       .sum(valueCol)
       .na.fill(0)
+
+  /** A4 surface-parity overload: pivot with INFERRED values — the
+    * reference transcript's other pivot spelling
+    * (`all_from_gemini.txt:560-570` shows both). Spark runs an extra
+    * distinct-values job over `pivotCol` before planning the aggregate,
+    * so at scale prefer the explicit-values form; property-tested
+    * equivalent when the explicit list covers the data.
+    */
+  def pivotSum(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      pivotCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(groupCols: _*)
+      .pivot(pivotCol)
+      .sum(valueCol)
+      .na.fill(0)
 }

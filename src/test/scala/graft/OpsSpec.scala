@@ -53,6 +53,18 @@ class OpsSpec extends SparkSpec {
     assert(joined.where($"basic" =!= $"basic_p" || $"rider" =!= $"rider_p").count() === 0)
   }
 
+  test("A4 pivot with inferred values ≡ explicit values when the list covers the data") {
+    val explicit = Aggregates
+      .pivotSum(premiumFixture, Seq($"policy_id"), "premium_level",
+        Seq("basic", "rider", "tax"), "amount")
+    val inferred = Aggregates
+      .pivotSum(premiumFixture, Seq($"policy_id"), "premium_level", "amount")
+    assert(inferred.columns.sorted === explicit.columns.sorted)
+    val cols = explicit.columns.sorted.map(col)
+    assert(inferred.select(cols: _*).orderBy($"policy_id").collect().toSeq ===
+      explicit.select(cols: _*).orderBy($"policy_id").collect().toSeq)
+  }
+
   test("J1 left_semi ≡ inner join + left-project + distinct when key unique") {
     val fact = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
     val dim = Seq((1, "x"), (2, "y")).toDF("pk", "w")

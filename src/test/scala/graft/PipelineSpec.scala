@@ -20,6 +20,25 @@ class PipelineSpec extends SparkSpec {
     assert(doc.count() > 0)
   }
 
+  test("golden document: canonical JSON byte-equality against checked-in fixture") {
+    // The engine's analogue of the reference's golden-output diff
+    // (PMT_KAL_5776815_1_New.json): one full nested document, rendered as
+    // canonical JSON, compared byte-for-byte. Re-bless intentionally via
+    // `runMain graft.tools.GoldenGen`.
+    val expected = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/test/resources/golden_payment_doc.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val key = "\"pmt_refer_code_of_company\":\"([^\"]+)\"".r
+      .findFirstMatchIn(expected).get.group(1)
+    val actual = OrdinaryPayment
+      .typed(spark, sfDir, RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01"))
+      .toDF()
+      .where($"pmt_refer_code_of_company" === key)
+      .toJSON.head()
+    assert(actual === expected)
+  }
+
   test("business keys are unique and follow the PMT_KAL_<id>_<run> format") {
     val keys = doc.select($"pmt_refer_code_of_company").as[String].collect()
     assert(keys.distinct.length === keys.length)
