@@ -31,16 +31,28 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so projection-heavy queries would measure a near-empty plan.
     // The noop writer materializes every output column without I/O cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    //
+    // n=3 rounds, per-query MEDIAN: local-mode timings are noisy (GC,
+    // codegen compilation, page cache), so a single iteration makes
+    // round-over-round deltas unattributable.
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples: Seq[Map[String, Double]] = (1 to n).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val median: Map[String, Double] = names.map { name =>
+      val xs = samples.map(_(name)).sorted
+      name -> xs(xs.size / 2)
+    }.toMap
+    val qs = names.map(k => s"\"" + k + "\":" + median(k)).mkString("{", ",", "}")
+    val total = median.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

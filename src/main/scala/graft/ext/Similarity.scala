@@ -239,6 +239,129 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /** Deterministic IVF coarse quantizer: `nCells` centroids seeded from
+    * the vectors with the smallest `xxhash64(vec_id)` (a uniform sample
+    * with no RNG — reproducible across runs and engines), refined with
+    * `iters` Lloyd steps computed as Spark aggregations (posexplode →
+    * per-(cell, dim) mean). Only the model (nCells × dim doubles) ever
+    * reaches the driver — corpus-sized data stays distributed, so the
+    * build scales to any corpus; cell count should grow ~sqrt(corpus).
+    */
+  def ivfCentroids(
+      embeddings: DataFrame,
+      nCells: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    var centroids: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2.map(_.toDouble))
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val means = embeddings
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (_, v) =>
+          val cs = bc.value
+          var best = 0; var bestScore = Double.MinValue
+          var c = 0
+          while (c < cs.length) {
+            val s = cosineVs(v, cs(c))
+            if (s > bestScore) { bestScore = s; best = c }
+            c += 1
+          }
+          (best, v)
+        }
+        .toDF("cell", "embedding")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .as[(Int, Int, Double)]
+        .collect()
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toArray
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  private[ext] def cosineVs(a: Array[Float], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** ANN top-k via IVF: index vectors live in their nearest-centroid cell;
+    * a query probes its `nprobe` highest-affinity cells and exact-ranks
+    * only those cells' members — the classic partition-pruned search.
+    * Shuffle volume is O(rows × nprobe) plus the probed cells' contents,
+    * never O(rows²). Recall < 1 by construction; raise `nprobe` (or
+    * `nCells` resolution) to trade candidate volume for recall.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(embeddings, nCells, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val base = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+    val assigned = base.map { case (id, v) =>
+      val cs = bc.value
+      var best = 0; var bestScore = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        val s = cosineVs(v, cs(c))
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      BlockedVec(id, v, best)
+    }.toDF("neighbor_id", "emb_b", "cell")
+    val probes = base.flatMap { case (id, v) =>
+      val cs = bc.value
+      cs.indices
+        .map(c => (c, cosineVs(v, cs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(nprobe)
+        .iterator
+        .map { case (c, _) => BlockedVec(id, v, c) }
+    }.toDF("vec_id", "emb_a", "cell")
+    import org.apache.spark.sql.expressions.Window
+    probes
+      .join(assigned, Seq("cell"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, nid, a, b) => (qid, nid, cosine(a, b)) }
+      .toDF("vec_id", "neighbor_id", "score")
+      .distinct() // a pair may meet in several probed cells
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Exact embedding near-dup pairs (cosine ≥ threshold) via broadcast
     * brute force — used by dedup pipelines with a high threshold. Index
     * sides over the broadcast budget take the blocked distributed path

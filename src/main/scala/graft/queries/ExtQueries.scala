@@ -262,6 +262,40 @@ object ExtQueries {
     Similarity.lshTopK(embs(s, dir), k = 5)
       .orderBy(col("vec_id"), col("rank"))
 
+  /** x43 — ANN top-5 via IVF (deterministic coarse quantizer + probe-
+    * pruned exact re-rank). Approximate by construction — no oracle;
+    * ScalaTest checks recall against the exact x40 on real embeddings.
+    */
+  def x43AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(s, dir), k = 5)
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** x42 — embedding-cosine near-dup pairs (exact, broadcast/blocked
+    * dispatch): the embedding-space analogue of x30/x31 for dedup
+    * pipelines. Sequential-double accumulation = DuckDB list_sum
+    * bit-exact (same contract as x40).
+    */
+  def x42CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val x42Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS score
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** x50 — multimodal ingestion metadata (binary payload plumbing). */
   def x50MediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.ingestFromDocuments(docs(s, dir))
@@ -447,6 +481,8 @@ object ExtQueries {
     "x33_simhash_pairs" -> (x33SimhashPairs _),
     "x40_cosine_topk" -> (x40CosineTopK _),
     "x41_ann_lsh" -> (x41AnnLsh _),
+    "x42_cosine_neardup" -> (x42CosineNearDup _),
+    "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
     "x51_media_features" -> (x51MediaFeatures _),
     "x60_event_hourly" -> (x60EventHourly _),
@@ -466,6 +502,7 @@ object ExtQueries {
     "x30_dedup_exact" -> x30Sql,
     "x31_jaccard_pairs" -> x31Sql,
     "x40_cosine_topk" -> x40Sql,
+    "x42_cosine_neardup" -> x42Sql,
     "x50_media_meta" -> x50Sql,
     "x60_event_hourly" -> x60Sql,
     "x61_event_hourly_stream" -> x61Sql)

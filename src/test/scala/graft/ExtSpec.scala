@@ -161,6 +161,23 @@ class ExtSpec extends SparkSpec {
     assert(guarded === reference)
   }
 
+  test("IVF ANN achieves high recall vs brute force on the real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    val approx = Similarity.ivfTopK(embs, k = 1, nCells = 16, nprobe = 6)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    assert(recall > 0.7, s"IVF nearest-neighbor recall $recall too low")
+  }
+
+  test("IVF centroids are deterministic across invocations") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.ivfCentroids(embs, nCells = 8, iters = 1)
+    val b = Similarity.ivfCentroids(embs, nCells = 8, iters = 1)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("cosine near-dup pairs finds planted duplicate vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, 0.5f, 0.1f)),
