@@ -182,13 +182,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Per-document 64-bit SimHash signatures, computed the scale way:
-    * explode tokens → xxhash64 → 64 codegen'd conditional-sum aggregates
-    * (one partial-agg shuffle carrying one row per doc) → fold bit votes
-    * into the signature. ~5× faster than the interpreted HOF fold in
-    * [[simhash]] because the per-token work stays in whole-stage codegen.
+  /** Per-document 64-bit SimHash signatures in ONE compiled per-row pass
+    * (graft.functions.SimHash64): no token explode, no aggregation
+    * exchange — a narrow map, the shape that scales linearly at 100 TB.
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread.select(col(idCol), graft.functions.SimHash64.column(col(textCol)).as("simhash"))
+  }
+
+  /** The pre-rewrite declarative spelling of [[simhashSignatures]] —
+    * explode tokens → xxhash64 → 64 codegen'd conditional-sum aggregates →
+    * fold bit votes. Kept as the equivalence oracle for the compiled
+    * expression (spec-compared) and as the shape to use when tokens are
+    * already exploded upstream.
+    */
+  def simhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val toks = spread.select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))

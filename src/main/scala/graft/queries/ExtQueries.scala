@@ -371,6 +371,15 @@ object ExtQueries {
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** x65 — exact dedup through Structured Streaming (incremental min-id
+    * survivor state per content hash, Trigger.AvailableNow): must equal
+    * the batch x30 definition, so it shares that oracle.
+    */
+  def x65DedupStream(s: SparkSession, dir: String): DataFrame =
+    Streams.dedupStreaming(s, dir).orderBy(col("doc_id"))
+
+  val x65Sql: String = x30Sql
+
   /** x70 — top-k per group via a typed Aggregator with a k-bounded,
     * map-side-combinable buffer (graft.functions.TopKAggregator): the
     * shuffle carries O(groups×k) rows instead of the full input that a
@@ -486,7 +495,8 @@ object ExtQueries {
     "x50_media_meta" -> (x50MediaMeta _),
     "x51_media_features" -> (x51MediaFeatures _),
     "x60_event_hourly" -> (x60EventHourly _),
-    "x61_event_hourly_stream" -> (x61EventHourlyStream _))
+    "x61_event_hourly_stream" -> (x61EventHourlyStream _),
+    "x65_dedup_stream" -> (x65DedupStream _))
 
   val oracles: Map[String, String] = Map(
     "x63_asof_join" -> x63Sql,
@@ -505,5 +515,6 @@ object ExtQueries {
     "x42_cosine_neardup" -> x42Sql,
     "x50_media_meta" -> x50Sql,
     "x60_event_hourly" -> x60Sql,
-    "x61_event_hourly_stream" -> x61Sql)
+    "x61_event_hourly_stream" -> x61Sql,
+    "x65_dedup_stream" -> x65Sql)
 }

@@ -88,6 +88,50 @@ object Streams extends Serializable {
     spark.table(sinkName)
   }
 
+  /** Schema of the documents parquet for the file-stream source. */
+  val DocumentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: min-id survivor per normalized-content hash,
+    * computed incrementally over the document stream — arriving duplicates
+    * fold into their group's running (min id, count) state, so the result
+    * after Trigger.AvailableNow equals the batch [[graft.ext.Dedup.exact]]
+    * definition exactly (they share the x30 oracle).
+    *
+    * Scale note: `min`/`count` state is one row per distinct content hash
+    * (no per-doc state). Complete-mode memory sink is the test harness;
+    * at production scale emit Update mode into an upserting sink.
+    */
+  def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val streamDir = Files.createTempDirectory("graft-dedup-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val sinkName = s"graft_dedup_${System.nanoTime()}"
+    val agg = spark.readStream
+      .schema(DocumentsRawSchema)
+      .parquet(streamDir.toString)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.fingerprintMd5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      .select(col("doc_id"), col("content_hash"), col("group_size"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Sessionization-style stateful shape: per-user ordered event counts
     * with gaps — expressed batch-side with a window; the streaming
     * equivalent is flatMapGroupsWithState (kept batch here because the

@@ -66,6 +66,15 @@ class ExtSpec extends SparkSpec {
     assert(out(2L).exists(_.size == 8))
   }
 
+  test("compiled SimHash64 equals the exploded aggregate spelling on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExpr = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashSignaturesAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaAgg)
+  }
+
   test("SimHash distance 0 for identical docs; banded pairs respect maxHamming") {
     val pairs = Dedup.simhashPairs(docsFixture, "doc_id", "text", maxHamming = 8)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()

@@ -32,6 +32,18 @@ class StreamsSpec extends SparkSpec {
     assert(latest === batch)
   }
 
+  test("streaming exact dedup ≡ batch Dedup.exact (shared x30 semantics)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streams.dedupStreaming(spark, dir)
+      .orderBy("doc_id")
+      .collect().toSeq
+    val batch = graft.ext.Dedup
+      .exact(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("batch sessionization splits on the gap and is contiguous per user") {
     val sessions = Streams.sessionsBatch(Tables.events(spark, sfDir), 30)
     val perUser = sessions.groupBy($"user_id")
