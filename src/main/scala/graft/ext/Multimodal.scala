@@ -90,4 +90,74 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      n_bytes_in: Int,
+      n_bytes_out: Int,
+      payload: Array[Byte])
+
+  /** Resize/transcode plumbing: STUB "resize" decimates the payload to a
+    * target byte budget by fixed-stride sampling (a real implementation
+    * decodes, rescales pixels/samples, re-encodes — identical plan shape:
+    * a narrow per-partition batch map, output bounded by `targetBytes`).
+    * Deterministic: same payload → same output bytes.
+    */
+  def resize(media: DataFrame, targetBytes: Int): Dataset[ResizedMedia] = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, kind, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val out =
+            if (bytes.length <= targetBytes) bytes
+            else {
+              val stride = bytes.length.toDouble / targetBytes
+              Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+            }
+          ResizedMedia(id, kind, bytes.length, out.length, out)
+        }
+      }
+  }
+
+  case class MediaFrame(
+      media_id: Long,
+      kind: String,
+      frame_no: Int,
+      offset: Int,
+      frame: Array[Byte])
+
+  /** Frame sampling plumbing: STUB treats the payload as fixed-size
+    * "frames" of `frameBytes` and emits every `everyNth` frame (a real
+    * video implementation seeks keyframes via the container index — same
+    * plan shape: a narrow per-partition flatMap whose output is
+    * payload_size / (frameBytes × everyNth) rows per record, bounded and
+    * partition-local).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): Dataset[MediaFrame] = {
+    require(frameBytes >= 1 && everyNth >= 1,
+      s"frameBytes and everyNth must be >= 1, got ($frameBytes, $everyNth)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, kind, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by everyNth).iterator.map { f =>
+            val off = f * frameBytes
+            MediaFrame(id, kind, f, off, java.util.Arrays.copyOfRange(bytes, off, off + frameBytes))
+          }
+        }
+      }
+  }
 }

@@ -323,6 +323,30 @@ object ExtQueries {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
       .orderBy(col("media_id"))
 
+  /** x52 — resize + frame-sample plumbing over binary payloads: the
+    * byte-budget and frame-count arithmetic is oracle-checkable even
+    * though the sampled bytes themselves aren't SQL-expressible (those
+    * are covered by determinism specs).
+    */
+  def x52MediaResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.ingestFromDocuments(docs(s, dir))
+    val resized = Multimodal.resize(media, targetBytes = 64).toDF()
+      .select(col("media_id"), col("n_bytes_in"), col("n_bytes_out"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 2).toDF()
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames_sampled"))
+    resized
+      .join(frames, Seq("media_id"), "left")
+      .na.fill(0, Seq("n_frames_sampled"))
+      .orderBy(col("media_id"))
+  }
+
+  val x52Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS INTEGER) AS n_bytes_in,
+      |  CAST(least(strlen(text), 64) AS INTEGER) AS n_bytes_out,
+      |  CAST((strlen(text) // 32 + 1) // 2 AS BIGINT) AS n_frames_sampled
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** x60 — hourly tumbling-window event aggregation (batch plan). */
   def x60EventHourly(s: SparkSession, dir: String): DataFrame =
     Streams.eventsHourly(s, dir)
@@ -494,6 +518,7 @@ object ExtQueries {
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
     "x51_media_features" -> (x51MediaFeatures _),
+    "x52_media_resize" -> (x52MediaResize _),
     "x60_event_hourly" -> (x60EventHourly _),
     "x61_event_hourly_stream" -> (x61EventHourlyStream _),
     "x65_dedup_stream" -> (x65DedupStream _))
@@ -514,6 +539,7 @@ object ExtQueries {
     "x40_cosine_topk" -> x40Sql,
     "x42_cosine_neardup" -> x42Sql,
     "x50_media_meta" -> x50Sql,
+    "x52_media_resize" -> x52Sql,
     "x60_event_hourly" -> x60Sql,
     "x61_event_hourly_stream" -> x61Sql,
     "x65_dedup_stream" -> x65Sql)

@@ -197,6 +197,22 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("resize respects the byte budget and is deterministic; frame sampling strides") {
+    val media = Multimodal.ingestFromDocuments(
+      Seq((1L, "x" * 200, "en", "img", 200L), (2L, "short", "en", "img", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Multimodal.resize(media, targetBytes = 64).collect().map(m => m.media_id -> m).toMap
+    assert(r(1L).n_bytes_out === 64 && r(1L).n_bytes_in === 200)
+    assert(r(2L).n_bytes_out === 5) // under budget passes through untouched
+    val r2 = Multimodal.resize(media, targetBytes = 64).collect().map(m => m.media_id -> m).toMap
+    assert(r(1L).payload.toSeq === r2(1L).payload.toSeq)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 2).collect()
+      .filter(_.media_id == 1L).sortBy(_.frame_no)
+    // 200 bytes / 32 = 6 frames, every 2nd -> frames 0, 2, 4
+    assert(frames.map(_.frame_no).toSeq === Seq(0, 2, 4))
+    assert(frames.forall(_.frame.length == 32))
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
