@@ -68,10 +68,31 @@ object GraftFunctions {
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
-  /** SQL registration: `SELECT graft_word_shingles(text, 3)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** One-pass MinHash signature: `SELECT graft_minhash_signature(text, 3, 64)`. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    MinHashSignature.column(text, n, numHashes)
+
+  /** One-pass 64-bit SimHash: `SELECT graft_simhash64(text)`. */
+  def simhash64(text: Column): Column = SimHash64.column(text)
+
+  /** SQL registration of every graft expression:
+    * `graft_word_shingles(text, n)`, `graft_minhash_signature(text, n,
+    * numHashes)`, `graft_simhash64(text)`.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_word_shingles",
       exprs => WordShingles(exprs.head, exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_signature",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => SimHash64(exprs.head),
+      "built-in")
+  }
 }

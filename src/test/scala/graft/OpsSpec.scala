@@ -157,6 +157,14 @@ class OpsSpec extends SparkSpec {
     val viaSql = df.selectExpr("graft_word_shingles(text, 2) AS sh")
       .as[Seq[String]].collect()
     assert(viaSql.map(_.toSet) === custom.map(_.toSet))
+    // the other registered graft functions resolve and agree with the
+    // Column-API spellings
+    val sqlSig = df.selectExpr("graft_minhash_signature(text, 2, 8) AS mh",
+      "graft_simhash64(text) AS sh64")
+    val apiSig = df.select(
+      graft.functions.MinHashSignature.column(col("text"), 2, 8).as("mh"),
+      graft.functions.SimHash64.column(col("text")).as("sh64"))
+    assert(sqlSig.collect().toSeq === apiSig.collect().toSeq)
   }
 
   test("TopKAggregator ≡ ranking-window top-k (ties included)") {
