@@ -2,7 +2,7 @@ package graft.ext
 
 import scala.util.Random
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -40,6 +40,21 @@ object Similarity {
     * [[cosineNearDupPairs]] switch to the blocked distributed variants.
     */
   val MaxBroadcastIndexRows: Long = 1L << 20
+
+  /** Column-API vector ops over Array[Float] embedding columns, built from
+    * codegen-able HOF expressions (`zip_with`/`aggregate`) — the
+    * declarative tier: SQL-visible, no typed Dataset needed. Accumulation
+    * is sequential left-to-right in double, bit-exact with DuckDB's
+    * `list_sum(list_transform(...))` and with the compiled [[cosine]].
+    */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
 
   private[ext] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -296,6 +296,63 @@ object ExtQueries {
       |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** x44 — declarative vector ops (Column-API `zip_with`/`aggregate`
+    * HOFs, no typed Dataset): per-vector L2 norm, dot and cosine against
+    * the corpus's first vector (broadcast 1-row reference). Sequential
+    * double accumulation = DuckDB list_sum bit-exact.
+    */
+  def x44VectorOps(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val ref = e.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("ref_emb"))
+    e.crossJoin(broadcast(ref))
+      .select(
+        col("vec_id"),
+        Similarity.normCol(col("embedding")).as("l2_norm"),
+        Similarity.dotCol(col("embedding"), col("ref_emb")).as("dot_ref"),
+        Similarity.cosineCol(col("embedding"), col("ref_emb")).as("cos_ref"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x44Sql: String =
+    """WITH ref AS (SELECT embedding AS ref_emb FROM embeddings
+      |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+      |SELECT e.vec_id,
+      |  sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS l2_norm,
+      |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |    i -> e.embedding[i]::DOUBLE * ref_emb[i]::DOUBLE)) AS dot_ref,
+      |  list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |    i -> e.embedding[i]::DOUBLE * ref_emb[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(ref_emb)),
+      |        i -> ref_emb[i]::DOUBLE * ref_emb[i]::DOUBLE)))) AS cos_ref
+      |FROM embeddings e CROSS JOIN ref
+      |ORDER BY vec_id""".stripMargin
+
+  /** x66 — skew-safe salted equi-join (Relational.saltedEquiJoin): events
+    * fact joined to its per-user aggregate; salting must not change join
+    * semantics, so the oracle is the plain join.
+    */
+  def x66SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Relational
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val perUser = ev.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n_user_events"))
+    Relational.saltedEquiJoin(ev, perUser, "user_id", "u", buckets = 8)
+      .select(col("event_id"), col("user_id"), col("n_user_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val x66Sql: String =
+    """SELECT e.event_id, e.user_id, u.n_user_events
+      |FROM events e
+      |JOIN (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id) u
+      |  ON e.user_id = u.user_id
+      |ORDER BY e.event_id""".stripMargin
+
   /** x50 — multimodal ingestion metadata (binary payload plumbing). */
   def x50MediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.ingestFromDocuments(docs(s, dir))
@@ -515,6 +572,8 @@ object ExtQueries {
     "x40_cosine_topk" -> (x40CosineTopK _),
     "x41_ann_lsh" -> (x41AnnLsh _),
     "x42_cosine_neardup" -> (x42CosineNearDup _),
+    "x44_vector_ops" -> (x44VectorOps _),
+    "x66_salted_join" -> (x66SaltedJoin _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
     "x51_media_features" -> (x51MediaFeatures _),
@@ -538,6 +597,8 @@ object ExtQueries {
     "x31_jaccard_pairs" -> x31Sql,
     "x40_cosine_topk" -> x40Sql,
     "x42_cosine_neardup" -> x42Sql,
+    "x44_vector_ops" -> x44Sql,
+    "x66_salted_join" -> x66Sql,
     "x50_media_meta" -> x50Sql,
     "x52_media_resize" -> x52Sql,
     "x60_event_hourly" -> x60Sql,
