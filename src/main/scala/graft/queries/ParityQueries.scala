@@ -455,8 +455,54 @@ object ParityQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q15 — multi-way star join (TPC-H Q5 shape): one big-big shuffle
+    * (lineitem ⋈ orders on orderkey) plus a broadcast dimension chain
+    * (supplier → nation → region), date-windowed on the raw timestamp so
+    * the range predicate reaches parquet row-group stats, exact decimal
+    * revenue. Exercises the supplier table and the join-reorder surface.
+    */
+  def q15StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val one = Casts.asMoney(lit(1))
+    val o = ord(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(s, dir)
+      .filter(col("r_name") === lit("ASIA"))
+      .select(col("r_regionkey"))
+    li(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(Casts.asMoney(col("l_extendedprice"))
+        * (one - Casts.asMoney(col("l_discount")))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q15Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_star_join" -> (q15StarJoin _),
     "q01_agg" -> (q01Agg _),
     "q02_conditional_sum" -> (q02ConditionalSum _),
     "q03_semi_join" -> (q03SemiJoin _),
@@ -473,6 +519,7 @@ object ParityQueries {
     "q14_rollup" -> (q14Rollup _))
 
   val oracles: Map[String, String] = Map(
+    "q15_star_join" -> q15Sql,
     "q01_agg" -> q01Sql,
     "q02_conditional_sum" -> q02Sql,
     "q03_semi_join" -> q03Sql,
