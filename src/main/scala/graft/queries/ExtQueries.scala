@@ -168,6 +168,40 @@ object ExtQueries {
       |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
+  /** x26 — corpus statistics per language: counts, exact-long char sums,
+    * mean/stddev derived from exact integer sums (order-independent, so
+    * Spark's partial aggregation and DuckDB's serial fold agree
+    * bit-for-bit — never a naive double `stddev`, whose accumulation
+    * order diverges across engines), and interpolated median.
+    */
+  def x26CorpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_chars") * col("n_chars")).as("sumsq_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"))
+      .select(
+        col("lang"), col("n_docs"), col("sum_chars"),
+        (col("sum_chars").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("mean_chars"),
+        sqrt((col("sumsq_chars").cast(DoubleType)
+          - col("sum_chars").cast(DoubleType) * col("sum_chars").cast(DoubleType)
+            / col("n_docs").cast(DoubleType))
+          / (col("n_docs").cast(DoubleType) - lit(1.0))).as("std_chars"),
+        col("median_chars"))
+      .orderBy(col("lang"))
+
+  val x26Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(n_chars) AS sum_chars,
+      |  sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars,
+      |  sqrt((sum(n_chars * n_chars)::DOUBLE
+      |    - sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE / count(*)::DOUBLE)
+      |    / (count(*)::DOUBLE - 1.0)) AS std_chars,
+      |  median(n_chars) AS median_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** x30 — exact dedup: survivor (min doc_id) per content hash. */
   def x30DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
@@ -559,6 +593,7 @@ object ExtQueries {
     "x64_range_join" -> (x64RangeJoin _),
     "x24_scrub" -> (x24Scrub _),
     "x25_vocab" -> (x25Vocab _),
+    "x26_corpus_stats" -> (x26CorpusStats _),
     "x62_event_props" -> (x62EventProps _),
     "x70_topk_per_group" -> (x70TopKPerGroup _),
     "x20_token_stats" -> (x20TokenStats _),
@@ -587,6 +622,7 @@ object ExtQueries {
     "x64_range_join" -> x64Sql,
     "x24_scrub" -> x24Sql,
     "x25_vocab" -> x25Sql,
+    "x26_corpus_stats" -> x26Sql,
     "x62_event_props" -> x62Sql,
     "x70_topk_per_group" -> x70Sql,
     "x20_token_stats" -> x20Sql,
