@@ -202,6 +202,26 @@ object ExtQueries {
       |  median(n_chars) AS median_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** x27 — vocabulary cardinality per language: exact distinct (oracle-
+    * checked). The 100 TB path is the HLL sketch twin
+    * (hll_sketch_agg — mergeable, constant memory, no distinct shuffle),
+    * spec-pinned within 2% of this exact result.
+    */
+  def x27DistinctTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("token")).as("n_distinct_tokens"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang"))
+
+  val x27Sql: String =
+    """SELECT lang, count(DISTINCT token) AS n_distinct_tokens, count(*) AS n_tokens
+      |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** x30 — exact dedup: survivor (min doc_id) per content hash. */
   def x30DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
@@ -594,6 +614,7 @@ object ExtQueries {
     "x24_scrub" -> (x24Scrub _),
     "x25_vocab" -> (x25Vocab _),
     "x26_corpus_stats" -> (x26CorpusStats _),
+    "x27_distinct_tokens" -> (x27DistinctTokens _),
     "x62_event_props" -> (x62EventProps _),
     "x70_topk_per_group" -> (x70TopKPerGroup _),
     "x20_token_stats" -> (x20TokenStats _),
@@ -623,6 +644,7 @@ object ExtQueries {
     "x24_scrub" -> x24Sql,
     "x25_vocab" -> x25Sql,
     "x26_corpus_stats" -> x26Sql,
+    "x27_distinct_tokens" -> x27Sql,
     "x62_event_props" -> x62Sql,
     "x70_topk_per_group" -> x70Sql,
     "x20_token_stats" -> x20Sql,

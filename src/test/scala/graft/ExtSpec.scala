@@ -96,6 +96,23 @@ class ExtSpec extends SparkSpec {
     assert(out(6L) === "de")
   }
 
+  test("HLL sketch distinct-token estimate within 2% of exact (the 100 TB twin of x27)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select($"lang", explode(TextAnalysis.tokens($"text")).as("token"))
+    val exact = toks.groupBy($"lang").agg(countDistinct($"token").as("n"))
+      .as[(String, Long)].collect().toMap
+    // hll_sketch_agg: mergeable constant-memory DataSketches HLL — the
+    // distinct count that scales (no distinct shuffle, unions across
+    // partitions/days for free).
+    val est = toks.groupBy($"lang")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"token")).as("n_est"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, n) =>
+      val e = est(lang)
+      assert(math.abs(e - n).toDouble / n < 0.02, s"$lang: est $e vs exact $n")
+    }
+  }
+
   test("compiled stopword scores equal the declarative per-language spellings") {
     val langs = TextAnalysis.Stopwords.map(_._1)
     val viaExpr = docsFixture.select($"doc_id", TextAnalysis.stopwordScores($"text").as("sc"))
