@@ -155,10 +155,14 @@ object Dedup {
     // Spread the CPU-heavy signature pass across cores even when the
     // input is one small parquet split (see [[shingles]]).
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Exclude shingle-less docs (< n tokens) with a CHEAP pre-projection
+    // predicate. Filtering on mh IS NULL instead would be pushed below the
+    // projection as isnotnull(signature(text)) and re-evaluate the whole
+    // 64-hash signature a second time per row (observed in the plan).
     val sigs = spread
+      .where(size(split(trim(lower(col(textCol))), "\\s+")) >= lit(n))
       .select(col(idCol),
         graft.functions.MinHashSignature.column(col(textCol), n, numHashes).as("mh"))
-      .where(col("mh").isNotNull) // docs with < n tokens have no shingles
     val banded = lshBands(sigs, idCol, bands, numHashes / bands)
     val candidates = banded.as("x")
       .join(banded.as("y"),
