@@ -186,6 +186,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * min-label propagation — each iteration every node takes the minimum
+    * label among itself and its neighbors; converges in O(graph diameter)
+    * iterations to component = min reachable id.
+    *
+    * The pairs→clusters step every near-dup pipeline needs before
+    * survivor selection (pairs alone over-delete: {A,B}, {B,C} must keep
+    * ONE of {A,B,C}, not drop both B and C).
+    *
+    * Scale shape: each iteration is one equi-join + partial-min groupBy on
+    * the edge list (O(edges) shuffle). Near-dup graphs have tiny diameter
+    * (dup clusters are dense), so few iterations; each iteration's labels
+    * are cached and the previous generation unpersisted (bounded at two
+    * generations, no storage leak) to stop lineage re-execution.
+    *
+    * Returns (node, component) for every node present in `edges`.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels, col("b") === col("node"))
+        .groupBy(col("a"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+        .cache()
+      val changed = updated.where(col("next_label") < col("label")).count()
+      val prev = labels
+      labels = updated.select(col("node"), col("next_label").as("label")).cache()
+      prev.unpersist()
+      updated.unpersist()
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end dedup clustering: near-dup pairs (exact n-gram Jaccard) →
+    * connected components → (doc, component) for EVERY doc, singletons
+    * being their own component. Survivor selection is then a trivial
+    * min-per-component.
+    */
+  def clusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("component"))
+  }
+
   /** Per-document 64-bit SimHash signatures in ONE compiled per-row pass
     * (graft.functions.SimHash64): no token explode, no aggregation
     * exchange — a narrow map, the shape that scales linearly at 100 TB.

@@ -279,6 +279,38 @@ object ExtQueries {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** x34 — dedup clusters: exact trigram-Jaccard near-dup pairs →
+    * connected components (min-label propagation) → every doc labeled
+    * with its component (singletons = self). Oracle: DuckDB recursive-CTE
+    * transitive closure over the same pair definition.
+    */
+  def x34DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
+      .orderBy(col("doc_id"))
+
+  val x34Sql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.3),
+      |edges AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+      |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |FROM documents d LEFT JOIN comp c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** x40 — exact cosine top-5 neighbors per vector (broadcast brute force,
     * sequential-double accumulation = DuckDB list_sum bit-exact).
     */
@@ -625,6 +657,7 @@ object ExtQueries {
     "x31_jaccard_pairs" -> (x31JaccardPairs _),
     "x32_minhash_pairs" -> (x32MinhashPairs _),
     "x33_simhash_pairs" -> (x33SimhashPairs _),
+    "x34_dedup_clusters" -> (x34DedupClusters _),
     "x40_cosine_topk" -> (x40CosineTopK _),
     "x41_ann_lsh" -> (x41AnnLsh _),
     "x42_cosine_neardup" -> (x42CosineNearDup _),
@@ -653,6 +686,7 @@ object ExtQueries {
     "x23_fingerprint" -> x23Sql,
     "x30_dedup_exact" -> x30Sql,
     "x31_jaccard_pairs" -> x31Sql,
+    "x34_dedup_clusters" -> x34Sql,
     "x40_cosine_topk" -> x40Sql,
     "x42_cosine_neardup" -> x42Sql,
     "x44_vector_ops" -> x44Sql,

@@ -75,6 +75,24 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr === viaAgg)
   }
 
+  test("connected components labels chains, triangles, and singletons correctly") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters group the planted near-dups and keep singletons as self") {
+    val comp = Dedup.clusters(docsFixture, "doc_id", "text", n = 2, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    // 1,2,3,4 are mutual near-dups (component = 1); 5 and 6 are singletons
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L && comp(4L) === 1L)
+    assert(comp(5L) === 5L && comp(6L) === 6L)
+  }
+
   test("SimHash distance 0 for identical docs; banded pairs respect maxHamming") {
     val pairs = Dedup.simhashPairs(docsFixture, "doc_id", "text", maxHamming = 8)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
