@@ -547,6 +547,22 @@ object ExtQueries {
 
   val x65Sql: String = x30Sql
 
+  /** x67 — stream-static enrichment join: per-micro-batch join of the
+    * event stream against a broadcast per-user dimension; append mode, no
+    * state. Equals the batch join, so the oracle is plain SQL.
+    */
+  def x67EnrichStream(s: SparkSession, dir: String): DataFrame =
+    Streams.enrichedStreaming(s, dir).orderBy(col("event_id"))
+
+  val x67Sql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, u.n_user_events, u.user_total_value
+      |FROM events e
+      |JOIN (SELECT user_id, count(*) AS n_user_events,
+      |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total_value
+      |      FROM events GROUP BY user_id) u
+      |  ON e.user_id = u.user_id
+      |ORDER BY e.event_id""".stripMargin
+
   /** x70 — top-k per group via a typed Aggregator with a k-bounded,
     * map-side-combinable buffer (graft.functions.TopKAggregator): the
     * shuffle carries O(groups×k) rows instead of the full input that a
@@ -669,7 +685,8 @@ object ExtQueries {
     "x52_media_resize" -> (x52MediaResize _),
     "x60_event_hourly" -> (x60EventHourly _),
     "x61_event_hourly_stream" -> (x61EventHourlyStream _),
-    "x65_dedup_stream" -> (x65DedupStream _))
+    "x65_dedup_stream" -> (x65DedupStream _),
+    "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
     "x63_asof_join" -> x63Sql,
@@ -695,5 +712,6 @@ object ExtQueries {
     "x52_media_resize" -> x52Sql,
     "x60_event_hourly" -> x60Sql,
     "x61_event_hourly_stream" -> x61Sql,
-    "x65_dedup_stream" -> x65Sql)
+    "x65_dedup_stream" -> x65Sql,
+    "x67_enrich_stream" -> x67Sql)
 }

@@ -132,6 +132,44 @@ object Streams extends Serializable {
     spark.table(sinkName)
   }
 
+  /** Stream-static enrichment join: the event stream joined per
+    * micro-batch against a static dimension (per-user lifetime aggregates
+    * computed batch-side). The static side is planned fresh each
+    * micro-batch — broadcast when small, the standard streaming-enrichment
+    * shape. Append mode, no state. Results equal the batch join, so the
+    * query shares a plain-SQL oracle.
+    */
+  def enrichedStreaming(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.requireNanosConf(spark)
+    val checkpoint = Files.createTempDirectory("graft-enrich-ckpt").toString
+    val streamDir = Files.createTempDirectory("graft-enrich-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val sinkName = s"graft_enriched_${System.nanoTime()}"
+    val userDim = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("u"))
+      .agg(
+        count(lit(1)).as("n_user_events"),
+        sum(Casts.asMoney(col("value"))).cast(DoubleType).as("user_total_value"))
+    val stream = spark.readStream
+      .schema(EventsRawSchema)
+      .parquet(streamDir.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(userDim), col("user_id") === col("u"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_user_events"), col("user_total_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** Sessionization-style stateful shape: per-user ordered event counts
     * with gaps — expressed batch-side with a window; the streaming
     * equivalent is flatMapGroupsWithState (kept batch here because the
