@@ -207,32 +207,90 @@ object Dedup {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      maxLocalEdges: Long = 1L << 22): DataFrame = {
+    // Dispatch (same contract as the similarity broadcast budget): a
+    // near-dup graph is SPARSE relative to the corpus — dedup pipelines
+    // typically produce edge sets orders of magnitude smaller than the
+    // input — so up to `maxLocalEdges` edges the exact union-find runs on
+    // the driver in milliseconds instead of paying per-iteration Spark
+    // job overhead. Larger graphs take the distributed label-propagation
+    // loop below, which never materializes edges on the driver.
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgeCount = edges.count()
+    if (edgeCount <= maxLocalEdges) {
+      val es = edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct
+      return nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+    }
+    distributedComponents(edges, srcCol, dstCol, maxIter)
+  }
+
+  /** Distributed min-label propagation with pointer jumping — the
+    * over-budget path of [[connectedComponents]].
+    */
+  private[ext] def distributedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int): DataFrame = {
+    // Iterative-DataFrame discipline: every generation is eagerly
+    // localCheckpoint'ed — this both MATERIALIZES it (no re-derivation of
+    // the whole chain from the expensive pair join each round) and SEVERS
+    // lineage (without it the logical plan nests every prior generation
+    // and explodes: observed OOM just BUILDING the plan string by ~6
+    // iterations). The same pattern GraphX/GraphFrames use; checkpointed
+    // generations are reclaimed by the context cleaner when unreferenced.
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .cache()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // neighbor-min: take the smallest label among my neighbors
       val neighborMin = sym
         .join(labels, col("b") === col("node"))
         .groupBy(col("a"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels
+      val withNeighbor = labels
         .join(neighborMin, col("node") === col("a"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
-        .cache()
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+      // pointer jumping: also take my candidate label's OWN label
+      // (label(l1) is reachable whenever l1 is, so the min stays inside
+      // the component) — turns O(diameter) rounds into O(log diameter),
+      // which long near-dup chains (doc i ~ doc i+1) make essential.
+      val lab2 = labels.select(col("node").as("pj_node"), col("label").as("pj_label"))
+      val updated = withNeighbor
+        .join(lab2, col("l1") === col("pj_node"), "left")
+        .select(col("node"), col("label"),
+          least(col("l1"), coalesce(col("pj_label"), col("l1"))).as("next_label"))
+        .localCheckpoint(true)
       val changed = updated.where(col("next_label") < col("label")).count()
-      val prev = labels
-      labels = updated.select(col("node"), col("next_label").as("label")).cache()
-      prev.unpersist()
-      updated.unpersist()
+      labels = updated.select(col("node"), col("next_label").as("label"))
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 

@@ -79,10 +79,23 @@ class ExtSpec extends SparkSpec {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    val local = Dedup.connectedComponents(edges, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(local === expected)
+    // forced distributed path (pointer-jumping label propagation) agrees
+    val dist = Dedup.connectedComponents(edges, "id_a", "id_b", maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === expected)
+  }
+
+  test("distributed components converge on a long chain within the iteration cap") {
+    // chain 0-1-2-...-63: diameter 63, pointer jumping must converge << 20 iters
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(edges, "id_a", "id_b", maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist.size === 64 && dist.values.forall(_ == 0L))
   }
 
   test("dedup clusters group the planted near-dups and keep singletons as self") {
