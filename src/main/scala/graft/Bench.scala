@@ -35,7 +35,7 @@ object Bench {
     // n=3 rounds, per-query MEDIAN: local-mode timings are noisy (GC,
     // codegen compilation, page cache), so a single iteration makes
     // round-over-round deltas unattributable.
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq
     val samples: Seq[Map[String, Double]] = (1 to n).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
@@ -47,7 +47,10 @@ object Bench {
     }
     val median: Map[String, Double] = names.map { name =>
       val xs = samples.map(_(name)).sorted
-      name -> xs(xs.size / 2)
+      val m =
+        if (xs.size % 2 == 1) xs(xs.size / 2)
+        else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+      name -> m
     }.toMap
     val qs = names.map(k => s"\"" + k + "\":" + median(k)).mkString("{", ",", "}")
     val total = median.values.sum

@@ -64,7 +64,11 @@ object Tables {
 
   val DefaultDb = "graft"
 
-  // session UUID + db -> registered dir (idempotence within a session).
+  // SHARED-catalog identity + db -> registered dir. Keyed by the
+  // SparkContext (not the session): CREATE/DROP TABLE mutate the external
+  // catalog that all sessions of a context share, so a per-session key
+  // would let one session's re-registration silently invalidate another
+  // session's cached entry and serve the wrong directory's data.
   private val registeredDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -74,7 +78,7 @@ object Tables {
     */
   def registerCatalog(spark: SparkSession, dir: String, db: String = DefaultDb): Unit =
     registeredDirs.synchronized {
-      val key = System.identityHashCode(spark) + "/" + db
+      val key = System.identityHashCode(spark.sparkContext) + "/" + db
       if (registeredDirs.get(key) == dir) return
       requireNanosConf(spark) // events_raw schema inference needs it
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -216,13 +216,19 @@ object Dedup {
     // the driver in milliseconds instead of paying per-iteration Spark
     // job overhead. Larger graphs take the distributed label-propagation
     // loop below, which never materializes edges on the driver.
+    //
+    // Ids must be integral (long-castable); both paths emit (node: long,
+    // label: long). The budget probe is a bounded limit+collect, so the
+    // (often expensive) edge derivation runs ONCE on the local path
+    // instead of count-then-collect executing it twice.
     val spark = edges.sparkSession
     import spark.implicits._
-    val edgeCount = edges.count()
-    if (edgeCount <= maxLocalEdges) {
-      val es = edges
-        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-        .as[(Long, Long)].collect()
+    val budget = math.min(maxLocalEdges, (Int.MaxValue - 2).toLong).toInt
+    val es = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .limit(budget + 1)
+      .as[(Long, Long)].collect()
+    if (es.length <= budget) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -257,8 +263,15 @@ object Dedup {
     // and explodes: observed OOM just BUILDING the plan string by ~6
     // iterations). The same pattern GraphX/GraphFrames use; checkpointed
     // generations are reclaimed by the context cleaner when unreferenced.
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    //
+    // The edge derivation itself is checkpointed first: `sym` reads it
+    // twice (both orientations), and caching alone would still run the
+    // upstream pair join twice to fill the cache.
+    val edgesCkpt = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val sym = edgesCkpt.select(col("src").as("a"), col("dst").as("b"))
+      .union(edgesCkpt.select(col("dst").as("a"), col("src").as("b")))
       .cache()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))

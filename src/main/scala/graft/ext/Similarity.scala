@@ -110,16 +110,22 @@ object Similarity {
       maxIndexRows: Long = MaxBroadcastIndexRows): Dataset[Neighbor] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val indexRows = embeddings.count()
-    if (indexRows > maxIndexRows) {
+    // Budget probe via bounded limit+collect: one pass decides AND builds
+    // the broadcast index (a count-then-collect would execute the whole
+    // upstream plan twice). Over budget, the bounded prefix is discarded
+    // and the blocked path counts once to size its blocks.
+    val budget = math.min(maxIndexRows, (Int.MaxValue - 2).toLong).toInt
+    val prefix: Array[(Long, Array[Float])] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .limit(budget + 1)
+      .as[(Long, Array[Float])]
+      .collect()
+    if (prefix.length > budget) {
+      val indexRows = embeddings.count()
       val blocks = math.max(1L, (indexRows + maxIndexRows - 1) / maxIndexRows).toInt
       return blockedTopK(embeddings, k, blocks)
     }
-    val index: Array[(Long, Array[Float])] = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
+    val index = prefix.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(index)
     embeddings
       .select(col("vec_id"), col("embedding"))
@@ -389,8 +395,15 @@ object Similarity {
       maxIndexRows: Long = MaxBroadcastIndexRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val indexRows = embeddings.count()
-    if (indexRows > maxIndexRows) {
+    // Same one-pass budget probe as [[bruteForceTopK]].
+    val budget = math.min(maxIndexRows, (Int.MaxValue - 2).toLong).toInt
+    val prefix: Array[(Long, Array[Float])] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .limit(budget + 1)
+      .as[(Long, Array[Float])]
+      .collect()
+    if (prefix.length > budget) {
+      val indexRows = embeddings.count()
       val blocks = math.max(1L, (indexRows + maxIndexRows - 1) / maxIndexRows).toInt
       val base = embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       val idx = base.map { case (id, v) =>
@@ -411,11 +424,7 @@ object Similarity {
         }
       }.toDF("id_a", "id_b", "score")
     }
-    val index = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .collect()
-      .sortBy(_._1)
+    val index = prefix.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(index)
     embeddings
       .select(col("vec_id"), col("embedding"))

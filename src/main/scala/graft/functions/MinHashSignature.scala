@@ -55,8 +55,16 @@ case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.toLowerCase.trim.split("\\s+")
+    // Tokenize EXACTLY like the Spark spelling split(trim(lower(text))):
+    // UTF8String.toLowerCase (locale-independent, = Spark lower());
+    // UTF8String.trim (space-only, = Spark trim(), unlike Java's
+    // String.trim which also strips \t\n\r); split with limit -1 (keeps
+    // trailing empty tokens, unlike Java's default split). Exact parity
+    // keeps minhashPairs' cheap Spark-side pre-filter and this
+    // expression in agreement, so a null signature can never reach the
+    // banding join (where null array items would hash identically and
+    // band all such docs together — a quadratic candidate blowup).
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.trim().toString.split("\\s+", -1)
     if (toks.length < n) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val sb = new java.lang.StringBuilder(64)

@@ -30,8 +30,11 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "graft_simhash64"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.toLowerCase.trim.split("\\s+")
+    // Exact Spark-spelling tokenization (see MinHashSignature): UTF8String
+    // lower/trim (locale-independent, space-only trim) + limit -1 split
+    // (trailing empty tokens kept) — bit parity with the exploded
+    // aggregate oracle on ANY input, not just the test corpus.
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.trim().toString.split("\\s+", -1)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

@@ -49,8 +49,10 @@ case class TokenListCounts(child: Expression, lists: Seq[Seq[String]])
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.split("\\s+")
+    // Exact Spark-spelling tokenization: UTF8String.trim (space-only, like
+    // Spark trim(), unlike Java String.trim) + limit -1 split (trailing
+    // empty tokens kept, like Spark split()).
+    val toks = input.asInstanceOf[UTF8String].trim().toString.split("\\s+", -1)
     val counts = new Array[Int](lists.size)
     var i = 0
     while (i < toks.length) {

@@ -34,8 +34,10 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "graft_word_shingles"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.toLowerCase.trim.split("\\s+")
+    // Exact Spark-spelling tokenization (see MinHashSignature): UTF8String
+    // lower/trim + limit -1 split, so shingles agree with the HOF/oracle
+    // spelling on all whitespace/locale edge cases, not just the corpus.
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.trim().toString.split("\\s+", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -81,11 +81,17 @@ object Temporal {
       rightValueCol: String,
       width: Double): DataFrame = {
     require(width > 0, s"band width must be positive, got $width")
+    // ±2 probe, not ±1: both quotients are rounded doubles, so a pair
+    // with |l - r| <= width exactly at a bucket boundary can land two
+    // buckets apart after rounding — ±1 would silently drop it. Five
+    // probe rows per left row is still O(rows).
     val probes = left.withColumn("__bucket",
       explode(array(
+        floor(col(leftValueCol) / lit(width)) - lit(2),
         floor(col(leftValueCol) / lit(width)) - lit(1),
         floor(col(leftValueCol) / lit(width)),
-        floor(col(leftValueCol) / lit(width)) + lit(1))))
+        floor(col(leftValueCol) / lit(width)) + lit(1),
+        floor(col(leftValueCol) / lit(width)) + lit(2))))
     val build = right.withColumn("__bucket", floor(col(rightValueCol) / lit(width)))
     probes
       .join(build, "__bucket")

@@ -16,10 +16,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Rewrite (the same construction as `graft.ops.Temporal.bandedRangeJoin`,
   * here applied under the optimizer so it also fires for spark.sql text):
   *   bucket_r = floor(r / w)          (one bucket per right row)
-  *   bucket_l ∈ {floor(l/w)-1, floor(l/w), floor(l/w)+1}   (probe explode)
+  *   bucket_l ∈ {floor(l/w)-2 .. floor(l/w)+2}             (probe explode)
   *   Join on bucket_l = bucket_r AND <original condition>
-  * Any qualifying pair differs by ≤ w, so their buckets differ by ≤ 1 —
-  * the 3-bucket probe finds it exactly once (each right row has ONE
+  * Any qualifying pair differs by ≤ w, so their buckets differ by ≤ 1 in
+  * real arithmetic, ≤ 2 after double rounding at bucket boundaries — the
+  * 5-bucket probe finds each pair exactly once (each right row has ONE
   * bucket), and the retained original condition removes false candidates.
   * The band predicate stays in the output condition, so the rule guards
   * against re-matching (idempotent under fixed-point batches) by skipping
@@ -78,12 +79,18 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
           // right: one bucket per row
           val rBucket = Alias(Cast(Floor(Divide(doubled(r), wLit)), LongType), BucketR)()
           val newRight = Project(right.output :+ rBucket, right)
-          // left: probe the 3 neighboring buckets via explode
+          // left: probe ±2 neighboring buckets via explode. ±1 is not
+          // enough: both quotients are rounded doubles, so a qualifying
+          // pair sitting exactly on a bucket boundary can land two
+          // buckets apart after rounding; the retained original
+          // predicate removes any false candidates the wider probe adds.
           val lBucketBase = Cast(Floor(Divide(doubled(l), wLit)), LongType)
           val probeArray = CreateArray(Seq(
+            Subtract(lBucketBase, Literal(2L)),
             Subtract(lBucketBase, Literal(1L)),
             lBucketBase,
-            Add(lBucketBase, Literal(1L))))
+            Add(lBucketBase, Literal(1L)),
+            Add(lBucketBase, Literal(2L))))
           val lBucketAttr = AttributeReference(BucketL, LongType, nullable = true)()
           val newLeft = Generate(
             Explode(probeArray),

@@ -180,7 +180,11 @@ object ExtQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(col("n_chars") * col("n_chars")).as("sumsq_chars"),
+        // squared sum accumulates in decimal(38,0): a long accumulator
+        // overflows (ANSI error) near 9.2e18 — ~1e9 docs of ~3000 chars —
+        // while DuckDB promotes to HUGEINT; decimal matches the oracle at
+        // any scale (the per-row product itself fits a long).
+        sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0))).as("sumsq_chars"),
         expr("percentile(n_chars, 0.5)").as("median_chars"))
       .select(
         col("lang"), col("n_docs"), col("sum_chars"),

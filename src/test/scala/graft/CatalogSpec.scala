@@ -38,6 +38,22 @@ class CatalogSpec extends SparkSpec {
     Tables.registerCatalog(spark, dir) // restore for other specs
   }
 
+  test("cross-session re-registration never serves stale cached data") {
+    // The external catalog is shared by all sessions of a context; the
+    // idempotence cache must be keyed by the shared catalog, not the
+    // session, or a sibling session's re-registration would be masked.
+    Tables.registerCatalog(spark, "/root/testdata/sf0.001")
+    val sibling = spark.newSession()
+    sibling.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.registerCatalog(sibling, "/root/testdata/sf0.01")
+    // original session asks for its dir again — must re-register, not
+    // silently read the sibling's sf0.01 tables
+    val n = Tables.catalogTable(spark, "/root/testdata/sf0.001", "lineitem").count()
+    val expected = Tables.load(spark, "/root/testdata/sf0.001", "lineitem").count()
+    assert(n === expected)
+    Tables.registerCatalog(spark, dir) // restore
+  }
+
   test("events loader never mutates session conf (fails fast when unset)") {
     val isolated = spark.newSession()
     isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")

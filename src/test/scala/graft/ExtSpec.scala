@@ -66,6 +66,40 @@ class ExtSpec extends SparkSpec {
     assert(out(2L).exists(_.size == 8))
   }
 
+  test("compiled expressions match Spark spellings on whitespace edge cases") {
+    // Trailing newline/tab/empty docs: Java String.trim/split semantics
+    // would diverge here (Java trims \t\n\r and drops trailing empty
+    // tokens; Spark trims spaces only and keeps them) — regression for
+    // the UTF8String + limit -1 tokenization parity.
+    val tricky = Seq(
+      (1L, "alpha beta\n"), (2L, " x\ty "), (3L, ""), (4L, "   "), (5L, "solo"),
+      (6L, "a b c"), (7L, "I LIKE SPARK")).toDF("doc_id", "text")
+    val viaExpr = Dedup.simhashSignatures(tricky, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashSignaturesAgg(tricky, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaAgg)
+    // minhash pre-filter and signature nullability agree: no doc passes
+    // the filter with a null signature (which would band together)
+    val n = 3
+    val filtered = tricky
+      .where(size(split(trim(lower($"text")), "\\s+")) >= n)
+      .select(graft.functions.MinHashSignature.column($"text", n, 8).as("mh"))
+    assert(filtered.where($"mh".isNull).count() === 0)
+    // WordShingles equals the HOF spelling on the same edge cases
+    val viaCustom = tricky.select($"doc_id",
+      graft.functions.GraftFunctions.wordShingles($"text", 2).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val toksHof = split(trim(lower($"text")), "\\s+")
+    val viaHof = tricky.select($"doc_id",
+      when(size(toksHof) >= 2,
+        array_distinct(transform(sequence(lit(1), size(toksHof) - lit(1)),
+          i => concat_ws(" ", element_at(toksHof, i), element_at(toksHof, i + lit(1))))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaCustom.view.mapValues(_.toSet).toMap === viaHof.view.mapValues(_.toSet).toMap)
+  }
+
   test("compiled SimHash64 equals the exploded aggregate spelling on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaExpr = Dedup.simhashSignatures(docs, "doc_id", "text")
