@@ -315,6 +315,60 @@ object ExtQueries {
       |FROM documents d LEFT JOIN comp c USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** x35 — end-to-end corpus curation (Curation.curate): scrub + quality
+    * gate + near-dup component survivor selection, fully oracle-checked
+    * (quality formula, scrub hash, and recursive-CTE components composed
+    * in one DuckDB query).
+    */
+  def x35Curation(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Curation.curate(docs(s, dir), qualityThreshold = 0.5)
+      .orderBy(col("doc_id"))
+
+  val x35Sql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.3),
+      |edges AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp0 AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+      |comp AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp0 c USING (doc_id)),
+      |q AS (SELECT doc_id, lang,
+      |  greatest(0.0, least(1.0,
+      |    0.25 * least((length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) / 5.0, 1.0)
+      |    + 0.25 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |        / length(text)::DOUBLE)
+      |    + 0.25 * least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 200.0, 1.0)
+      |    + 0.25 * least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        tk -> tk IN ('the','a','of','and','to','is')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) * 5.0, 1.0)))
+      |    AS quality_score,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^\s]+', '<URL>', 'g'),
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+      |FROM documents),
+      |gated AS (SELECT q.doc_id, q.lang, comp.component, q.quality_score, q.scrubbed_md5, q.n_tokens
+      |  FROM q JOIN comp USING (doc_id) WHERE q.quality_score >= 0.5),
+      |surv AS (SELECT component, min(doc_id) AS doc_id FROM gated GROUP BY component)
+      |SELECT g.doc_id, g.lang, g.component, g.quality_score, g.scrubbed_md5, g.n_tokens
+      |FROM gated g JOIN surv s ON g.doc_id = s.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   /** x40 — exact cosine top-5 neighbors per vector (broadcast brute force,
     * sequential-double accumulation = DuckDB list_sum bit-exact).
     */
@@ -678,6 +732,7 @@ object ExtQueries {
     "x32_minhash_pairs" -> (x32MinhashPairs _),
     "x33_simhash_pairs" -> (x33SimhashPairs _),
     "x34_dedup_clusters" -> (x34DedupClusters _),
+    "x35_curation" -> (x35Curation _),
     "x40_cosine_topk" -> (x40CosineTopK _),
     "x41_ann_lsh" -> (x41AnnLsh _),
     "x42_cosine_neardup" -> (x42CosineNearDup _),
@@ -708,6 +763,7 @@ object ExtQueries {
     "x30_dedup_exact" -> x30Sql,
     "x31_jaccard_pairs" -> x31Sql,
     "x34_dedup_clusters" -> x34Sql,
+    "x35_curation" -> x35Sql,
     "x40_cosine_topk" -> x40Sql,
     "x42_cosine_neardup" -> x42Sql,
     "x44_vector_ops" -> x44Sql,

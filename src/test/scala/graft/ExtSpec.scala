@@ -295,6 +295,23 @@ class ExtSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 32))
   }
 
+  test("curation keeps one survivor per component and lands partitioned in the lake") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val curated = graft.ext.Curation.curateToLake(spark, docs, out, qualityThreshold = 0.5)
+    val rows = curated.select($"doc_id", $"component", $"quality_score")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length < 500)
+    // exactly one survivor per component, every survivor passes the gate
+    assert(rows.map(_._2).distinct.length === rows.length)
+    assert(rows.forall(_._3 >= 0.5))
+    // read-back: partitioned by lang, same rows
+    val back = spark.read.parquet(out)
+    assert(back.count() === rows.length)
+    assert(back.columns.contains("lang"))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang=")))
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
