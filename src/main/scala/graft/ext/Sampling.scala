@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Deterministic content-addressed sampling and split assignment for
+  * training corpora.
+  *
+  * Why not `df.sample`/`sampleBy`: RNG-based sampling is partition-order
+  * dependent and engine-specific — re-runs, repartitions, or a different
+  * engine produce a DIFFERENT subset, which silently breaks train/val
+  * separation across pipeline versions. Hashing the stable id instead
+  * gives splits that are reproducible across runs, partitionings, AND
+  * engines (md5 is bit-identical everywhere), with no shuffle and no RNG
+  * state — a narrow per-row projection at any scale.
+  *
+  * Buckets are the first `hexChars` hex digits of md5(salt:id): fixed-
+  * width lowercase hex compares lexicographically = numerically, so a
+  * fraction p maps to the threshold floor(p · 16^hexChars) rendered in
+  * hex. Change `salt` to draw an independent split.
+  */
+object Sampling {
+
+  val DefaultSalt = "graft/v1"
+
+  /** Stable hex bucket (16^hexChars buckets) for an id column. */
+  def hashBucket(id: Column, salt: String = DefaultSalt, hexChars: Int = 2): Column = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars must be in [1,8], got $hexChars")
+    substring(md5(concat(lit(salt), lit(":"), id.cast(StringType))), 1, hexChars)
+  }
+
+  /** Lowercase fixed-width hex threshold for fraction p of the bucket
+    * space — bucket < threshold selects ~p of ids.
+    */
+  def hexThreshold(p: Double, hexChars: Int = 2): String = {
+    require(p >= 0 && p <= 1, s"fraction must be in [0,1], got $p")
+    val buckets = math.pow(16, hexChars).toLong
+    val t = math.floor(p * buckets).toLong
+    // p = 1.0 must select every bucket: a fixed-width rendering of
+    // `buckets` ("100" for 2 chars) would compare LESS than "ff"
+    // lexicographically; "g" sorts after every hex digit.
+    if (t >= buckets) "g" else ("%0" + hexChars + "x").format(t)
+  }
+
+  /** Deterministic keep-fraction filter predicate. */
+  def samplepredicate(
+      id: Column,
+      fraction: Double,
+      salt: String = DefaultSalt,
+      hexChars: Int = 2): Column =
+    hashBucket(id, salt, hexChars) < lit(hexThreshold(fraction, hexChars))
+
+  /** Train/val/test assignment column: 'train' for the first trainPct of
+    * bucket space, 'val' for the next valPct, 'test' for the rest.
+    */
+  def splitAssign(
+      id: Column,
+      trainPct: Double = 0.8,
+      valPct: Double = 0.1,
+      salt: String = DefaultSalt,
+      hexChars: Int = 2): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1,
+      s"invalid split fractions ($trainPct, $valPct)")
+    val b = hashBucket(id, salt, hexChars)
+    when(b < lit(hexThreshold(trainPct, hexChars)), lit("train"))
+      .when(b < lit(hexThreshold(trainPct + valPct, hexChars)), lit("val"))
+      .otherwise(lit("test"))
+  }
+}

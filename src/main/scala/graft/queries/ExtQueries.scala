@@ -226,6 +226,27 @@ object ExtQueries {
       |      FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** x28 — deterministic hash splits (Sampling.splitAssign): reproducible
+    * train/val/test assignment via md5 buckets — engine-portable (the
+    * oracle computes the identical assignment), partition-order
+    * independent, no RNG state.
+    */
+  def x28HashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        graft.ext.Sampling.hashBucket(col("doc_id")).as("bucket_hex"),
+        graft.ext.Sampling.splitAssign(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
+
+  val x28Sql: String =
+    """SELECT doc_id,
+      |  substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) AS bucket_hex,
+      |  CASE WHEN substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** x30 — exact dedup: survivor (min doc_id) per content hash. */
   def x30DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
@@ -721,6 +742,7 @@ object ExtQueries {
     "x25_vocab" -> (x25Vocab _),
     "x26_corpus_stats" -> (x26CorpusStats _),
     "x27_distinct_tokens" -> (x27DistinctTokens _),
+    "x28_hash_split" -> (x28HashSplit _),
     "x62_event_props" -> (x62EventProps _),
     "x70_topk_per_group" -> (x70TopKPerGroup _),
     "x20_token_stats" -> (x20TokenStats _),
@@ -754,6 +776,7 @@ object ExtQueries {
     "x25_vocab" -> x25Sql,
     "x26_corpus_stats" -> x26Sql,
     "x27_distinct_tokens" -> x27Sql,
+    "x28_hash_split" -> x28Sql,
     "x62_event_props" -> x62Sql,
     "x70_topk_per_group" -> x70Sql,
     "x20_token_stats" -> x20Sql,

@@ -295,6 +295,32 @@ class ExtSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 32))
   }
 
+  test("hash splits are deterministic, exhaustive, repartition-stable, ~right-sized") {
+    import graft.ext.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val assign = docs.select($"doc_id", Sampling.splitAssign($"doc_id").as("split"))
+      .as[(Long, String)].collect().toMap
+    // deterministic across evaluations and under a different partitioning
+    val again = docs.repartition(17)
+      .select($"doc_id", Sampling.splitAssign($"doc_id").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(assign === again)
+    // every doc gets exactly one split; fractions in the right ballpark
+    assert(assign.size === 500)
+    val byxSplit = assign.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byxSplit.keySet === Set("train", "val", "test"))
+    assert(byxSplit("train") > 350 && byxSplit("train") < 450) // ~80% of 500
+    // changing the salt draws an independent split
+    val other = docs.select($"doc_id",
+      Sampling.splitAssign($"doc_id", salt = "graft/v2").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(other !== assign)
+    // threshold arithmetic sanity
+    assert(Sampling.hexThreshold(0.8, 2) === "cc")
+    assert(Sampling.hexThreshold(0.9, 2) === "e6")
+    assert(Sampling.hexThreshold(1.0, 2) === "g") // sorts after all hex buckets
+  }
+
   test("curation keeps one survivor per component and lands partitioned in the lake") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
