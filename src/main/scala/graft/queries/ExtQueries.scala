@@ -198,7 +198,7 @@ object ExtQueries {
 
   val x26Sql: String =
     """SELECT lang, count(*) AS n_docs,
-      |  sum(n_chars) AS sum_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars,
       |  sqrt((sum(n_chars * n_chars)::DOUBLE
       |    - sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE / count(*)::DOUBLE)
