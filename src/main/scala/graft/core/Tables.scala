@@ -68,17 +68,38 @@ object Tables {
   // SparkContext (not the session): CREATE/DROP TABLE mutate the external
   // catalog that all sessions of a context share, so a per-session key
   // would let one session's re-registration silently invalidate another
-  // session's cached entry and serve the wrong directory's data.
+  // session's cached entry and serve the wrong directory's data. The
+  // context key includes applicationId so entries can't collide across
+  // contexts even on an identityHashCode reuse.
   private val registeredDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def contextKey(spark: SparkSession): String =
+    spark.sparkContext.applicationId + "#" +
+      System.identityHashCode(spark.sparkContext)
+
+  /** Directory-scoped database name: a stable hash of `dir`, so each data
+    * directory registers under its OWN db and a table name, once resolved,
+    * can never be silently repointed at a different directory by a sibling
+    * session (the check-then-use race a shared mutable db would have under
+    * the FAIR concurrent scheduler).
+    */
+  def dbFor(dir: String): String = {
+    val crc = new java.util.zip.CRC32
+    crc.update(dir.getBytes("UTF-8"))
+    f"graft_${crc.getValue}%08x"
+  }
 
   /** Register every testdata table under `db` (external parquet tables over
     * `dir`; metastore-backed, so `spark.table("graft.lineitem")` resolves).
     * Idempotent per (session, db, dir); re-registers when `dir` changes.
+    * NOTE: re-registering a fixed `db` at a new dir repoints its names for
+    * every concurrent reader — query paths use [[catalogTable]], which
+    * scopes the db per-dir and so never repoints.
     */
   def registerCatalog(spark: SparkSession, dir: String, db: String = DefaultDb): Unit =
     registeredDirs.synchronized {
-      val key = System.identityHashCode(spark.sparkContext) + "/" + db
+      val key = contextKey(spark) + "/" + db
       if (registeredDirs.get(key) == dir) return
       requireNanosConf(spark) // events_raw schema inference needs it
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -103,10 +124,13 @@ object Tables {
   def catalog(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** Register-if-needed + resolve by name: the S1 entry point for queries
-    * that want catalog semantics against a scale-factor directory.
+    * that want catalog semantics against a scale-factor directory. The db
+    * is scoped per-dir ([[dbFor]]), so concurrent jobs over different
+    * directories each resolve their own names — registration is
+    * write-once per db and the resolve can never observe a repoint.
     */
-  def catalogTable(spark: SparkSession, dir: String, table: String,
-      db: String = DefaultDb): DataFrame = {
+  def catalogTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val db = dbFor(dir)
     registerCatalog(spark, dir, db)
     spark.table(s"$db.$table")
   }

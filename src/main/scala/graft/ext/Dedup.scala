@@ -278,6 +278,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    var lastChanged = 0L
     while (iter < maxIter && !converged) {
       // neighbor-min: take the smallest label among my neighbors
       val neighborMin = sym
@@ -301,9 +302,19 @@ object Dedup {
       val changed = updated.where(col("next_label") < col("label")).count()
       labels = updated.select(col("node"), col("next_label").as("label"))
       converged = changed == 0
+      lastChanged = changed
       iter += 1
     }
     sym.unpersist()
+    // Unconverged labels split one true component into several — a silent
+    // correctness hazard for dedup survivor selection downstream. Surface
+    // it loudly: pointer jumping converges in O(log diameter) rounds, so
+    // hitting maxIter means maxIter is undersized for this graph.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIter iterations " +
+          s"($lastChanged labels still changing); raise maxIter — pointer " +
+          "jumping needs ~log2(graph diameter) rounds")
     labels
   }
 

@@ -81,8 +81,12 @@ object Similarity {
     idx.foreach { case (cid, cv) =>
       if (cid != qid) {
         val s = cosine(qv, cv)
-        if (filled < k || s > best(filled - 1)._2
-          || (s == best(filled - 1)._2 && cid < best(filled - 1)._1)) {
+        // Zero-norm vectors score NaN (0/0): every NaN comparison is
+        // false, so one NaN in the buffer's tail slot would reject all
+        // later candidates. Non-finite scores never enter the buffer.
+        if (java.lang.Double.isFinite(s) &&
+          (filled < k || s > best(filled - 1)._2
+          || (s == best(filled - 1)._2 && cid < best(filled - 1)._1))) {
           var pos = math.min(filled, k - 1)
           if (filled < k) filled += 1
           while (pos > 0 && (best(pos - 1)._2 < s

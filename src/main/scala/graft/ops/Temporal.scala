@@ -81,18 +81,39 @@ object Temporal {
       rightValueCol: String,
       width: Double): DataFrame = {
     require(width > 0, s"band width must be positive, got $width")
-    // ±2 probe, not ±1: both quotients are rounded doubles, so a pair
-    // with |l - r| <= width exactly at a bucket boundary can land two
-    // buckets apart after rounding — ±1 would silently drop it. Five
-    // probe rows per left row is still O(rows).
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // Integral operands with a whole width bucket EXACTLY in long
+    // arithmetic (no double rounding — a nanosecond-epoch long divided by
+    // a small width drifts in double beyond |q| ≈ 2^52, silently dropping
+    // qualifying pairs) and need only a ±1 probe. Fractional operands
+    // bucket in double with a ±2 probe: both quotients are rounded, so a
+    // pair at a bucket boundary can land two buckets apart — ±1 would
+    // silently drop it. Probe Add/Subtract is clamped away from the Long
+    // extremes so ANSI arithmetic can never overflow-throw.
+    val exact = integral(left.schema(leftValueCol).dataType) &&
+      integral(right.schema(rightValueCol).dataType) &&
+      width >= 1 && width == math.floor(width) && width <= Long.MaxValue.toDouble
+    // Overflow-free floor division for the v < 0 branch:
+    // floor(v/w) = (v+1) div w − 1 (never forms v − mod, which would
+    // underflow near Long.MinValue under ANSI).
+    def bucketOf(c: Column): Column =
+      if (exact) {
+        val v = c.cast("long")
+        val w = lit(width.toLong)
+        when(v >= 0, call_function("div", v, w))
+          .otherwise(call_function("div", v + lit(1L), w) - lit(1L))
+      } else floor(c / lit(width))
+    val probe = if (exact) 1 else 2
+    val base = least(
+      greatest(bucketOf(col(leftValueCol)), lit(Long.MinValue + probe)),
+      lit(Long.MaxValue - probe))
     val probes = left.withColumn("__bucket",
-      explode(array(
-        floor(col(leftValueCol) / lit(width)) - lit(2),
-        floor(col(leftValueCol) / lit(width)) - lit(1),
-        floor(col(leftValueCol) / lit(width)),
-        floor(col(leftValueCol) / lit(width)) + lit(1),
-        floor(col(leftValueCol) / lit(width)) + lit(2))))
-    val build = right.withColumn("__bucket", floor(col(rightValueCol) / lit(width)))
+      explode(array((-probe to probe).map(d => base + lit(d.toLong)): _*)))
+    val build = right.withColumn("__bucket", bucketOf(col(rightValueCol)))
     probes
       .join(build, "__bucket")
       .where(abs(col(leftValueCol) - col(rightValueCol)) <= lit(width))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Logical optimizer rule: rewrite a cartesian/inner join whose condition
   * contains a band predicate `abs(l - r) <= w` (w a positive numeric
@@ -56,6 +56,37 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
   private def doubled(e: Expression): Expression =
     if (e.dataType == DoubleType) e else Cast(e, DoubleType)
 
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Exact floor(v / w) in long arithmetic — no double rounding, so the
+    * bucket is exact for ANY long value (a nanosecond-epoch timestamp
+    * divided by a sub-second width drifts in double beyond |q| ≈ 2^52,
+    * which would silently drop qualifying pairs past the ±2 probe).
+    * Overflow-free: the v < 0 branch uses the truncating-division identity
+    * floor(v/w) = (v+1) div w − 1, never forming v − mod (which would
+    * underflow near Long.MinValue under ANSI).
+    */
+  private def exactFloorDiv(v: Expression, w: Long): Expression = {
+    val vl = if (v.dataType == LongType) v else Cast(v, LongType)
+    val wl = Literal(w)
+    CaseWhen(
+      Seq((GreaterThanOrEqual(vl, Literal(0L)), IntegralDivide(vl, wl))),
+      Some(Subtract(IntegralDivide(Add(vl, Literal(1L)), wl), Literal(1L))))
+  }
+
+  /** Clamp a bucket base into [Long.Min + probe, Long.Max − probe] so the
+    * probe-array Add/Subtract can never overflow-throw under ANSI; buckets
+    * at the clamp boundary keep full coverage because every real bucket
+    * beyond the clamp saturates to the same extreme value.
+    */
+  private def clamped(base: Expression, probe: Int): Expression =
+    Least(Seq(
+      Greatest(Seq(base, Literal(Long.MinValue + probe))),
+      Literal(Long.MaxValue - probe)))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
         if !j.left.output.exists(_.name == BucketL) &&
@@ -75,22 +106,30 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       band match {
         case None => j
         case Some((_, l, r, w)) =>
-          val wLit = Literal(w, DoubleType)
-          // right: one bucket per row
-          val rBucket = Alias(Cast(Floor(Divide(doubled(r), wLit)), LongType), BucketR)()
+          // Integral operands with a whole width get EXACT long bucketing
+          // and need only a ±1 probe (real floor quotients of a qualifying
+          // pair differ by ≤ 1). Fractional operands bucket in double with
+          // a ±2 probe covering boundary rounding; beyond |v/w| ≈ 2^52 the
+          // band predicate itself is below double resolution, so the
+          // double path's drift bound is the predicate's own.
+          val exact = isIntegral(l.dataType) && isIntegral(r.dataType) &&
+            w >= 1 && w == math.floor(w) && w <= Long.MaxValue.toDouble
+          val (lBase, rBucketExpr, probe) =
+            if (exact)
+              (exactFloorDiv(l, w.toLong), exactFloorDiv(r, w.toLong), 1)
+            else {
+              val wLit = Literal(w, DoubleType)
+              (Cast(Floor(Divide(doubled(l), wLit)), LongType),
+                Cast(Floor(Divide(doubled(r), wLit)), LongType), 2)
+            }
+          val rBucket = Alias(rBucketExpr, BucketR)()
           val newRight = Project(right.output :+ rBucket, right)
-          // left: probe ±2 neighboring buckets via explode. ±1 is not
-          // enough: both quotients are rounded doubles, so a qualifying
-          // pair sitting exactly on a bucket boundary can land two
-          // buckets apart after rounding; the retained original
-          // predicate removes any false candidates the wider probe adds.
-          val lBucketBase = Cast(Floor(Divide(doubled(l), wLit)), LongType)
-          val probeArray = CreateArray(Seq(
-            Subtract(lBucketBase, Literal(2L)),
-            Subtract(lBucketBase, Literal(1L)),
-            lBucketBase,
-            Add(lBucketBase, Literal(1L)),
-            Add(lBucketBase, Literal(2L))))
+          val lBucketBase = clamped(lBase, probe)
+          val probeArray = CreateArray((-probe to probe).map {
+            case 0          => lBucketBase
+            case d if d < 0 => Subtract(lBucketBase, Literal(-d.toLong))
+            case d          => Add(lBucketBase, Literal(d.toLong))
+          })
           val lBucketAttr = AttributeReference(BucketL, LongType, nullable = true)()
           val newLeft = Generate(
             Explode(probeArray),

@@ -54,6 +54,22 @@ class CatalogSpec extends SparkSpec {
     Tables.registerCatalog(spark, dir) // restore
   }
 
+  test("catalogTable scopes the db per-dir: names never repoint") {
+    // Two dirs resolved concurrently land in distinct dbs, so neither
+    // registration can repoint a name the other reader is using.
+    assert(Tables.dbFor("/root/testdata/sf0.001") !== Tables.dbFor("/root/testdata/sf0.01"))
+    val results = Await.result(
+      Future.sequence(Seq(
+        Future(Tables.catalogTable(spark, "/root/testdata/sf0.001", "lineitem").count()),
+        Future(Tables.catalogTable(spark, "/root/testdata/sf0.01", "lineitem").count()),
+        Future(Tables.catalogTable(spark, "/root/testdata/sf0.001", "lineitem").count()),
+        Future(Tables.catalogTable(spark, "/root/testdata/sf0.01", "lineitem").count()))),
+      2.minutes)
+    assert(results(0) === results(2))
+    assert(results(1) === results(3))
+    assert(results(1) > results(0))
+  }
+
   test("events loader never mutates session conf (fails fast when unset)") {
     val isolated = spark.newSession()
     isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")

@@ -132,6 +132,16 @@ class ExtSpec extends SparkSpec {
     assert(dist.size === 64 && dist.values.forall(_ == 0L))
   }
 
+  test("distributed components THROW when the iteration cap is exhausted") {
+    // A 64-chain cannot converge in one round; silent partial labels would
+    // split one true component into several downstream survivors.
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxIter = 1, maxLocalEdges = 0L)
+        .collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup clusters group the planted near-dups and keep singletons as self") {
     val comp = Dedup.clusters(docsFixture, "doc_id", "text", n = 2, threshold = 0.5)
       .as[(Long, Long)].collect().toMap
@@ -220,6 +230,28 @@ class ExtSpec extends SparkSpec {
       .filter(_.vec_id == 1L).sortBy(_.rank)
     assert(out.map(_.neighbor_id).toSeq === Seq(2L, 3L, 4L))
     assert(out.head.score > 0.99 && out.last.score < -0.99)
+  }
+
+  test("zero-norm vectors (NaN cosine) never corrupt the top-k buffer") {
+    // A zero vector scores NaN against everything; NaN comparisons are all
+    // false, so one NaN in the buffer tail would reject every later
+    // candidate. The zero vector must be absent from neighbor lists, and
+    // finite-scored neighbors fully ranked.
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), // zero-norm: NaN against everything
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.1f, 0.9f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, k = 4).collect()
+    assert(!out.exists(_.neighbor_id == 0L), "zero-norm vector must never rank")
+    assert(!out.exists(n => n.score.isNaN), "no NaN scores in output")
+    // query 1 still ranks ALL finite candidates (2, then 4, then 3)
+    val q1 = out.filter(_.vec_id == 1L).sortBy(_.rank).map(_.neighbor_id).toSeq
+    assert(q1 === Seq(2L, 4L, 3L))
+    // the zero vector itself has no finite neighbors... except none: all
+    // its scores are NaN, so it emits no rows at all
+    assert(!out.exists(_.vec_id == 0L))
   }
 
   test("LSH ANN achieves high recall vs brute force on the real embeddings") {

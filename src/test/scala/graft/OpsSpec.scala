@@ -212,6 +212,22 @@ class OpsSpec extends SparkSpec {
     assert(banded === banded.distinct, "each pair must appear exactly once")
   }
 
+  test("bandedRangeJoin is exact for nano-epoch longs where double bucketing drifts") {
+    import graft.ops.Temporal
+    // 2^62 + 256 and 2^62 + 257 differ by 1 but their rounded doubles land
+    // 512 buckets apart at width 1 (ulp(2^62) = 512) — a double-bucketed
+    // ±2 probe silently drops the pair; exact long bucketing keeps it.
+    val base = 1L << 62
+    val a = Seq((1L, base + 257L), (2L, -1000L), (3L, 500L)).toDF("ka", "va")
+    val b = Seq((4L, base + 256L), (5L, -1001L), (6L, 1500L), (7L, base - 2000L))
+      .toDF("kb", "vb")
+    val got = Temporal.bandedRangeJoin(a, b, "va", "vb", 1000.0)
+      .select($"ka", $"kb").as[(Long, Long)].collect().sorted.toSeq
+    // expected pairs: (1,4) |diff|=1; (2,5) |diff|=1 across the negative
+    // floor-div branch; (3,6) |diff|=1000 at the band edge
+    assert(got === Seq((1L, 4L), (2L, 5L), (3L, 6L)))
+  }
+
   test("required-null sentinels preserve REQ semantics (reference :71-78)") {
     val df = Seq(("x", null: java.lang.Double), (null, Double.box(1.5)))
       .toDF("s", "m")

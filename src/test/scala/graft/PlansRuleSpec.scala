@@ -50,6 +50,20 @@ class PlansRuleSpec extends SparkSpec {
     assert(withRule.nonEmpty)
   }
 
+  test("rule uses exact integer bucketing for integral operands (no double drift)") {
+    GraftExtensions.install(spark)
+    // 2^62+257 vs 2^62+256: |diff| = 1 but rounded doubles sit 512 buckets
+    // apart at width 1 — the double path's ±2 probe would drop the pair.
+    val base = 1L << 62
+    val a = Seq((1L, base + 257L), (2L, -5L)).toDF("key_a", "v_a")
+    val b = Seq((4L, base + 256L), (5L, -6L), (6L, base)).toDF("key_b", "v_b")
+    val joined = a.join(b, abs($"v_a" - $"v_b") <= 1L)
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), s"rule did not fire:\n$physical")
+    val got = joined.select($"key_a", $"key_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L), (2L, 5L)))
+  }
+
   test("SQL text queries also get the rewrite through the installed functions") {
     GraftExtensions.install(spark)
     val sig = spark.sql(
