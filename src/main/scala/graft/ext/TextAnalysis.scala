@@ -141,4 +141,35 @@ object TextAnalysis {
       (h, t) =>
         (h * lit(31L) + ascii(substring(t, 1, 1)).cast(LongType) * lit(131L)
           + length(t).cast(LongType)) % lit(1000000007L))
+
+  /** TF-IDF over a document column: per-(doc, token) term frequency,
+    * per-token document frequency, and two idf weightings —
+    *  - `tfidf`: the RATIONAL form tf·N/df (integer-derived, one double
+    *    division — bit-exact across engines, so it is the oracle-checked
+    *    score; same per-token ranking as the log form);
+    *  - `tfidf_log`: the classic tf·ln(N/df) (transcendental, engine-
+    *    local; spec-checked, excluded from oracle hashing per the
+    *    no-libm rule above).
+    *
+    * Scale shape: doc-frequency derives from the tf aggregate itself
+    * (tf rows are distinct (doc, token), so counting rows per token IS
+    * the document frequency) — one shuffle for tf, one for df, one
+    * key-aligned join; the corpus size joins in as a broadcast scalar.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("doc_freq"),
+        ((col("tf") * col("n_docs")).cast(DoubleType) / col("doc_freq"))
+          .as("tfidf"),
+        (col("tf").cast(DoubleType)
+          * log(col("n_docs").cast(DoubleType) / col("doc_freq")))
+          .as("tfidf_log"))
+  }
 }

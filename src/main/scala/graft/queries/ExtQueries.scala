@@ -735,7 +735,122 @@ object ExtQueries {
       | AND abs(a.p_retailprice - b.p_retailprice) <= 0.2
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** x36 — SCD2 lakehouse merge ([[graft.lake.Scd.scd2Merge]]): the orders
+    * snapshot upserted with a deterministic change batch (every 10th key
+    * repriced +100.00): changed keys close their old version and open a
+    * new one; everything else passes through current. One full-outer
+    * join on the key, exchange shared by all three output branches.
+    */
+  def x36Scd2(s: SparkSession, dir: String): DataFrame = {
+    def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      money(col("o_totalprice")).cast(DoubleType).as("price"),
+      lit("1995-01-01").as("eff_from"),
+      lit(null).cast(StringType).as("eff_to"),
+      lit(true).as("is_current"))
+    val changes = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(10L)) === lit(0L))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (money(col("o_totalprice")) + money(lit(100.00))).cast(DoubleType).as("price"))
+    graft.lake.Scd.scd2Merge(base, changes, Seq("o_orderkey"), "1998-06-01")
+      .orderBy(col("o_orderkey"), col("eff_from"))
+  }
+
+  val x36Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |      + CAST(100.00 AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_orderstatus, price,
+      |  '1995-01-01' AS eff_from,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN '1998-06-01' END AS eff_to,
+      |  o_orderkey % 10 <> 0 AS is_current
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, price,
+      |  '1998-06-01', NULL, TRUE FROM upd
+      |ORDER BY o_orderkey, eff_from""".stripMargin
+
+  /** x37 — TF-IDF ([[TextAnalysis.tfIdf]]) with the rational idf (tf·N/df,
+    * bit-exact across engines; the classic log form is spec-checked but
+    * excluded from oracle hashing per the no-transcendentals rule).
+    */
+  def x37TfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("token"), col("tf"), col("doc_freq"), col("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+
+  val x37Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+      |  CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.doc_freq AS tfidf
+      |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+      |ORDER BY tf.doc_id, tf.token""".stripMargin
+
+  /** x68 — batch gap-sessionization ([[Streams.sessionsBatch]], 30-min
+    * gap): lag + running sum + per-session aggregate, microsecond-exact
+    * gap comparison. One shuffle on user_id serves both windows and the
+    * final aggregate (same key).
+    */
+  def x68Sessionize(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionsBatch(Tables.events(s, dir), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  val x68Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** x69 — the same sessions through Structured Streaming
+    * (`flatMapGroupsWithState`, Update mode, AvailableNow): the open tail
+    * is re-emitted as later batches extend it, so the catalog entry keeps
+    * the LATEST version per (user, session) — sessions only grow, so max
+    * n_events is the current one. Shares the batch oracle (batch ≡
+    * stream is the property under test).
+    */
+  def x69SessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Streams.sessionsStreaming(s, dir, gapMinutes = 30)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("n_events").desc, col("end_ts").desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val x69Sql: String = x68Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_scd2" -> (x36Scd2 _),
+    "x37_tfidf" -> (x37TfIdf _),
+    "x68_sessionize" -> (x68Sessionize _),
+    "x69_sessionize_stream" -> (x69SessionizeStream _),
     "x63_asof_join" -> (x63AsofJoin _),
     "x64_range_join" -> (x64RangeJoin _),
     "x24_scrub" -> (x24Scrub _),
@@ -770,6 +885,10 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x36_scd2" -> x36Sql,
+    "x37_tfidf" -> x37Sql,
+    "x68_sessionize" -> x68Sql,
+    "x69_sessionize_stream" -> x69Sql,
     "x63_asof_join" -> x63Sql,
     "x64_range_join" -> x64Sql,
     "x24_scrub" -> x24Sql,

@@ -500,9 +500,171 @@ object ParityQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q16 — cube + grouping_id (completes the grouping-sets family next to
+    * q14's rollup). The grouping-id bit order (first grouped column = most
+    * significant) matches DuckDB's GROUPING(a, b) — pinned by the oracle.
+    */
+  def q16Cube(s: SparkSession, dir: String): DataFrame =
+    li(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        sum(Casts.asMoney(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n_rows"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  val q16Sql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  /** q17 — correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    * 20% of their part's average quantity. Spelled as the decorrelated
+    * plan Catalyst would produce: a per-part aggregate joined back —
+    * the aggregate side is small (one row per part) and broadcast-able.
+    * Parity note: avg(l_quantity) is exact (whole-number doubles sum
+    * exactly), so the 0.2×avg threshold is bit-identical across engines.
+    */
+  def q17AvgSubquery(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val thresh = l
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_thresh"))
+    val brandParts = Tables.part(s, dir)
+      .filter(col("p_brand") === lit("Brand#1"))
+      .select(col("p_partkey"))
+    l.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(thresh, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum(Casts.asMoney(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
+        .as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n_rows
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** q18 — groupBy + HAVING semi-join (TPC-H Q18 shape): orders whose
+    * total quantity exceeds a threshold, joined back for order detail.
+    * The having-side aggregate shuffles once on orderkey; the join back
+    * to orders is key-aligned.
+    */
+  def q18Having(s: SparkSession, dir: String): DataFrame = {
+    val big = li(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(Casts.asMoney(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > lit(150))
+      .select(col("l_orderkey"), col("sum_qty_dec").cast(DoubleType).as("sum_qty"))
+    ord(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        Casts.asMoney(col("o_totalprice")).cast(DoubleType).as("totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q19 — analytic window-function suite: lag/lead, ntile, percent_rank,
+    * cume_dist, rank over a deterministic total order within each return
+    * flag. percent_rank/cume_dist are single rational divisions over a
+    * unique ordering key, so they hash-match exactly. One window (one
+    * shuffle + sort) serves every function.
+    */
+  def q19WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) is NOT unique in this testdata — the
+    // total order needs all four key columns or lag/lead are tie-broken
+    // engine-arbitrarily.
+    val key = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(key: _*)
+    li(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1998-06-01")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"), col("l_quantity"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        rank().over(w).as("rk"))
+      .orderBy(col("l_returnflag") +: key: _*)
+  }
+
+  val q19Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_quantity,
+      |  lag(l_quantity, 1) OVER w AS prev_qty,
+      |  lead(l_quantity, 1) OVER w AS next_qty,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  CAST(rank() OVER w AS INTEGER) AS rk
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** q20 — string-function suite over the documents corpus: edit distance
+    * between adjacent docs (classic Levenshtein, integer-exact in both
+    * engines), translate, reverse, ascii — all codegen'd built-ins, no
+    * UDFs. The self-join on doc_id+1 is key-aligned (one shuffle).
+    */
+  def q20StringSuite(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id"), col("text").as("text_a"))
+    val b = d.select((col("doc_id") - lit(1L)).as("doc_id"), col("text").as("text_b"))
+    a.join(b, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        length(translate(col("text_a"), "aeiou", "")).as("no_vowel_len"),
+        substring(reverse(col("text_a")), 1, 12).as("rev_prefix"),
+        ascii(col("text_a")).as("first_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q20Sql: String =
+    """SELECT a.doc_id,
+      |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+      |  CAST(length(replace(replace(replace(replace(replace(a.text,
+      |    'a',''), 'e',''), 'i',''), 'o',''), 'u','')) AS INTEGER) AS no_vowel_len,
+      |  substring(reverse(a.text), 1, 12) AS rev_prefix,
+      |  CAST(ascii(a.text) AS INTEGER) AS first_byte
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY a.doc_id""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_star_join" -> (q15StarJoin _),
+    "q16_cube" -> (q16Cube _),
+    "q17_avg_subquery" -> (q17AvgSubquery _),
+    "q18_having" -> (q18Having _),
+    "q19_window_suite" -> (q19WindowSuite _),
+    "q20_string_suite" -> (q20StringSuite _),
     "q01_agg" -> (q01Agg _),
     "q02_conditional_sum" -> (q02ConditionalSum _),
     "q03_semi_join" -> (q03SemiJoin _),
@@ -520,6 +682,11 @@ object ParityQueries {
 
   val oracles: Map[String, String] = Map(
     "q15_star_join" -> q15Sql,
+    "q16_cube" -> q16Sql,
+    "q17_avg_subquery" -> q17Sql,
+    "q18_having" -> q18Sql,
+    "q19_window_suite" -> q19Sql,
+    "q20_string_suite" -> q20Sql,
     "q01_agg" -> q01Sql,
     "q02_conditional_sum" -> q02Sql,
     "q03_semi_join" -> q03Sql,

@@ -215,6 +215,9 @@ object Streams extends Serializable {
 
   /** Batch sessionization: a new session starts when the gap to the
     * previous event exceeds `gapMinutes` (window lag + running sum).
+    * Gaps compare in MICROSECONDS (`unix_micros`) — the exact precision
+    * the streaming twin's state carries, so batch ≡ stream even for
+    * events straddling a whole-second boundary.
     */
   def sessionsBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -223,7 +226,7 @@ object Streams extends Serializable {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull
-          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
           lit(1)).otherwise(lit(0)))
       .withColumn("session_seq",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

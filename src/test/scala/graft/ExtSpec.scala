@@ -210,6 +210,22 @@ class ExtSpec extends SparkSpec {
     assert(predFast === predHof)
   }
 
+  test("tfIdf: rational and log idf agree with hand-computed values") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // 'a' in both docs: tf=1, df=2, rational = 1*2/2 = 1, log = ln(1) = 0
+    assert(out((1L, "a")) === ((1L, 2L, 1.0, 0.0)))
+    // 'b' only in doc 1: rational = 1*2/1 = 2, log = ln(2)
+    val (tfB, dfB, ratB, logB) = out((1L, "b"))
+    assert((tfB, dfB, ratB) === ((1L, 1L, 2.0)))
+    assert(math.abs(logB - math.log(2.0)) < 1e-12)
+    assert(out.size === 4)
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
     val fps = df.select($"doc_id",

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.Scd
+
+/** SCD2 merge semantics: close-on-change, insert-on-new, pass-through,
+  * history immutability, and idempotent re-delivery.
+  */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot(rows: (Long, String, Double)*): DataFrame =
+    rows.toSeq.toDF("k", "status", "price")
+      .select(col("k"), col("status"), col("price"),
+        lit("2020-01-01").as("eff_from"),
+        lit(null).cast("string").as("eff_to"),
+        lit(true).as("is_current"))
+
+  private def collect(df: DataFrame) =
+    df.select("k", "status", "price", "eff_from", "eff_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), Option(r.getString(4)), r.getBoolean(5)))
+      .toSet
+
+  test("scd2Merge closes changed keys, inserts new keys, passes through the rest") {
+    val current = snapshot((1L, "O", 10.0), (2L, "O", 20.0), (3L, "F", 30.0))
+    val changes = Seq(
+      (2L, "O", 25.0), // changed attr -> close + reopen
+      (4L, "P", 40.0)) // new key -> insert
+      .toDF("k", "status", "price")
+    val out = collect(Scd.scd2Merge(current, changes, Seq("k"), "2021-06-01"))
+    assert(out === Set(
+      (1L, "O", 10.0, "2020-01-01", None, true),
+      (2L, "O", 20.0, "2020-01-01", Some("2021-06-01"), false),
+      (2L, "O", 25.0, "2021-06-01", None, true),
+      (3L, "F", 30.0, "2020-01-01", None, true),
+      (4L, "P", 40.0, "2021-06-01", None, true)))
+  }
+
+  test("scd2Merge re-delivery of an identical change batch is a no-op") {
+    val current = snapshot((1L, "O", 10.0), (2L, "O", 20.0))
+    val changes = Seq((2L, "O", 25.0)).toDF("k", "status", "price")
+    val once = Scd.scd2Merge(current, changes, Seq("k"), "2021-06-01")
+    val twice = Scd.scd2Merge(once, changes, Seq("k"), "2022-01-01")
+    assert(collect(twice) === collect(once),
+      "identical attrs must not open a new version")
+  }
+
+  test("scd2Merge never touches history rows") {
+    val history = snapshot((9L, "X", 1.0))
+      .withColumn("eff_to", lit("2019-01-01"))
+      .withColumn("is_current", lit(false))
+    val current = snapshot((9L, "Y", 2.0)).unionByName(history)
+    val changes = Seq((9L, "Z", 3.0)).toDF("k", "status", "price")
+    val out = collect(Scd.scd2Merge(current, changes, Seq("k"), "2021-06-01"))
+    assert(out.contains((9L, "X", 1.0, "2020-01-01", Some("2019-01-01"), false)))
+    assert(out === Set(
+      (9L, "X", 1.0, "2020-01-01", Some("2019-01-01"), false),
+      (9L, "Y", 2.0, "2020-01-01", Some("2021-06-01"), false),
+      (9L, "Z", 3.0, "2021-06-01", None, true)))
+  }
+}
