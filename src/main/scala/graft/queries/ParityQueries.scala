@@ -635,7 +635,11 @@ object ParityQueries {
     */
   def q20StringSuite(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // The corpus is a single parquet split; without an explicit
+    // repartition the broadcast self-join stays one partition and the
+    // O(len²) Levenshtein DP runs single-core (8 s → 0.4 s at sf0.1).
     val a = d.select(col("doc_id"), col("text").as("text_a"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val b = d.select((col("doc_id") - lit(1L)).as("doc_id"), col("text").as("text_b"))
     a.join(b, Seq("doc_id"))
       .select(
