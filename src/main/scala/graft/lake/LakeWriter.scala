@@ -58,6 +58,39 @@ object LakeWriter {
   def readBack(df: DataFrame, path: String): DataFrame =
     df.sparkSession.read.parquet(path)
 
+  /** Small-file compaction — lake maintenance for the reader-performance
+    * cliff the reference documents (1,000 files per 10 M rows "flagged
+    * slow for readers", `all_from_gemini.txt:458-486`; 128-512 MB sweet
+    * spot, `:262-268`). Rewrites a parquet directory into
+    * ceil(totalBytes / targetBytes) files via round-robin repartition
+    * (even sizes without a key), never `coalesce(1)` (single-task OOM,
+    * the G.1X incident). Staged write + atomic swap so readers never see
+    * a half-compacted directory; returns the new file count.
+    *
+    * Scale shape: one full read + one shuffle-free round-robin exchange +
+    * one write — O(data) with no driver materialization; each of the N
+    * writer tasks streams one output file.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 256L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val df = spark.read.parquet(path)
+    val totalBytes = df.inputFiles.map(f =>
+      Files.size(Paths.get(new java.net.URI(f)))).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val staging = path.stripSuffix("/") + ".compacting"
+    df.repartition(nFiles)
+      .write.mode("overwrite").option("compression", "snappy").parquet(staging)
+    val old = Paths.get(path)
+    val bak = Paths.get(path.stripSuffix("/") + ".old")
+    Files.move(old, bak, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), old, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    nFiles
+  }
+
   /** Bucketed catalog table: pre-shuffles data into `buckets` files per
     * the key so future equi-joins/aggregations on that key are
     * co-located — NO exchange at read time. This is the 100 TB answer to

@@ -735,6 +735,31 @@ object ExtQueries {
       | AND abs(a.p_retailprice - b.p_retailprice) <= 0.2
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** x29 — exact length quantiles per language: one `percentile` aggregate
+    * evaluating the whole dyadic fraction array in a single pass (sort
+    * per group, O(n log n)). Parity is exact because the data is integer
+    * and the fractions are dyadic: the interpolation positions q·(n−1)
+    * and both engines' blend arithmetic are then IEEE-exact. The 100 TB
+    * path for arbitrary fractions is `percentile_approx` (mergeable
+    * sketch, no per-group sort) — spec-pinned near this exact result.
+    */
+  def x29Quantiles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("lang"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"))
+      .orderBy(col("lang"))
+
+  val x29Sql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.25) AS q25,
+      |  quantile_cont(n_chars, 0.5)  AS q50,
+      |  quantile_cont(n_chars, 0.75) AS q75
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** x36 — SCD2 lakehouse merge ([[graft.lake.Scd.scd2Merge]]): the orders
     * snapshot upserted with a deterministic change batch (every 10th key
     * repriced +100.00): changed keys close their old version and open a
@@ -846,7 +871,38 @@ object ExtQueries {
 
   val x69Sql: String = x68Sql
 
+  /** x71 — sliding-window aggregation (2 h windows, 1 h slide): Spark's
+    * `window()` generator (each event expands into width/slide = 2
+    * windows, epoch-aligned) then one shuffle on (window, type). The
+    * oracle expands the same two window starts with UNION ALL.
+    */
+  def x71EventSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"), col("value"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val x71Sql: String =
+    """WITH wins AS (
+      |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM wins GROUP BY ws, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x71_event_sliding" -> (x71EventSliding _),
+    "x29_quantiles" -> (x29Quantiles _),
     "x36_scd2" -> (x36Scd2 _),
     "x37_tfidf" -> (x37TfIdf _),
     "x68_sessionize" -> (x68Sessionize _),
@@ -885,6 +941,8 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x71_event_sliding" -> x71Sql,
+    "x29_quantiles" -> x29Sql,
     "x36_scd2" -> x36Sql,
     "x37_tfidf" -> x37Sql,
     "x68_sessionize" -> x68Sql,

@@ -210,6 +210,24 @@ class ExtSpec extends SparkSpec {
     assert(predFast === predHof)
   }
 
+  test("percentile_approx tracks exact quantiles (the 100 TB sketch twin of x29)") {
+    // The exact per-group sort of `percentile` doesn't scale to 100 TB
+    // groups; the mergeable percentile_approx sketch is the scale path —
+    // pin it within 5% relative error of exact on the real corpus.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = d.groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("exact"),
+        expr("percentile_approx(n_chars, 0.5D, 1000)").as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getDouble(1), r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"lang=${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("tfIdf: rational and log idf agree with hand-computed values") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfIdf(docs, "doc_id", "text")

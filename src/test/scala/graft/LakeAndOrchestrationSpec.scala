@@ -70,6 +70,30 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(spark.read.json(out).count() === 1)
   }
 
+  test("compaction collapses a fragmented directory, preserving content exactly") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = spark.range(100000L).select(
+      col("id"), (col("id") % 7).as("grp"), concat(lit("row_"), col("id")).as("payload"))
+    // fragment: tiny maxRecordsPerFile -> many small files
+    df.repartition(8).write.option("maxRecordsPerFile", 2000L).parquet(dir)
+    val before = spark.read.parquet(dir)
+    val filesBefore = before.inputFiles.length
+    assert(filesBefore >= 50, s"fixture not fragmented: $filesBefore files")
+    val sumBefore = before.agg(sum(col("id"))).head().getLong(0)
+
+    val nFiles = LakeWriter.compact(spark, dir, targetBytes = 1L * 1024 * 1024)
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length === nFiles)
+    assert(after.inputFiles.length < filesBefore / 5,
+      s"compaction barely helped: ${after.inputFiles.length} vs $filesBefore")
+    assert(after.count() === 100000L)
+    assert(after.agg(sum(col("id"))).head().getLong(0) === sumBefore)
+    assert(after.select("id").distinct().count() === 100000L)
+    // staging/backup directories are gone (atomic swap completed)
+    assert(!new java.io.File(dir + ".compacting").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+  }
+
   test("partition-pruned reads scan only the matching run-index folder") {
     val out = Files.createTempDirectory("graft-prune").toString
     (1 to 3).foreach { run =>
