@@ -468,6 +468,9 @@ object ExtQueries {
     */
   def x44VectorOps(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
+    // The single-row reference rides a broadcast nested-loop join — with a
+    // 1-row build side that is O(rows) streaming, the correct scale plan
+    // (an equi-join can't express it: a constant key folds away).
     val ref = e.orderBy(col("vec_id")).limit(1)
       .select(col("embedding").as("ref_emb"))
     e.crossJoin(broadcast(ref))

@@ -661,9 +661,37 @@ object ParityQueries {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY a.doc_id""".stripMargin
 
+  /** q21 — arbitrary GROUPING SETS through the spark.sql TEXT surface over
+    * catalog-registered tables (S1 name resolution + the SQL entry point
+    * the reference's notebooks use): sets ((flag), (status), ()) — not
+    * expressible as rollup/cube — against the same DuckDB spelling.
+    */
+  def q21GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.catalogTable(s, dir, "lineitem") // ensure registration
+    val db = Tables.dbFor(dir)
+    s.sql(
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  count(*) AS n_rows
+         |FROM $db.lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  val q21Sql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_star_join" -> (q15StarJoin _),
+    "q21_grouping_sets" -> (q21GroupingSets _),
     "q16_cube" -> (q16Cube _),
     "q17_avg_subquery" -> (q17AvgSubquery _),
     "q18_having" -> (q18Having _),
@@ -686,6 +714,7 @@ object ParityQueries {
 
   val oracles: Map[String, String] = Map(
     "q15_star_join" -> q15Sql,
+    "q21_grouping_sets" -> q21Sql,
     "q16_cube" -> q16Sql,
     "q17_avg_subquery" -> q17Sql,
     "q18_having" -> q18Sql,
