@@ -58,6 +58,26 @@ object LakeWriter {
   def readBack(df: DataFrame, path: String): DataFrame =
     df.sparkSession.read.parquet(path)
 
+  /** Dynamic partition overwrite: replaces ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the idempotent-re-run
+    * upsert between blind `append` (duplicates on retry) and whole-table
+    * `overwrite` (data loss). The writer-level option scopes the behavior
+    * to this write, not the session.
+    */
+  def overwritePartitionsDynamic(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      maxRecordsPerFile: Long = ProductionMaxRecordsPerFile): Unit =
+    df.repartition(col(partitionCol))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "snappy")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Small-file compaction — lake maintenance for the reader-performance
     * cliff the reference documents (1,000 files per 10 M rows "flagged
     * slow for readers", `all_from_gemini.txt:458-486`; 128-512 MB sweet

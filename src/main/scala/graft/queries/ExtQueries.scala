@@ -903,7 +903,35 @@ object ExtQueries {
       |FROM wins GROUP BY ws, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** x72 — interval (attribution) join: view→purchase pairs per user
+    * within a 24 h window ([[Streams.attributionJoin]] batch twin).
+    */
+  def x72IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.attributionJoin(Tables.events(s, dir), windowHours = 24)
+      .orderBy(col("view_id"), col("purchase_id"))
+
+  val x72Sql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+      |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOURS
+      |ORDER BY view_id, purchase_id""".stripMargin
+
+  /** x73 — the same pairs through a STREAM-STREAM interval join (both
+    * sides watermarked, bounded state, append mode); ≡ x72's oracle.
+    */
+  def x73IntervalJoinStream(s: SparkSession, dir: String): DataFrame =
+    Streams.attributionJoinStreaming(s, dir, windowHours = 24)
+      .orderBy(col("view_id"), col("purchase_id"))
+
+  val x73Sql: String = x72Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_interval_join" -> (x72IntervalJoin _),
+    "x73_interval_join_stream" -> (x73IntervalJoinStream _),
     "x71_event_sliding" -> (x71EventSliding _),
     "x29_quantiles" -> (x29Quantiles _),
     "x36_scd2" -> (x36Scd2 _),
@@ -944,6 +972,8 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x72_interval_join" -> x72Sql,
+    "x73_interval_join_stream" -> x73Sql,
     "x71_event_sliding" -> x71Sql,
     "x29_quantiles" -> x29Sql,
     "x36_scd2" -> x36Sql,

@@ -192,6 +192,74 @@ object Streams extends Serializable {
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(Tables.events(spark, dir))
 
+  // ── Stream-stream interval join: purchase attribution ──
+
+  /** Batch twin of the attribution join: every (view, purchase) pair by
+    * the same user with the purchase inside [view_ts, view_ts + window].
+    * Equi key (user) + range bound → sort-merge join with a post filter,
+    * never a cartesian.
+    */
+  def attributionJoin(events: DataFrame, windowHours: Int): DataFrame = {
+    val views = events.filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    views.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+  }
+
+  /** The same join as a STREAM-STREAM interval join — the hardest
+    * Structured Streaming operator: both sides watermarked, the time-bound
+    * condition lets Spark evict view-state older than
+    * (watermark − window) and purchase-state at the watermark, so state
+    * stays bounded at any input volume. Append mode (a joined pair is
+    * final once emitted); AvailableNow over the file source; results must
+    * equal [[attributionJoin]], so x73 shares x72's oracle.
+    */
+  def attributionJoinStreaming(
+      spark: SparkSession, dir: String, windowHours: Int): DataFrame = {
+    graft.core.Tables.requireNanosConf(spark)
+    val checkpoint = Files.createTempDirectory("graft-ssj-ckpt").toString
+    val streamDir = Files.createTempDirectory("graft-ssj-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val sinkName = s"graft_attrib_${System.nanoTime()}"
+    def side(): DataFrame = spark.readStream
+      .schema(EventsRawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val views = side().filter(col("event_type") === lit("view"))
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = side().filter(col("event_type") === lit("purchase"))
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("view_ts")
+        && col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   // ── Sessionization: gap-based sessions per user ──
 
   case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)

@@ -70,6 +70,18 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(spark.read.json(out).count() === 1)
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val dir = Files.createTempDirectory("graft-dyn").toString + "/t"
+    Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("v", "part")
+      .write.partitionBy("part").parquet(dir)
+    // re-run delivers ONLY p2, with corrected data
+    LakeWriter.overwritePartitionsDynamic(
+      Seq((20L, "p2")).toDF("v", "part"), dir, "part")
+    val out = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "p1"), (20L, "p2"), (3L, "p3")),
+      "siblings must survive; p2 must be replaced, not appended")
+  }
+
   test("compaction collapses a fragmented directory, preserving content exactly") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     val df = spark.range(100000L).select(

@@ -32,6 +32,56 @@ class StreamsSpec extends SparkSpec {
     assert(latest === batch)
   }
 
+  test("watermark drops events later than the horizon (bounded-state contract)") {
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = JFiles.createTempDirectory("graft-late").toString
+    val ckpt = JFiles.createTempDirectory("graft-late-ckpt").toString
+    val outDir = JFiles.createTempDirectory("graft-late-out").toString
+    def mkBatch(ts: String*) =
+      ts.toSeq.toDF("s").select(to_timestamp($"s").as("ts"))
+    // One AvailableNow execution per delivery, sharing checkpoint AND
+    // file sink — the watermark PERSISTS across runs (commit log),
+    // exactly the production restart contract (memory sink can't resume).
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("ts timestamp")
+        .parquet(dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format($"w.start", "HH:mm").as("ws"), $"n")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append") // emits only watermark-finalized windows
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emitted(): Seq[(String, Long)] =
+      spark.read.parquet(outDir).as[(String, Long)].collect().toSeq
+    // delivery 1: 10:05 and 12:30 -> watermark ends at 12:20, the 10:00
+    // window finalizes with ONE event
+    mkBatch("2024-01-01 10:05:00", "2024-01-01 12:30:00")
+      .coalesce(1).write.mode("append").parquet(dir)
+    run()
+    assert(emitted().count(_._1 == "10:00") === 1, s"run1 emitted ${emitted()}")
+    // delivery 2: 10:10 is LATE (behind the persisted 12:20 watermark);
+    // 12:40 is on time. If the late row were accepted it would re-create
+    // 10:00-window state and re-emit a second ("10:00", 1) row when
+    // finalized — exactly one 10:00 row after run2 proves the drop.
+    mkBatch("2024-01-01 10:10:00", "2024-01-01 12:40:00")
+      .coalesce(1).write.mode("append").parquet(dir)
+    run()
+    assert(emitted().count(_._1 == "10:00") === 1,
+      s"late event leaked into run2: ${emitted()}")
+    // the batch plan over the same files, by contrast, counts both rows
+    val batchN = spark.read.parquet(dir)
+      .where($"ts" >= "2024-01-01 10:00:00" && $"ts" < "2024-01-01 11:00:00").count()
+    assert(batchN === 2L)
+  }
+
   test("streaming exact dedup ≡ batch Dedup.exact (shared x30 semantics)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Streams.dedupStreaming(spark, dir)
