@@ -51,6 +51,28 @@ object Sampling {
       hexChars: Int = 2): Column =
     hashBucket(id, salt, hexChars) < lit(hexThreshold(fraction, hexChars))
 
+  /** Stratified deterministic keep-predicate: per-stratum fractions (e.g.
+    * downsample an over-represented language) with a default for unlisted
+    * strata. Same md5-bucket mechanics as [[samplepredicate]], so the kept
+    * subset is stable across runs, partitionings, and engines — the
+    * property RNG `sampleBy` can't give. Pure projection, no shuffle.
+    */
+  def stratifiedPredicate(
+      id: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double,
+      salt: String = DefaultSalt,
+      hexChars: Int = 2): Column = {
+    val b = hashBucket(id, salt, hexChars)
+    fractions.toSeq.sortBy(_._1).foldRight(
+      b < lit(hexThreshold(defaultFraction, hexChars))) {
+      case ((value, p), elseCol) =>
+        when(stratum === lit(value), b < lit(hexThreshold(p, hexChars)))
+          .otherwise(elseCol)
+    }
+  }
+
   /** Train/val/test assignment column: 'train' for the first trainPct of
     * bucket space, 'val' for the next valPct, 'test' for the rest.
     */

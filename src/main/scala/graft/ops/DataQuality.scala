@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gates — the validation layer an ODS→lake
+  * ingestion runs before publishing (the reference relies on implicit
+  * schema casts; this makes the contract explicit and reportable), and
+  * the corpus-hygiene checks an LLM-data pipeline runs per batch.
+  *
+  * All row-local rules (not-null, range, accepted-values) and the
+  * uniqueness check evaluate in ONE aggregation pass over the table
+  * (conditional counters are map-side combinable; the distinct count for
+  * uniqueness rides the same shuffle). Referential rules are each one
+  * anti-join against the dimension (broadcast when small). Output is a
+  * tidy (check, n_violations) report, one row per rule.
+  */
+object DataQuality {
+
+  sealed trait Rule { def name: String }
+
+  /** Column must never be null. */
+  final case class NotNull(column: String) extends Rule {
+    def name = s"$column.not_null"
+  }
+
+  /** Key columns must be unique (violations = rows − distinct keys). */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    def name = s"${columns.mkString("+")}.unique"
+  }
+
+  /** Numeric column must lie in [lo, hi]; nulls don't violate (pair with
+    * [[NotNull]] for that).
+    */
+  final case class RangeIn(column: String, lo: Double, hi: Double) extends Rule {
+    def name = s"$column.range[$lo,$hi]"
+  }
+
+  /** Column value must be one of the accepted codes; nulls don't violate. */
+  final case class Accepted(column: String, values: Seq[String]) extends Rule {
+    def name = s"$column.accepted"
+  }
+
+  /** Every non-null value must exist in `dim(dimColumn)` (referential
+    * integrity, NOT EXISTS semantics).
+    */
+  final case class ForeignKey(column: String, dim: DataFrame, dimColumn: String)
+      extends Rule {
+    def name = s"$column.fk_$dimColumn"
+  }
+
+  /** Evaluate all rules; returns (check, n_violations) sorted by check. */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    require(rules.nonEmpty, "no rules given")
+
+    def counter(pred: Column): Column =
+      sum(when(pred, lit(1L)).otherwise(lit(0L)))
+
+    val onePass: Seq[(String, Column)] = rules.collect {
+      case r @ NotNull(c) => r.name -> counter(col(c).isNull)
+      case r @ RangeIn(c, lo, hi) =>
+        r.name -> counter(col(c) < lit(lo) || col(c) > lit(hi))
+      case r @ Accepted(c, vs) =>
+        r.name -> counter(col(c).isNotNull && !col(c).isin(vs: _*))
+      case r @ Unique(cols) =>
+        r.name -> (count(lit(1)) -
+          countDistinct(col(cols.head), cols.tail.map(col): _*))
+    }
+    val fks = rules.collect { case r: ForeignKey => r }
+
+    val aggPart: Option[DataFrame] =
+      if (onePass.isEmpty) None
+      else {
+        val aggCols = onePass.map { case (n, c) => c.cast("long").as(n) }
+        val row = df.agg(aggCols.head, aggCols.tail: _*)
+        // rule names contain dots — backtick-quote to stop the parser
+        // treating them as struct-field access
+        val pairs = onePass.flatMap { case (n, _) => Seq(lit(n), col(s"`$n`")) }
+        Some(row.select(explode(map(pairs: _*)).as(Seq("check", "n_violations"))))
+      }
+    val fkParts: Seq[DataFrame] = fks.map { r =>
+      // alias the dim key: fact and dim often share the column name,
+      // which would make the join condition ambiguous
+      df.select(col(r.column)).where(col(r.column).isNotNull)
+        .join(r.dim.select(col(r.dimColumn).as("__dq_dim_key")),
+          col(r.column) === col("__dq_dim_key"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(r.name).as("check"), col("n_violations"))
+    }
+    (aggPart.toSeq ++ fkParts)
+      .reduce(_ unionByName _)
+      .orderBy(col("check"))
+  }
+}

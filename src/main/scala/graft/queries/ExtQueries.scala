@@ -929,7 +929,78 @@ object ExtQueries {
 
   val x73Sql: String = x72Sql
 
+  /** x74 — stratified deterministic sampling
+    * ([[graft.ext.Sampling.stratifiedPredicate]]): downsample English to
+    * 25%, keep 75% of Chinese, 50% elsewhere — md5-bucketed on doc_id, so
+    * the subset is reproducible across runs, partitionings, and engines
+    * (the oracle computes the identical buckets in DuckDB).
+    */
+  def x74Stratified(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .where(graft.ext.Sampling.stratifiedPredicate(
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.25, "zh" -> 0.75), defaultFraction = 0.5))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val x74Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE substring(md5('graft/v1:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0' ELSE '80' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** x75 — data-quality report ([[graft.ops.DataQuality.report]]): one
+    * aggregation pass per table for the row-local rules + uniqueness, one
+    * anti-join for referential integrity; tidy (check, n_violations)
+    * output a publish gate can assert on.
+    */
+  def x75DqReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataQuality._
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val repO = report(o, Seq(
+      NotNull("o_orderkey"),
+      Unique(Seq("o_orderkey")),
+      RangeIn("o_totalprice", 0.0, 1000000.0),
+      Accepted("o_orderstatus", Seq("O", "F", "P"))))
+      .select(concat(lit("orders."), col("check")).as("check_name"), col("n_violations"))
+    val repL = report(l, Seq(
+      NotNull("l_orderkey"),
+      RangeIn("l_discount", 0.0, 0.1),
+      ForeignKey("l_orderkey", o, "o_orderkey")))
+      .select(concat(lit("lineitem."), col("check")).as("check_name"), col("n_violations"))
+    repO.unionByName(repL).orderBy(col("check_name"))
+  }
+
+  val x75Sql: String =
+    """SELECT 'orders.o_orderkey.not_null' AS check_name,
+      |  count(*) FILTER (o_orderkey IS NULL) AS n_violations FROM orders
+      |UNION ALL
+      |SELECT 'orders.o_orderkey.unique',
+      |  count(*) - count(DISTINCT o_orderkey) FROM orders
+      |UNION ALL
+      |SELECT 'orders.o_totalprice.range[0.0,1000000.0]',
+      |  count(*) FILTER (o_totalprice < 0 OR o_totalprice > 1000000) FROM orders
+      |UNION ALL
+      |SELECT 'orders.o_orderstatus.accepted',
+      |  count(*) FILTER (o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('O','F','P')) FROM orders
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey.not_null',
+      |  count(*) FILTER (l_orderkey IS NULL) FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem.l_discount.range[0.0,0.1]',
+      |  count(*) FILTER (l_discount < 0 OR l_discount > 0.1) FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey.fk_o_orderkey',
+      |  count(*) FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_stratified" -> (x74Stratified _),
+    "x75_dq_report" -> (x75DqReport _),
     "x72_interval_join" -> (x72IntervalJoin _),
     "x73_interval_join_stream" -> (x73IntervalJoinStream _),
     "x71_event_sliding" -> (x71EventSliding _),
@@ -972,6 +1043,8 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x74_stratified" -> x74Sql,
+    "x75_dq_report" -> x75Sql,
     "x72_interval_join" -> x72Sql,
     "x73_interval_join_stream" -> x73Sql,
     "x71_event_sliding" -> x71Sql,

@@ -210,6 +210,52 @@ class ExtSpec extends SparkSpec {
     assert(predFast === predHof)
   }
 
+  test("data-quality rules count planted violations exactly") {
+    import graft.ops.DataQuality._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val df = Seq(
+      (Some(1L), Some(10.0), "O"),
+      (Some(1L), Some(-5.0), "O"),  // duplicate key + range-low
+      (None, Some(20.0), "X"),      // null key + bad code
+      (Some(9L), Some(2000.0), "F") // FK orphan + range-high
+    ).toDF("k", "amt", "code")
+    val rep = report(df, Seq(
+      NotNull("k"), Unique(Seq("k")), RangeIn("amt", 0.0, 1000.0),
+      Accepted("code", Seq("O", "F", "P")), ForeignKey("k", dim, "k")))
+      .as[(String, Long)].collect().toMap
+    assert(rep("k.not_null") === 1L)
+    // 4 rows − 2 distinct NON-NULL keys: the duplicate AND the null row
+    // both count (count(DISTINCT) ignores nulls in Spark and DuckDB
+    // alike; pair with NotNull to attribute the null separately)
+    assert(rep("k.unique") === 2L)
+    assert(rep("amt.range[0.0,1000.0]") === 2L)
+    assert(rep("code.accepted") === 1L)
+    assert(rep("k.fk_k") === 1L) // only 9 is an orphan; null doesn't violate
+    assert(rep.size === 5)
+  }
+
+  test("stratified sampling is deterministic and tracks target fractions") {
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def kept() = d.where(graft.ext.Sampling.stratifiedPredicate(
+      col("doc_id"), col("lang"), Map("en" -> 0.25, "zh" -> 0.75), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val a = kept()
+    assert(a === kept(), "must be reproducible run-over-run")
+    val reshuffled = d.repartition(7)
+      .where(graft.ext.Sampling.stratifiedPredicate(
+        col("doc_id"), col("lang"), Map("en" -> 0.25, "zh" -> 0.75), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === reshuffled, "must be partitioning-independent")
+    // rates per stratum near targets (md5 buckets, 500-doc corpus)
+    val rates = d.withColumn("kept",
+      graft.ext.Sampling.stratifiedPredicate(
+        col("doc_id"), col("lang"), Map("en" -> 0.25, "zh" -> 0.75), 0.5))
+      .groupBy("lang").agg(avg(col("kept").cast("double")).as("rate"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rates("en") - 0.25) < 0.12, s"en rate ${rates("en")}")
+    assert(math.abs(rates("zh") - 0.75) < 0.15, s"zh rate ${rates("zh")}")
+  }
+
   test("percentile_approx tracks exact quantiles (the 100 TB sketch twin of x29)") {
     // The exact per-group sort of `percentile` doesn't scale to 100 TB
     // groups; the mergeable percentile_approx sketch is the scale path —
