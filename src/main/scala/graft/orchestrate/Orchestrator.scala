@@ -34,7 +34,8 @@ object Orchestrator {
   final case class JobResult(
       spec: JobSpec,
       outcome: Try[Unit],
-      durationMs: Long)
+      durationMs: Long,
+      attempts: Int = 1)
 
   /** Run all jobs honoring priority-group barriers and the
     * sequential-then-parallel discipline within each group (O2-O4).
@@ -47,8 +48,11 @@ object Orchestrator {
   def run(
       jobs: Seq[JobSpec],
       maxConcurrentThreads: Int = 3,
-      abortOnGroupFailure: Boolean = false)(
+      abortOnGroupFailure: Boolean = false,
+      maxAttempts: Int = 1,
+      retryBackoffMs: Long = 0L)(
       process: JobSpec => Unit): Seq[JobResult] = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val pool = Executors.newFixedThreadPool(maxConcurrentThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -58,11 +62,12 @@ object Orchestrator {
         else {
           val group = jobs.filter(_.priority == priority)
           val (parallel, sequential) = group.partition(_.parallelRun)
-          val seqResults = sequential.map(timed(process))
+          val attempt = timed(process, maxAttempts, retryBackoffMs) _
+          val seqResults = sequential.map(attempt)
           val parResults =
             if (parallel.isEmpty) Seq.empty
             else Await.result(
-              Future.sequence(parallel.map(j => Future(timed(process)(j)))),
+              Future.sequence(parallel.map(j => Future(attempt(j)))),
               Duration.Inf)
           val results = seqResults ++ parResults
           if (abortOnGroupFailure && results.exists(_.outcome.isFailure))
@@ -73,9 +78,24 @@ object Orchestrator {
     } finally pool.shutdown()
   }
 
-  private def timed(process: JobSpec => Unit)(spec: JobSpec): JobResult = {
+  /** Per-job retry with linear backoff (O-ext): transient failures —
+    * executor OOM, S3 throttling, metastore hiccups — are the norm in
+    * long ingestion runs; a bounded in-place retry beats failing the
+    * whole group barrier. The job body must be idempotent (the lake
+    * writer's dynamic-partition overwrite / run-index folders are).
+    */
+  private def timed(
+      process: JobSpec => Unit,
+      maxAttempts: Int,
+      backoffMs: Long)(spec: JobSpec): JobResult = {
     val t0 = System.nanoTime()
-    val outcome = Try(process(spec))
-    JobResult(spec, outcome, (System.nanoTime() - t0) / 1000000L)
+    var attempts = 0
+    var outcome: Try[Unit] = null
+    while ({
+      attempts += 1
+      outcome = Try(process(spec))
+      outcome.isFailure && attempts < maxAttempts
+    }) if (backoffMs > 0) Thread.sleep(backoffMs * attempts)
+    JobResult(spec, outcome, (System.nanoTime() - t0) / 1000000L, attempts)
   }
 }

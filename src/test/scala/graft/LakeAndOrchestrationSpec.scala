@@ -177,6 +177,27 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(p2.head === "orders")
   }
 
+  test("orchestrator retries transient failures and reports attempt counts") {
+    val failures = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val jobs = Seq(
+      Orchestrator.JobSpec(1, "flaky", 1, parallelRun = false),
+      Orchestrator.JobSpec(2, "stable", 1, parallelRun = true),
+      Orchestrator.JobSpec(3, "doomed", 1, parallelRun = true))
+    val results = Orchestrator.run(jobs, maxAttempts = 3) { spec =>
+      spec.targetTable match {
+        case "flaky" => // fails twice, succeeds on the 3rd attempt
+          val n = failures.merge(spec.tableId, 1, _ + _)
+          if (n < 3) throw new RuntimeException(s"transient #$n")
+        case "doomed" => throw new RuntimeException("permanent")
+        case _ => ()
+      }
+    }
+    val byName = results.map(r => r.spec.targetTable -> r).toMap
+    assert(byName("flaky").outcome.isSuccess && byName("flaky").attempts === 3)
+    assert(byName("stable").outcome.isSuccess && byName("stable").attempts === 1)
+    assert(byName("doomed").outcome.isFailure && byName("doomed").attempts === 3)
+  }
+
   test("orchestrator captures per-job failures without aborting the run") {
     val results = Orchestrator.run(jobControl, maxConcurrentThreads = 3) { spec =>
       if (spec.targetTable == "logs_b") sys.error("boom")
