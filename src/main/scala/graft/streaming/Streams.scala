@@ -32,6 +32,22 @@ object Streams extends Serializable {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Dedicated child session for the one-shot AvailableNow streams:
+    * stateful operators create one state store PER SHUFFLE PARTITION (per
+    * side and per store kind for stream-stream joins), so a CPU-sized
+    * partition count means 100+ store instances of fixed commit overhead
+    * per micro-batch. A child session — own SQLConf, shared context, so
+    * NO conf race with concurrent jobs — scopes a state-volume-sized
+    * partition count to just this stream. At production scale raise it
+    * with state volume, not core count.
+    */
+  private def streamSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
   /** Hourly tumbling-window aggregation per event type (batch form). */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -64,7 +80,8 @@ object Streams extends Serializable {
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    val raw = spark.readStream
+    val ss = streamSession(spark)
+    val raw = ss.readStream
       .schema(EventsRawSchema)
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -85,7 +102,7 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    ss.table(sinkName)
   }
 
   /** Schema of the documents parquet for the file-stream source. */
@@ -113,7 +130,8 @@ object Streams extends Serializable {
       streamDir.resolve("documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
     val sinkName = s"graft_dedup_${System.nanoTime()}"
-    val agg = spark.readStream
+    val ss = streamSession(spark)
+    val agg = ss.readStream
       .schema(DocumentsRawSchema)
       .parquet(streamDir.toString)
       .select(col("doc_id"),
@@ -129,7 +147,7 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    ss.table(sinkName)
   }
 
   /** Stream-static enrichment join: the event stream joined per
@@ -147,12 +165,13 @@ object Streams extends Serializable {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val sinkName = s"graft_enriched_${System.nanoTime()}"
-    val userDim = Tables.events(spark, dir)
+    val ss = streamSession(spark)
+    val userDim = Tables.events(ss, dir)
       .groupBy(col("user_id").as("u"))
       .agg(
         count(lit(1)).as("n_user_events"),
         sum(Casts.asMoney(col("value"))).cast(DoubleType).as("user_total_value"))
-    val stream = spark.readStream
+    val stream = ss.readStream
       .schema(EventsRawSchema)
       .parquet(streamDir.toString)
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -167,7 +186,7 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    ss.table(sinkName)
   }
 
   /** Sessionization-style stateful shape: per-user ordered event counts
@@ -225,13 +244,14 @@ object Streams extends Serializable {
   def attributionJoinStreaming(
       spark: SparkSession, dir: String, windowHours: Int): DataFrame = {
     graft.core.Tables.requireNanosConf(spark)
+    val ss = streamSession(spark)
     val checkpoint = Files.createTempDirectory("graft-ssj-ckpt").toString
     val streamDir = Files.createTempDirectory("graft-ssj-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val sinkName = s"graft_attrib_${System.nanoTime()}"
-    def side(): DataFrame = spark.readStream
+    def side(): DataFrame = ss.readStream
       .schema(EventsRawSchema)
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -257,7 +277,7 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    ss.table(sinkName)
   }
 
   // ── Sessionization: gap-based sessions per user ──
@@ -314,7 +334,8 @@ object Streams extends Serializable {
     * source; results land in a memory sink.
     */
   def sessionsStreaming(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
-    import spark.implicits._
+    val ss = streamSession(spark)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     graft.core.Tables.requireNanosConf(spark)
     val checkpoint = Files.createTempDirectory("graft-sess-ckpt").toString
@@ -325,7 +346,7 @@ object Streams extends Serializable {
     val sinkName = s"graft_sessions_${System.nanoTime()}"
     val gapUs = gapMinutes * 60L * 1000000L
 
-    val events = spark.readStream
+    val events = ss.readStream
       .schema(EventsRawSchema)
       .parquet(streamDir.toString)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
@@ -366,6 +387,6 @@ object Streams extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    ss.table(sinkName)
   }
 }
