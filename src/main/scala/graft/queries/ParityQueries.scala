@@ -688,8 +688,60 @@ object ParityQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q22 — EXISTS subquery (TPC-H Q4 shape): orders with at least one
+    * line shipped after the order date, counted per priority. The
+    * DataFrame spelling is the decorrelated plan: a left-semi join on the
+    * key with the correlated predicate as join condition.
+    */
+  def q22Exists(s: SparkSession, dir: String): DataFrame = {
+    val o = ord(s, dir)
+    val l = li(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+      col("o_orderkey") === col("l_orderkey")
+        && col("l_shipdate") > col("o_orderdate"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q23 — correlated MIN subquery (TPC-H Q2 shape): each order's
+    * cheapest line(s). Decorrelated: per-key min aggregate joined back on
+    * (key, value) — both shuffles key-aligned.
+    */
+  def q23MinSubquery(s: SparkSession, dir: String): DataFrame = {
+    val l = li(s, dir)
+    val mins = l.groupBy(col("l_orderkey").as("m_orderkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    l.join(mins,
+      col("l_orderkey") === col("m_orderkey")
+        && col("l_extendedprice") === col("min_price"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        Casts.asMoney(col("l_extendedprice")).cast(DoubleType).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+  }
+
+  val q23Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM lineitem l
+      |WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+      |                         WHERE l2.l_orderkey = l.l_orderkey)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_exists" -> (q22Exists _),
+    "q23_min_subquery" -> (q23MinSubquery _),
     "q15_star_join" -> (q15StarJoin _),
     "q21_grouping_sets" -> (q21GroupingSets _),
     "q16_cube" -> (q16Cube _),
@@ -713,6 +765,8 @@ object ParityQueries {
     "q14_rollup" -> (q14Rollup _))
 
   val oracles: Map[String, String] = Map(
+    "q22_exists" -> q22Sql,
+    "q23_min_subquery" -> q23Sql,
     "q15_star_join" -> q15Sql,
     "q21_grouping_sets" -> q21Sql,
     "q16_cube" -> q16Sql,
