@@ -55,7 +55,8 @@ object Bench {
     val qs = names.map(k => s"\"" + k + "\":" + median(k)).mkString("{", ",", "}")
     val total = median.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,""" +
+        s""""n_queries":${names.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -998,7 +998,112 @@ object ExtQueries {
       |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
       |ORDER BY check_name""".stripMargin
 
+  /** x76 — repetition scoring (Gopher-style corpus-hygiene signals):
+    * token-repetition ratio, most-frequent-token fraction, duplicate-
+    * bigram fraction per document. Integer-derived counts with single
+    * double divisions (oracle-exact); two key-aligned aggregates.
+    */
+  def x76Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val tokStats = toks
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_tok"))
+    // bigrams with multiplicity (0-based element access in Spark SQL)
+    val biStats = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bg"))
+    tokStats.join(biStats, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast(DoubleType) / col("n_tokens"))
+          .as("rep_ratio"),
+        (col("max_tok").cast(DoubleType) / col("n_tokens")).as("top_tok_frac"),
+        ((col("n_bigrams") - col("n_distinct_bg")).cast(DoubleType) / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x76Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+      |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+      |tc AS (SELECT doc_id, tok, count(*) c FROM tok GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens, count(*) n_distinct,
+      |         CAST(max(c) AS BIGINT) max_tok FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |         i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |       FROM t WHERE len(tk) >= 2),
+      |bc AS (SELECT doc_id, bg, count(*) c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams,
+      |         count(*) n_distinct_bg FROM bc GROUP BY 1)
+      |SELECT ts.doc_id, n_tokens, n_distinct,
+      |  (n_tokens - n_distinct)::DOUBLE / n_tokens AS rep_ratio,
+      |  max_tok::DOUBLE / n_tokens AS top_tok_frac,
+      |  (n_bigrams - n_distinct_bg)::DOUBLE / n_bigrams AS dup_bigram_frac
+      |FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
+
+  /** x77 — train/test decontamination: for every TEST-split document, the
+    * fraction of its distinct trigrams that also occur in ANY train-split
+    * document (the n-gram-overlap check run before evaluation-set
+    * release). Scale shape: the train shingle set is a distinct-on-
+    * shingle aggregate; the probe is a key-aligned left-semi join — both
+    * linear in corpus shingles, never pairwise.
+    */
+  def x77Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val sp = docs(s, dir).select(col("doc_id"),
+      graft.ext.Sampling.splitAssign(col("doc_id")).as("split"))
+    val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 3)
+      .join(sp, Seq("doc_id"))
+    val trainSh = sh.where(col("split") === lit("train"))
+      .select(col("shingle").as("tr_sh")).distinct()
+    val testSh = sh.where(col("split") === lit("test"))
+    val hits = testSh
+      .join(trainSh, col("shingle") === col("tr_sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x77Sql: String =
+    """WITH sp AS (SELECT doc_id,
+      |    CASE WHEN substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |tr AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id) WHERE split = 'train'),
+      |te AS (SELECT doc_id, shingle FROM sh JOIN sp USING (doc_id) WHERE split = 'test'),
+      |tot AS (SELECT doc_id, count(*) n_shingles FROM te GROUP BY 1),
+      |hit AS (SELECT doc_id, count(*) n_contaminated FROM te
+      |        WHERE shingle IN (SELECT shingle FROM tr) GROUP BY 1)
+      |SELECT tot.doc_id, n_shingles,
+      |  COALESCE(n_contaminated, 0) AS n_contaminated,
+      |  COALESCE(n_contaminated, 0)::DOUBLE / n_shingles AS contamination
+      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x76_repetition" -> (x76Repetition _),
+    "x77_decontamination" -> (x77Decontamination _),
     "x74_stratified" -> (x74Stratified _),
     "x75_dq_report" -> (x75DqReport _),
     "x72_interval_join" -> (x72IntervalJoin _),
@@ -1043,6 +1148,8 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x76_repetition" -> x76Sql,
+    "x77_decontamination" -> x77Sql,
     "x74_stratified" -> x74Sql,
     "x75_dq_report" -> x75Sql,
     "x72_interval_join" -> x72Sql,
