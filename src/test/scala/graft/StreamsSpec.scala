@@ -94,6 +94,28 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("foreachBatch SCD2 ingestion: lake open state ≡ batch latest-per-user") {
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.expressions.Window
+    val lake = JFiles.createTempDirectory("graft-scd2-lake").toString + "/users"
+    val out = Streams.scd2IngestStreaming(spark, sfDir, lake)
+    val open = out.where($"is_current")
+      .select($"user_id", $"last_type", $"last_value")
+      .as[(Long, String, Double)].collect().toSet
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val batchLatest = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"user_id", $"event_type",
+        graft.core.Casts.asMoney($"value").cast("double"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(open === batchLatest)
+    assert(open.nonEmpty)
+    // exactly one open version per user
+    val openPerUser = out.where($"is_current").groupBy($"user_id")
+      .count().where($"count" > 1).count()
+    assert(openPerUser === 0L)
+  }
+
   test("batch sessionization splits on the gap and is contiguous per user") {
     val sessions = Streams.sessionsBatch(Tables.events(spark, sfDir), 30)
     val perUser = sessions.groupBy($"user_id")

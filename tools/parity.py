@@ -63,6 +63,14 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        # dtype mismatches (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+        # hash-fail in the driver even when values compare equal here
+        dt = [(c, str(got[c].dtype), str(want[c].dtype))
+              for c in got.columns if got[c].dtype != want[c].dtype]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            failures += 1
+            continue
         bad = None
         ga, wa = got.values, want.values
         for i in range(len(got)):
