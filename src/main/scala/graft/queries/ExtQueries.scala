@@ -1101,7 +1101,56 @@ object ExtQueries {
       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  /** x78 — composed corpus-prep pipeline: quality gate (≥ 0.6 composite
+    * score) ∘ exact-dedup survivors ∘ deterministic split assignment —
+    * the end-to-end curation a training run consumes, each stage
+    * individually oracle-proven (x21, x30, x28) and the composition
+    * oracle-checked as one chained SQL. Plan shape: two key-aligned
+    * joins on doc_id (no extra exchanges beyond the stages' own).
+    */
+  def x78CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val quality = TextAnalysis.qualityFeatures(d, "text")
+      .select(col("doc_id"), col("quality_score"))
+    val survivors = Dedup.exact(d, "doc_id", "text").select(col("doc_id"))
+    d.select(col("doc_id"), col("lang"))
+      .join(survivors, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .where(col("quality_score") >= lit(0.6))
+      .select(col("doc_id"), col("lang"),
+        graft.ext.Sampling.splitAssign(col("doc_id")).as("split"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x78Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, greatest(0.0, least(1.0,
+      |    0.25 * least((length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) / 5.0, 1.0)
+      |    + 0.25 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |        / length(text)::DOUBLE)
+      |    + 0.25 * least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 200.0, 1.0)
+      |    + 0.25 * least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        t -> t IN ('the','a','of','and','to','is')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) * 5.0, 1.0)))
+      |    AS quality_score
+      |  FROM documents),
+      |surv AS (SELECT min(doc_id) AS doc_id FROM documents
+      |         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |SELECT d.doc_id, d.lang,
+      |  CASE WHEN substring(md5('graft/v1:' || d.doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5('graft/v1:' || d.doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  q.quality_score
+      |FROM documents d
+      |JOIN surv ON d.doc_id = surv.doc_id
+      |JOIN q ON d.doc_id = q.doc_id
+      |WHERE q.quality_score >= 0.6
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x78_corpus_prep" -> (x78CorpusPrep _),
     "x76_repetition" -> (x76Repetition _),
     "x77_decontamination" -> (x77Decontamination _),
     "x74_stratified" -> (x74Stratified _),
@@ -1148,6 +1197,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x78_corpus_prep" -> x78Sql,
     "x76_repetition" -> x76Sql,
     "x77_decontamination" -> x77Sql,
     "x74_stratified" -> x74Sql,
