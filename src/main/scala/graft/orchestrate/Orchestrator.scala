@@ -37,6 +37,32 @@ object Orchestrator {
       durationMs: Long,
       attempts: Int = 1)
 
+  /** O1: load the job-control list from a DataFrame — the reference's
+    * `get_job_control_list` reads `{table_id, target_table, piority,
+    * parallel_run}` rows from a metadata table (`test_glue_job.ipynb`
+    * cell `9a918133`); this accepts any frame with those columns
+    * (reference's `piority` spelling or the corrected `priority`).
+    * Collecting is correct here: job-control is metadata (dozens of
+    * rows), not data.
+    */
+  def jobsFrom(df: org.apache.spark.sql.DataFrame): Seq[JobSpec] = {
+    val cols = df.columns.toSet
+    val prio = if (cols.contains("priority")) "priority" else "piority"
+    df.select("table_id", "target_table", prio, "parallel_run")
+      .collect()
+      .map { r =>
+        JobSpec(
+          r.get(0).toString.toInt,
+          r.getString(1),
+          r.get(2).toString.toInt,
+          r.get(3) match {
+            case b: java.lang.Boolean => b.booleanValue()
+            case s => s.toString.toBoolean
+          })
+      }
+      .toSeq
+  }
+
   /** Run all jobs honoring priority-group barriers and the
     * sequential-then-parallel discipline within each group (O2-O4).
     * Failures are captured per-job, never aborting the run (the

@@ -177,6 +177,33 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(p2.head === "orders")
   }
 
+  test("job-control list loads from a metadata frame (reference piority spelling)") {
+    val meta = Seq((1, "t_payment", 1, false), (2, "t_policy", 1, true),
+      (3, "t_rider", 2, true))
+      .toDF("table_id", "target_table", "piority", "parallel_run")
+    val jobs = Orchestrator.jobsFrom(meta)
+    assert(jobs === Seq(
+      Orchestrator.JobSpec(1, "t_payment", 1, parallelRun = false),
+      Orchestrator.JobSpec(2, "t_policy", 1, parallelRun = true),
+      Orchestrator.JobSpec(3, "t_rider", 2, parallelRun = true)))
+    // corrected spelling also accepted
+    val jobs2 = Orchestrator.jobsFrom(
+      meta.withColumnRenamed("piority", "priority"))
+    assert(jobs2 === jobs)
+  }
+
+  test("schema evolution: mergeSchema reads unioned columns across run folders") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/run=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added").write.parquet(s"$dir/run=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v1", "v2_added", "run"))
+    val rows = merged.select("id", "v2_added").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(rows(1L) === None, "pre-evolution rows read the new column as null")
+    assert(rows(2L) === Some(9.5))
+  }
+
   test("orchestrator retries transient failures and reports attempt counts") {
     val failures = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val jobs = Seq(
