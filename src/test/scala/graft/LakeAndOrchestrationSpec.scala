@@ -192,6 +192,35 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(jobs2 === jobs)
   }
 
+  test("corrupt-record-tolerant JSON ingestion quarantines bad rows (PERMISSIVE)") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/batch.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "broken json
+        |{"id": 3, "v": "also ok"}
+        |""".stripMargin)
+    val schema = "id long, v string, _corrupt_record string"
+    // Spark disallows querying ONLY the corrupt column from a raw file
+    // scan — materialize first (the documented quarantine workflow)
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    try {
+      val good = df.where(col("_corrupt_record").isNull)
+      val bad = df.where(col("_corrupt_record").isNotNull)
+      assert(good.count() === 2L)
+      assert(bad.count() === 1L)
+      // the quarantined row preserves the raw line for replay/debugging
+      assert(bad.select("_corrupt_record").head().getString(0).contains("broken json"))
+    } finally df.unpersist()
+    // strict mode for publish gates: malformed rows dropped entirely
+    val dropped = spark.read.schema("id long, v string")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2L)
+  }
+
   test("schema evolution: mergeSchema reads unioned columns across run folders") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/run=1")

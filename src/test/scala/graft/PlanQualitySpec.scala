@@ -31,6 +31,37 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning fires on partitioned-fact ⋈ filtered-dim") {
+    // The 100 TB pattern: a date/key-partitioned fact joined to a
+    // filtered dimension must scan ONLY the partitions the dim selects —
+    // DPP injects the dim's keys into the fact scan at runtime.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/fact"
+    val spark2 = spark
+    import spark2.implicits._
+    spark.range(0L, 10000L).select(
+      col("id"), (col("id") % 10).as("part_key"),
+      (col("id") * 2).as("v"))
+      .write.partitionBy("part_key").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP requires a SELECTIVE predicate on the dim side that survives
+    // optimization (a local relation constant-folds its filter away), a
+    // file-based dim, and a cast-free partition-key equi-join.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq((3, "keep"), (7, "keep"), (8, "drop"), (9, "drop"))
+      .toDF("dk", "tag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("tag") === lit("keep"))
+    val joined = fact.join(dim, col("part_key") === col("dk"))
+      .agg(sum(col("v")).as("s"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning in plan:\n$plan")
+    // and the result is correct
+    val expected = (0L until 10000L).filter(i => i % 10 == 3 || i % 10 == 7)
+      .map(_ * 2).sum
+    assert(joined.head().getLong(0) === expected)
+  }
+
   test("the sanctioned nested-loop joins really have single-row build sides") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     singleRowBroadcast.foreach { name =>
