@@ -398,21 +398,33 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+      maxHamming: Int = 3): DataFrame =
+    hash64Pairs(simhashSignatures(df, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** Banded near-dup pairs over ANY 64-bit similarity hash (SimHash,
+    * media average-hash, …): band on the four 16-bit quarters — any pair
+    * with hamming distance ≤ 3 shares at least one quarter — candidate
+    * equi-join on (quarter, value), exact `bit_count(xor)` verification.
+    * Shuffle volume is 4 rows per input row, never O(pairs).
+    */
+  def hash64Pairs(
+      sigs: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame = {
     val banded = sigs.select(
-      col(idCol), col("simhash"),
+      col(idCol), col(hashCol),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
-          shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qh"))): _*))
+          shiftright(col(hashCol), q * 16).bitwiseAND(lit(0xFFFFL)).as("qh"))): _*))
         .as("qb"))
-      .select(col(idCol), col("simhash"), col("qb.q").as("q"), col("qb.qh").as("qh"))
+      .select(col(idCol), col(hashCol), col("qb.q").as("q"), col("qb.qh").as("qh"))
     banded.as("x")
       .join(banded.as("y"),
         col("x.q") === col("y.q") && col("x.qh") === col("y.qh")
           && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= lit(maxHamming))
   }

@@ -91,6 +91,56 @@ object Multimodal {
       }
   }
 
+  case class MediaHash(media_id: Long, ahash: Long)
+
+  /** Average-hash (aHash) over the decoded payload: 64 equal byte blocks,
+    * each block's mean intensity thresholded at the global mean → one bit.
+    * On real images this runs on the decoded 8×8 downsample — the classic
+    * perceptual near-dup hash; the STUB operates on raw payload bytes
+    * with identical plumbing (per-partition batch, one long per record).
+    */
+  def aHash64(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val means = new Array[Double](64)
+          if (bytes.nonEmpty) {
+            var b = 0
+            while (b < 64) {
+              val lo = (bytes.length.toLong * b / 64).toInt
+              val hi = math.max(lo + 1, (bytes.length.toLong * (b + 1) / 64).toInt)
+              var s = 0L
+              var i = lo
+              while (i < math.min(hi, bytes.length)) { s += (bytes(i) & 0xFF); i += 1 }
+              means(b) = s.toDouble / math.max(1, math.min(hi, bytes.length) - lo)
+              b += 1
+            }
+          }
+          val mean = means.sum / 64.0
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (means(b) > mean) hash |= (1L << b)
+            b += 1
+          }
+          MediaHash(id, hash)
+        }
+      }
+  }
+
+  /** Perceptual near-dup pairs across media payloads: aHash banding via
+    * [[Dedup.hash64Pairs]] (4×16-bit quarters, exact hamming verify) —
+    * the dedup path for image/video corpora, O(rows) candidate shuffle.
+    */
+  def nearDupMedia(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hash64Pairs(aHash64(media).toDF(), "media_id", "ahash", maxHamming)
+
   case class ResizedMedia(
       media_id: Long,
       kind: String,

@@ -1149,7 +1149,18 @@ object ExtQueries {
       |WHERE q.quality_score >= 0.6
       |ORDER BY d.doc_id""".stripMargin
 
+  /** x53 — perceptual media near-dup pairs: aHash over the (stub-decoded)
+    * payload, quarter-banded candidate join, exact hamming verification
+    * ([[Multimodal.nearDupMedia]]). Engine-hash family → rows-only check;
+    * planted-duplicate recall is spec-pinned in ExtSpec.
+    */
+  def x53MediaNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearDupMedia(
+      Multimodal.ingestFromDocuments(docs(s, dir)), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x53_media_neardup" -> (x53MediaNearDup _),
     "x78_corpus_prep" -> (x78CorpusPrep _),
     "x76_repetition" -> (x76Repetition _),
     "x77_decontamination" -> (x77Decontamination _),

@@ -450,6 +450,23 @@ class ExtSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang=")))
   }
 
+  test("media aHash: exact dups collide, near-dups band together, distinct don't") {
+    val media = Multimodal.ingestFromDocuments(docsFixture
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    val hashes = Multimodal.aHash64(media).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(hashes(1L) === hashes(2L), "byte-identical payloads must hash equal")
+    val pairs = Multimodal.nearDupMedia(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs.get((1L, 2L)) === Some(0), "exact dup pair at hamming 0")
+    // doc 5 is unrelated content: never a near-dup of the quick-fox family
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+    // determinism across invocations
+    val again = Multimodal.aHash64(media).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(again === hashes)
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
