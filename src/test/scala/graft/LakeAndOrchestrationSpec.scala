@@ -192,6 +192,20 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(jobs2 === jobs)
   }
 
+  test("CSV source/sink roundtrip with explicit schema (ODS extract format)") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/t"
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    src.write.option("header", "true").csv(dir)
+    val back = spark.read
+      .schema(src.schema) // explicit schema: no inference drift
+      .option("header", "true")
+      .csv(dir)
+    assert(back.schema === src.schema)
+    val a = src.orderBy("n_nationkey").collect().toSeq
+    val b = back.orderBy("n_nationkey").collect().toSeq
+    assert(a === b)
+  }
+
   test("corrupt-record-tolerant JSON ingestion quarantines bad rows (PERMISSIVE)") {
     val dir = Files.createTempDirectory("graft-corrupt").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/batch.jsonl"),

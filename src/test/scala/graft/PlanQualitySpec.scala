@@ -31,6 +31,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("date-window predicates reach the parquet scan (PushedFilters)") {
+    // The engine's raw-timestamp window convention exists so range
+    // predicates hit parquet row-group stats — pin that they actually
+    // arrive at the scan instead of evaluating post-read.
+    val plan = SparkEntry.queries("q03_semi_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scanLines.nonEmpty, s"no PushedFilters in plan:\n$plan")
+    assert(scanLines.exists(l =>
+      l.contains("GreaterThanOrEqual(o_orderdate") ||
+        l.contains("GreaterThanOrEqual(l_shipdate")),
+      s"date window not pushed to the scan:\n${scanLines.mkString("\n")}")
+  }
+
   test("dynamic partition pruning fires on partitioned-fact ⋈ filtered-dim") {
     // The 100 TB pattern: a date/key-partitioned fact joined to a
     // filtered dimension must scan ONLY the partitions the dim selects —
