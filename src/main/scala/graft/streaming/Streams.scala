@@ -230,13 +230,26 @@ object Streams extends Serializable {
     */
   def scd2IngestStreaming(
       spark: SparkSession, dir: String, lakePath: String): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
-    val ss = streamSession(spark)
-    val checkpoint = Files.createTempDirectory("graft-scd2-ckpt").toString
     val streamDir = Files.createTempDirectory("graft-scd2-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    scd2IngestStreamingFrom(spark, streamDir.toString, lakePath,
+      Files.createTempDirectory("graft-scd2-ckpt").toString)
+  }
+
+  /** Caller-managed variant: `sourceDir` is a live ingestion directory the
+    * caller appends delivery files to, and `checkpoint` PERSISTS across
+    * invocations — re-running processes ONLY the new files (the file
+    * source's seen-files log), merging just that delivery into the lake.
+    * This is the production incremental loop: deliver → run → repeat.
+    */
+  def scd2IngestStreamingFrom(
+      spark: SparkSession, sourceDir: String, lakePath: String,
+      checkpoint: String): DataFrame = {
+    graft.core.Tables.requireNanosConf(spark)
+    val ss = streamSession(spark)
+    val streamDir = java.nio.file.Paths.get(sourceDir)
     val stream = ss.readStream
       .schema(EventsRawSchema)
       .parquet(streamDir.toString)

@@ -116,6 +116,69 @@ class StreamsSpec extends SparkSpec {
     assert(openPerUser === 0L)
   }
 
+  test("incremental SCD2 ingestion: a second delivery merges only its files") {
+    import java.nio.file.{Files => JFiles}
+    val src = JFiles.createTempDirectory("graft-scd2-inc-src").toString
+    val ckpt = JFiles.createTempDirectory("graft-scd2-inc-ckpt").toString
+    val lake = JFiles.createTempDirectory("graft-scd2-inc-lake").toString + "/users"
+    def deliver(rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+    val h = 3600L * 1000000000L // one hour in nanos
+    // delivery 1: u1 clicks, u2 views
+    deliver(Seq((1L, 1 * h, 1L, "click", 10.0), (2L, 2 * h, 2L, "view", 5.0)))
+    val out1 = Streams.scd2IngestStreamingFrom(spark, src, lake, ckpt)
+    assert(out1.count() === 2L)
+    assert(out1.where($"is_current").count() === 2L)
+    // delivery 2: u1 purchases later — closes the click version
+    deliver(Seq((3L, 3 * h, 1L, "purchase", 20.0)))
+    val out2 = Streams.scd2IngestStreamingFrom(spark, src, lake, ckpt)
+    val u1 = out2.where($"user_id" === 1L)
+      .select($"last_type", $"is_current", $"eff_to")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+    assert(u1 === Set(
+      ("click", false, Some("batch_0001")),
+      ("purchase", true, None)))
+    // u2 untouched by the second delivery
+    val u2 = out2.where($"user_id" === 2L).collect()
+    assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current"))
+  }
+
+  test("streaming state runs on the RocksDB store (the scalable state backend)") {
+    // The default HDFS-backed store keeps state on the JVM heap — fine
+    // for tests, not for 100 TB streaming state. Prove the engine's
+    // streaming shapes run unchanged on RocksDB.
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = JFiles.createTempDirectory("graft-rocks-ckpt").toString
+    val streamDir = JFiles.createTempDirectory("graft-rocks-src")
+    JFiles.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet").toAbsolutePath)
+    val sink = s"graft_rocks_${System.nanoTime()}"
+    val q = ss.readStream
+      .schema(Streams.DocumentsRawSchema)
+      .parquet(streamDir.toString)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = ss.table(sink).as[(String, Long)].collect().toMap
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("batch sessionization splits on the gap and is contiguous per user") {
     val sessions = Streams.sessionsBatch(Tables.events(spark, sfDir), 30)
     val perUser = sessions.groupBy($"user_id")
