@@ -192,6 +192,16 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(jobs2 === jobs)
   }
 
+  test("ORC source/sink roundtrip (columnar alternative format)") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("CSV source/sink roundtrip with explicit schema (ODS extract format)") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/t"
     val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
