@@ -96,5 +96,9 @@ object GraftFunctions {
       "graft_simhash64",
       exprs => SimHash64(exprs.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_repetition_stats",
+      exprs => RepetitionStats(exprs.head),
+      "built-in")
   }
 }

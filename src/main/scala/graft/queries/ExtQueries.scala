@@ -1000,39 +1000,29 @@ object ExtQueries {
 
   /** x76 — repetition scoring (Gopher-style corpus-hygiene signals):
     * token-repetition ratio, most-frequent-token fraction, duplicate-
-    * bigram fraction per document. Integer-derived counts with single
-    * double divisions (oracle-exact); two key-aligned aggregates.
+    * bigram fraction per document — all row-local, so computed by ONE
+    * compiled expression pass ([[graft.functions.RepetitionStats]]); the
+    * exploded groupBy spelling would shuffle the whole corpus token
+    * stream through two aggregation exchanges for per-row quantities.
+    * Integer-derived counts with single double divisions (oracle-exact).
     */
-  def x76Repetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+  def x76Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-    val tokStats = toks
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_tok"))
-    // bigrams with multiplicity (0-based element access in Spark SQL)
-    val biStats = toks
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bg"))
-    tokStats.join(biStats, Seq("doc_id"))
+      // tokens ≥ 2 ⟺ trimmed text contains whitespace: a CHEAP pre-filter
+      // (the oracle's len(tk) >= 2), kept below the expensive projection
+      // so no pushed-down filter re-evaluates the stats expression
+      .where(trim(col("text")).rlike("\\s"))
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats.column(col("text")).as("r"))
       .select(
-        col("doc_id"), col("n_tokens"), col("n_distinct"),
-        ((col("n_tokens") - col("n_distinct")).cast(DoubleType) / col("n_tokens"))
-          .as("rep_ratio"),
-        (col("max_tok").cast(DoubleType) / col("n_tokens")).as("top_tok_frac"),
-        ((col("n_bigrams") - col("n_distinct_bg")).cast(DoubleType) / col("n_bigrams"))
-          .as("dup_bigram_frac"))
+        col("doc_id"),
+        col("r")(0).as("n_tokens"),
+        col("r")(1).as("n_distinct"),
+        ((col("r")(0) - col("r")(1)).cast(DoubleType) / col("r")(0)).as("rep_ratio"),
+        (col("r")(2).cast(DoubleType) / col("r")(0)).as("top_tok_frac"),
+        ((col("r")(3) - col("r")(4)).cast(DoubleType) / col("r")(3)).as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
-  }
 
   val x76Sql: String =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),

@@ -450,6 +450,30 @@ class ExtSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang=")))
   }
 
+  test("RepetitionStats expression ≡ exploded groupBy spelling, incl. edge cases") {
+    val docs = docsFixture
+      .union(Seq((7L, "  a  b a "), (8L, "x"), (9L, "a a a a")).toDF("doc_id", "text"))
+    val viaExpr = docs
+      .select(col("doc_id"), graft.functions.RepetitionStats.column(col("text")).as("r"))
+      .select(col("doc_id"), col("r")(0), col("r")(1), col("r")(2), col("r")(3), col("r")(4))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val tokStats = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("nt"), count(lit(1)).as("nd"), max("c").as("mx"))
+    val biStats = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("nb"), count(lit(1)).as("ndb"))
+    val viaExplode = tokStats.join(biStats, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("nb", "ndb"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaExpr === viaExplode)
+    // sanity: doc 9 ("a a a a") is maximally repetitive
+    assert(viaExpr.contains((9L, 4L, 1L, 4L, 3L, 1L)))
+  }
+
   test("media aHash: exact dups collide, near-dups band together, distinct don't") {
     val media = Multimodal.ingestFromDocuments(docsFixture
       .withColumn("source", lit("spec"))
