@@ -343,7 +343,18 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col(idCol), graft.functions.SimHash64.column(col(textCol)).as("simhash"))
+    // Cheap notnull pre-filter + coalesce: the coalesce makes the
+    // signature column NON-NULLABLE, so a downstream banding join never
+    // infers isnotnull(<signature expr>) — which pushdown would otherwise
+    // substitute through this projection and re-evaluate the whole
+    // compiled signature inside the scan filter (observed: 2 evals/row).
+    // The filter makes the coalesce semantically inert (no null text
+    // reaches it), and itself pushes to the scan as a cheap attribute
+    // predicate.
+    spread
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        coalesce(graft.functions.SimHash64.column(col(textCol)), lit(0L)).as("simhash"))
   }
 
   /** The pre-rewrite declarative spelling of [[simhashSignatures]] —

@@ -42,6 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSignature(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring it lets constraint
+  // inference push isnotnull(<child attribute>) to the scan instead of
+  // re-evaluating this whole expression inside a pushed filter
+  override def nullIntolerant: Boolean = true
+
   require(n >= 1, s"shingle size must be >= 1, got $n")
   require(numHashes >= 1 && numHashes <= 1024,
     s"numHashes must be in [1, 1024], got $numHashes")

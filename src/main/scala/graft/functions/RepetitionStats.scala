@@ -28,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RepetitionStats(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring it lets constraint
+  // inference push isnotnull(<child attribute>) to the scan instead of
+  // re-evaluating this whole expression inside a pushed filter
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def prettyName: String = "graft_repetition_stats"

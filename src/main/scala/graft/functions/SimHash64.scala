@@ -25,6 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring it lets constraint
+  // inference push isnotnull(<child attribute>) to the scan instead of
+  // re-evaluating this whole expression inside a pushed filter
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = LongType
 
   override def prettyName: String = "graft_simhash64"

@@ -29,6 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenListCounts(child: Expression, lists: Seq[Seq[String]])
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring it lets constraint
+  // inference push isnotnull(<child attribute>) to the scan instead of
+  // re-evaluating this whole expression inside a pushed filter
+  override def nullIntolerant: Boolean = true
+
   require(lists.nonEmpty, "need at least one word list")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -27,6 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // null in -> null out (nullSafeEval): declaring it lets constraint
+  // inference push isnotnull(<child attribute>) to the scan instead of
+  // re-evaluating this whole expression inside a pushed filter
+  override def nullIntolerant: Boolean = true
+
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -31,6 +31,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("expensive compiled expressions evaluate exactly once per row") {
+    // A filter pushed below a projection re-evaluates the projected
+    // expression per consumer (the round-1 minhash regression): pin that
+    // each one-pass signature expression appears exactly once in its
+    // query's physical plan.
+    val expected = Seq(
+      ("x76_repetition", "graft_repetition_stats"),
+      ("x32_minhash_pairs", "graft_minhash_signature"),
+      ("x33_simhash_pairs", "graft_simhash64"))
+    expected.foreach { case (query, exprName) =>
+      val plan = SparkEntry.queries(query)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val n = exprName.r.findAllIn(plan).length
+      assert(n >= 1, s"$query: $exprName missing from plan")
+      assert(n <= 2, // name can appear once per side of a self-join
+        s"$query: $exprName appears $n times — re-evaluation regression:\n$plan")
+    }
+  }
+
   test("date-window predicates reach the parquet scan (PushedFilters)") {
     // The engine's raw-timestamp window convention exists so range
     // predicates hit parquet row-group stats — pin that they actually
