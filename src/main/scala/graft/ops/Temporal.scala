@@ -70,6 +70,58 @@ object Temporal {
         ++ rightValueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key (the next-event attach —
+    * time-to-failure, next-purchase attribution). Same single-shuffle
+    * union construction as [[asofJoin]], mirrored: right rows sort AFTER
+    * the left rows they may match at equal timestamps, and values are
+    * carried BACKWARD with an ignore-nulls `first` over
+    * [current, unbounded following].
+    *
+    * Determinism: right rows tied on (key, time) resolve to the SMALLEST
+    * tiebreaker (first in ascending order).
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns
+    // side 1 = right: at equal timestamps the right row sorts AFTER the
+    // left row, and the frame starts at the left row — so an equal-ts
+    // right row IS eligible (forward as-of is >=).
+    val taggedRight = right.select(
+      col(keyCol).as("__key"),
+      col(rightTimeCol).as("__t"),
+      lit(1).as("__side"),
+      col(rightTieBreak).as("__tie"),
+      struct(rightValueCols.map(col): _*).as("__rv"))
+    val taggedLeft = left.select(
+      (Seq(
+        col(keyCol).as("__key"),
+        col(leftTimeCol).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(taggedRight.schema("__tie").dataType).as("__tie"),
+        lit(null).cast(taggedRight.schema("__rv").dataType).as("__rv"))
+        ++ leftCols.map(c => left(c).as(s"__l_$c"))): _*)
+    val unioned = taggedRight
+      .select((taggedRight.columns.map(col)
+        ++ leftCols.map(c => lit(null).cast(taggedLeft.schema(s"__l_$c").dataType).as(s"__l_$c"))): _*)
+      .unionByName(taggedLeft)
+    val w = Window
+      .partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = unioned.withColumn("__asof", first(col("__rv"), ignoreNulls = true).over(w))
+    carried
+      .where(col("__side") === lit(0))
+      .select(leftCols.map(c => col(s"__l_$c").as(c))
+        ++ rightValueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+  }
+
   /** Banded range join: pairs with |left(valueCol) − right(valueCol)| ≤
     * width, plus any extra predicate, via bucket equi-join (left probes
     * bucket−1, bucket, bucket+1).

@@ -716,6 +716,39 @@ object ExtQueries {
       |ASOF LEFT JOIN errors r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** x79 — FORWARD as-of join: for every event, the NEXT 'error' event of
+    * the same user at or after it (time-to-failure shape). Oracle:
+    * DuckDB's native ASOF JOIN with the <= direction.
+    */
+  def x79AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Temporal
+    val ev = Tables.events(s, dir)
+    // Dedupe right side to one error per (user, ts) — MIN event_id (the
+    // forward join's ascending tie resolution) — so both engines resolve
+    // equal-timestamp ties identically.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))
+    val errors = ev.where(col("event_type") === lit("error"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    Temporal
+      .asofJoinForward(ev, errors, "user_id", "ts", "ts",
+        rightValueCols = Seq("event_id", "value"), rightTieBreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val x79Sql: String =
+    """WITH errors AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'error'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1)
+      |SELECT l.event_id, l.user_id, l.event_type,
+      |  r.event_id AS asof_event_id, r.value AS asof_value
+      |FROM events l
+      |ASOF LEFT JOIN errors r ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   /** x64 — banded range join: part pairs within a retail-price band, via
     * bucket equi-join (O(rows) shuffle instead of a cartesian range scan).
     */
@@ -1165,6 +1198,7 @@ object ExtQueries {
     "x68_sessionize" -> (x68Sessionize _),
     "x69_sessionize_stream" -> (x69SessionizeStream _),
     "x63_asof_join" -> (x63AsofJoin _),
+    "x79_asof_forward" -> (x79AsofForward _),
     "x64_range_join" -> (x64RangeJoin _),
     "x24_scrub" -> (x24Scrub _),
     "x25_vocab" -> (x25Vocab _),
@@ -1212,6 +1246,7 @@ object ExtQueries {
     "x68_sessionize" -> x68Sql,
     "x69_sessionize_stream" -> x69Sql,
     "x63_asof_join" -> x63Sql,
+    "x79_asof_forward" -> x79Sql,
     "x64_range_join" -> x64Sql,
     "x24_scrub" -> x24Sql,
     "x25_vocab" -> x25Sql,

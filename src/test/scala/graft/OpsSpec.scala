@@ -200,6 +200,20 @@ class OpsSpec extends SparkSpec {
     assert(out("d") === None) // right row is in the future
   }
 
+  test("asofJoinForward attaches the earliest following right row (inclusive)") {
+    import graft.ops.Temporal
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 100L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L, 1.0), (1L, 15L, 101L, 2.0), (2L, 99L, 102L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = Temporal.asofJoinForward(left, right, "k", "t", "t", Seq("rid", "v"), "rid")
+      .select($"tag", $"asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(out("a") === Some(100L)) // equal timestamp included (>=)
+    assert(out("b") === None) // nothing at or after t=20
+    assert(out("c") === Some(100L)) // earliest following
+    assert(out("d") === None) // right row is in the past
+  }
+
   test("bandedRangeJoin ≡ naive range predicate, without duplicates") {
     import graft.ops.Temporal
     val a = Seq((1L, 10.0), (2L, 15.0), (3L, 30.0)).toDF("ka", "va")
