@@ -749,6 +749,34 @@ object ExtQueries {
       |ASOF LEFT JOIN errors r ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** x80 — rolling time-range window: per event, the count and exact sum
+    * of the same user's events in the trailing hour (inclusive range
+    * frame over event-time micros). One shuffle on user_id; the range
+    * frame is a sliding two-pointer over each partition, O(n) per key.
+    */
+  def x80RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("sum_last_hour",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("n_last_hour"), col("sum_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val x80Sql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_last_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** x64 — banded range join: part pairs within a retail-price band, via
     * bucket equi-join (O(rows) shuffle instead of a cartesian range scan).
     */
@@ -1199,6 +1227,7 @@ object ExtQueries {
     "x69_sessionize_stream" -> (x69SessionizeStream _),
     "x63_asof_join" -> (x63AsofJoin _),
     "x79_asof_forward" -> (x79AsofForward _),
+    "x80_rolling_window" -> (x80RollingWindow _),
     "x64_range_join" -> (x64RangeJoin _),
     "x24_scrub" -> (x24Scrub _),
     "x25_vocab" -> (x25Vocab _),
@@ -1247,6 +1276,7 @@ object ExtQueries {
     "x69_sessionize_stream" -> x69Sql,
     "x63_asof_join" -> x63Sql,
     "x79_asof_forward" -> x79Sql,
+    "x80_rolling_window" -> x80Sql,
     "x64_range_join" -> x64Sql,
     "x24_scrub" -> x24Sql,
     "x25_vocab" -> x25Sql,
