@@ -749,6 +749,40 @@ object ExtQueries {
       |ASOF LEFT JOIN errors r ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** x81 — cross-document span duplication (exact-substring-dedup
+    * reporting, Lee-et-al-style scaled to this corpus's doc length): per
+    * document, the fraction of its distinct 8-token spans that occur in
+    * at least one OTHER document. Scale shape: one doc-frequency
+    * aggregate over the span stream + a key-aligned join back — linear
+    * in corpus spans, never pairwise.
+    */
+  def x81SpanDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", n = 8)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("dfc"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("dfc") > 1, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_spans")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x81Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 6),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |           tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS shingle
+      |  FROM t WHERE len(tk) >= 8),
+      |dfreq AS (SELECT shingle, count(*) dfc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, count(*) AS n_spans,
+      |  CAST(count(*) FILTER (dfreq.dfc > 1) AS BIGINT) AS n_shared,
+      |  count(*) FILTER (dfreq.dfc > 1)::DOUBLE / count(*) AS shared_frac
+      |FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   /** x80 — rolling time-range window: per event, the count and exact sum
     * of the same user's events in the trailing hour (inclusive range
     * frame over event-time micros). One shuffle on user_id; the range
@@ -1228,6 +1262,7 @@ object ExtQueries {
     "x63_asof_join" -> (x63AsofJoin _),
     "x79_asof_forward" -> (x79AsofForward _),
     "x80_rolling_window" -> (x80RollingWindow _),
+    "x81_span_dup" -> (x81SpanDup _),
     "x64_range_join" -> (x64RangeJoin _),
     "x24_scrub" -> (x24Scrub _),
     "x25_vocab" -> (x25Vocab _),
@@ -1277,6 +1312,7 @@ object ExtQueries {
     "x63_asof_join" -> x63Sql,
     "x79_asof_forward" -> x79Sql,
     "x80_rolling_window" -> x80Sql,
+    "x81_span_dup" -> x81Sql,
     "x64_range_join" -> x64Sql,
     "x24_scrub" -> x24Sql,
     "x25_vocab" -> x25Sql,
