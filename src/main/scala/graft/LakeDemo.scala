@@ -31,26 +31,51 @@ object LakeDemo {
     graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Priority 1: the data-quality gate — ingestion publishes nothing if
+    // the source violates its contract (the reference's implicit-cast
+    // trust, made explicit). Priority 2: the flagship document pipeline.
+    // Priority 3: parallel derived tables + an SCD2 upsert of per-user
+    // state. Priority 4: lake maintenance (small-file compaction).
     val jobs = Seq(
-      JobSpec(1, "payment_documents", 1, parallelRun = false),
-      JobSpec(2, "event_hourly", 2, parallelRun = true),
-      JobSpec(3, "doc_quality", 2, parallelRun = true))
+      JobSpec(0, "dq_gate", 1, parallelRun = false),
+      JobSpec(1, "payment_documents", 2, parallelRun = false),
+      JobSpec(2, "event_hourly", 3, parallelRun = true),
+      JobSpec(3, "doc_quality", 3, parallelRun = true),
+      JobSpec(4, "user_state_scd2", 3, parallelRun = true),
+      JobSpec(5, "compact_documents", 4, parallelRun = false))
 
-    val results = Orchestrator.run(jobs) { spec =>
-      val df = spec.targetTable match {
+    val results = Orchestrator.run(jobs, abortOnGroupFailure = true, maxAttempts = 2) { spec =>
+      def append(df: org.apache.spark.sql.DataFrame): Unit =
+        LakeWriter.appendPartitioned(
+          df.withColumn("run_index", LakeWriter.runIndexKey(lit("20260812"), runIndex)),
+          s"$lakeRoot/${spec.targetTable}", "run_index")
+      spec.targetTable match {
+        case "dq_gate" =>
+          import graft.ops.DataQuality._
+          val orders = graft.core.Tables.orders(spark, sfDir)
+          val violations = report(orders, Seq(
+            NotNull("o_orderkey"), Unique(Seq("o_orderkey")),
+            Accepted("o_orderstatus", Seq("O", "F", "P"))))
+            .agg(sum(col("n_violations"))).head().getLong(0)
+          require(violations == 0L, s"DQ gate: $violations violations — not publishing")
         case "payment_documents" =>
-          OrdinaryPayment.flattened(spark, sfDir,
-            RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01"))
+          append(OrdinaryPayment.flattened(spark, sfDir,
+            RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01")))
         case "event_hourly" =>
-          graft.streaming.Streams.eventsHourly(spark, sfDir)
+          append(graft.streaming.Streams.eventsHourly(spark, sfDir))
         case "doc_quality" =>
-          graft.ext.TextAnalysis.qualityFeatures(
+          append(graft.ext.TextAnalysis.qualityFeatures(
             graft.core.Tables.documents(spark, sfDir), "text")
-            .select(col("doc_id"), col("quality_score"))
+            .select(col("doc_id"), col("quality_score")))
+        case "user_state_scd2" =>
+          graft.streaming.Streams.scd2IngestStreaming(
+            spark, sfDir, s"$lakeRoot/user_state")
+          ()
+        case "compact_documents" =>
+          val n = LakeWriter.compact(spark, s"$lakeRoot/doc_quality",
+            targetBytes = 256L * 1024 * 1024, partitionCols = Seq("run_index"))
+          println(s"[lake-demo] compacted doc_quality (hive layout kept, ~$n file budget)")
       }
-      val withIdx = df.withColumn("run_index",
-        LakeWriter.runIndexKey(lit("20260812"), runIndex))
-      LakeWriter.appendPartitioned(withIdx, s"$lakeRoot/${spec.targetTable}", "run_index")
     }
 
     results.foreach { r =>

@@ -94,15 +94,24 @@ object LakeWriter {
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      targetBytes: Long = 256L * 1024 * 1024): Int = {
+      targetBytes: Long = 256L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val df = spark.read.parquet(path)
     val totalBytes = df.inputFiles.map(f =>
       Files.size(Paths.get(new java.net.URI(f)))).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val staging = path.stripSuffix("/") + ".compacting"
-    df.repartition(nFiles)
-      .write.mode("overwrite").option("compression", "snappy").parquet(staging)
+    // Partitioned tables keep their hive layout: repartition by the
+    // partition key (one writer task per folder, AQE re-splits skew) and
+    // bound file sizes per folder instead of globally.
+    val writer =
+      if (partitionCols.isEmpty) df.repartition(nFiles).write
+      else df.repartition(partitionCols.map(col): _*)
+        .write
+        .option("maxRecordsPerFile", ProductionMaxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+    writer.mode("overwrite").option("compression", "snappy").parquet(staging)
     val old = Paths.get(path)
     val bak = Paths.get(path.stripSuffix("/") + ".old")
     Files.move(old, bak, StandardCopyOption.ATOMIC_MOVE)
