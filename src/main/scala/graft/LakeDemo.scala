@@ -52,12 +52,9 @@ object LakeDemo {
       spec.targetTable match {
         case "dq_gate" =>
           import graft.ops.DataQuality._
-          val orders = graft.core.Tables.orders(spark, sfDir)
-          val violations = report(orders, Seq(
+          assertClean(graft.core.Tables.orders(spark, sfDir), Seq(
             NotNull("o_orderkey"), Unique(Seq("o_orderkey")),
             Accepted("o_orderstatus", Seq("O", "F", "P"))))
-            .agg(sum(col("n_violations"))).head().getLong(0)
-          require(violations == 0L, s"DQ gate: $violations violations — not publishing")
         case "payment_documents" =>
           append(OrdinaryPayment.flattened(spark, sfDir,
             RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01")))

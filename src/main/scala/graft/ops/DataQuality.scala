@@ -49,6 +49,19 @@ object DataQuality {
     def name = s"$column.fk_$dimColumn"
   }
 
+  /** Publish gate: throws with the offending checks when any rule has
+    * violations — the form an ingestion job calls before writing.
+    */
+  def assertClean(df: DataFrame, rules: Seq[Rule]): Unit = {
+    val bad = report(df, rules)
+      .filter(col("n_violations") > 0)
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"data-quality gate failed: ${bad.mkString(", ")}")
+  }
+
   /** Evaluate all rules; returns (check, n_violations) sorted by check. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession

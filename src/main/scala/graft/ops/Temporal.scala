@@ -122,6 +122,48 @@ object Temporal {
         ++ rightValueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Nearest as-of join: for each left row, the right row on the same key
+    * with the SMALLEST |rightTime − leftTime| — composed from the two
+    * directional joins (still two shuffles total, no range self-join).
+    * Ties (equidistant before and after) resolve to the EARLIER right
+    * row, matching the directional joins' determinism.
+    *
+    * The time columns must be numeric (epoch micros/seconds) so the
+    * distance compare is exact; callers with timestamps convert with
+    * `unix_micros` first.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns
+    // carry the matched right TIME through each directional join so the
+    // final pick can compare distances
+    val rv = rightValueCols :+ rightTimeCol
+    val back = asofJoin(left, right, keyCol, leftTimeCol, rightTimeCol, rv, rightTieBreak)
+    // the forward join over back's output would collide on asof_* names —
+    // rename the backward outputs first
+    val backRenamed = rv.foldLeft(back) { (df, c) =>
+      df.withColumnRenamed(s"asof_$c", s"__back_$c")
+    }
+    val both = asofJoinForward(backRenamed, right, keyCol, leftTimeCol, rightTimeCol,
+      rv, rightTieBreak)
+    val backT = col(s"__back_$rightTimeCol")
+    val fwdT = col(s"asof_$rightTimeCol")
+    val lT = col(leftTimeCol)
+    val pickBack = backT.isNotNull &&
+      (fwdT.isNull || (lT - backT) <= (fwdT - lT)) // tie -> earlier (back)
+    both.select(leftCols.map(col)
+      ++ rightValueCols.map { c =>
+        when(pickBack, col(s"__back_$c")).otherwise(col(s"asof_$c")).as(s"asof_$c")
+      }
+      :+ when(pickBack, backT).otherwise(fwdT).as(s"asof_$rightTimeCol"): _*)
+  }
+
   /** Banded range join: pairs with |left(valueCol) − right(valueCol)| ≤
     * width, plus any extra predicate, via bucket equi-join (left probes
     * bucket−1, bucket, bucket+1).

@@ -214,6 +214,21 @@ class OpsSpec extends SparkSpec {
     assert(out("d") === None) // right row is in the past
   }
 
+  test("asofJoinNearest picks the closer side, ties to the earlier right row") {
+    import graft.ops.Temporal
+    val left = Seq((1L, 10L, "near-back"), (1L, 13L, "near-fwd"),
+      (1L, 11L, "tie"), (1L, 100L, "only-back"), (2L, 5L, "no-right"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, 100L), (1L, 14L, 101L)).toDF("k", "t", "rid")
+    val out = Temporal.asofJoinNearest(left, right, "k", "t", "t", Seq("rid"), "rid")
+      .select($"tag", $"asof_rid").as[(String, Option[Long])].collect().toMap
+    assert(out("near-back") === Some(100L)) // |10-8|=2 < |14-10|=4
+    assert(out("near-fwd") === Some(101L)) // |14-13|=1 < |13-8|=5
+    assert(out("tie") === Some(100L)) // 3 = 3 -> earlier
+    assert(out("only-back") === Some(101L)) // nothing after 100
+    assert(out("no-right") === None)
+  }
+
   test("bandedRangeJoin ≡ naive range predicate, without duplicates") {
     import graft.ops.Temporal
     val a = Seq((1L, 10.0), (2L, 15.0), (3L, 30.0)).toDF("ka", "va")
