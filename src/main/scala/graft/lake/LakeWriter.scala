@@ -85,7 +85,10 @@ object LakeWriter {
     * ceil(totalBytes / targetBytes) files via round-robin repartition
     * (even sizes without a key), never `coalesce(1)` (single-task OOM,
     * the G.1X incident). Staged write + atomic swap so readers never see
-    * a half-compacted directory; returns the new file count.
+    * a half-compacted directory; returns the target file budget (the
+    * exact file count on the unpartitioned path; with `partitionCols`
+    * the hive layout is kept and per-folder files are bounded by
+    * `maxRecordsPerFile` instead).
     *
     * Scale shape: one full read + one shuffle-free round-robin exchange +
     * one write — O(data) with no driver materialization; each of the N

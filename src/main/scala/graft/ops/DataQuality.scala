@@ -68,7 +68,7 @@ object DataQuality {
     require(rules.nonEmpty, "no rules given")
 
     def counter(pred: Column): Column =
-      sum(when(pred, lit(1L)).otherwise(lit(0L)))
+      coalesce(sum(when(pred, lit(1L)).otherwise(lit(0L))), lit(0L)) // empty table = clean
 
     val onePass: Seq[(String, Column)] = rules.collect {
       case r @ NotNull(c) => r.name -> counter(col(c).isNull)
