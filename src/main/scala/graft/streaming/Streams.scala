@@ -278,13 +278,21 @@ object Streams extends Serializable {
               .withColumn("is_current", lit(true))
         val merged = graft.lake.Scd
           .scd2Merge(current, changes, Seq("user_id"), f"batch_$batchId%04d")
-        // atomic swap so readers never see a half-written snapshot
+        // two-ATOMIC_MOVE swap (same pattern as LakeWriter.compact): the
+        // old snapshot moves aside, staging moves in — a reader always
+        // sees either the previous or the new complete snapshot, never a
+        // missing/half-deleted directory
+        import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
         val staging = lakePath + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        val p = java.nio.file.Paths.get(lakePath)
-        if (java.nio.file.Files.exists(p))
-          org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-        java.nio.file.Files.move(java.nio.file.Paths.get(staging), p)
+        val p = JPaths.get(lakePath)
+        val bak = JPaths.get(lakePath + ".old")
+        if (JFiles.exists(p)) {
+          JFiles.move(p, bak, StandardCopyOption.ATOMIC_MOVE)
+          JFiles.move(JPaths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
+          org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+        } else
+          JFiles.move(JPaths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
         ()
       }
       .option("checkpointLocation", checkpoint)
