@@ -52,11 +52,34 @@ object Bench {
         else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
       name -> m
     }.toMap
-    val qs = names.map(k => s"\"" + k + "\":" + median(k)).mkString("{", ",", "}")
     val total = median.values.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$n,""" +
-        s""""n_queries":${names.size},"queries":$qs,"sf":"$sfDir"}""")
+    // The harness captures only the LAST ~2000 chars of output and parses
+    // the JSON line from that window; sbt appends a "[success] Total time"
+    // line (~80 chars) after us. Keep the whole line under 1800 chars:
+    // 3-decimal seconds, and if the query map still doesn't fit, keep the
+    // slowest queries and fold the rest into an "omitted" summary so the
+    // line stays parseable no matter how many queries the catalog grows.
+    def fmt(d: Double): String = f"$d%.3f"
+    def render(keep: Seq[String]): String = {
+      val qs = keep.map(k => "\"" + k + "\":" + fmt(median(k)))
+        .mkString("{", ",", "}")
+      val omitted = names.size - keep.size
+      val omittedPart =
+        if (omitted == 0) ""
+        else {
+          val omSec = names.filterNot(keep.contains).map(median).sum
+          s""","omitted":{"n_queries":$omitted,"sec":${fmt(omSec)}}"""
+        }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
+        s""""n_queries":${names.size},"queries":$qs$omittedPart,"sf":"$sfDir"}"""
+    }
+    val bySlowest = names.sortBy(n => (-median(n), n))
+    val line = Iterator.range(names.size, 0, -1)
+      .map(k => render(bySlowest.take(k).sorted))
+      .find(_.length <= 1800)
+      .getOrElse(render(Nil))
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }
