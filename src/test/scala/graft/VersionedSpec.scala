@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{LakeWriter, Versioned}
+
+/** Version-pointer table layout: gap-free publishes, crash-orphan
+  * tolerance, vacuum retention, and the in-place swap's recovery path.
+  */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString + "/tbl"
+
+  test("publish/read roundtrip; repoint is atomic and monotonic") {
+    val root = tmpRoot("versioned")
+    val v1 = Versioned.publish(Seq(1, 2, 3).toDF("x"), root)
+    assert(v1 === 1)
+    assert(Versioned.read(spark, root).as[Int].collect().sorted === Array(1, 2, 3))
+    // the pointer file exists from first publish onward — there is no
+    // instant where the table resolves to a missing directory
+    assert(Files.exists(Paths.get(root, "_CURRENT")))
+    val v2 = Versioned.publish(Seq(4, 5).toDF("x"), root)
+    assert(v2 === 2 && Versioned.currentVersion(root) === Some(2))
+    assert(Versioned.read(spark, root).as[Int].collect().sorted === Array(4, 5))
+    // previous version untouched until vacuum: a reader that resolved the
+    // pointer before the repoint still has a complete directory
+    assert(Files.isDirectory(Paths.get(root, "v000001")))
+  }
+
+  test("crashed publish leaves an orphan that readers never see") {
+    val root = tmpRoot("versioned-orphan")
+    Versioned.publish(Seq(1).toDF("x"), root)
+    // simulate a writer that died after creating its version dir but
+    // before repointing: a half-written directory above the pointer
+    Files.createDirectories(Paths.get(root, "v000002"))
+    Files.write(Paths.get(root, "v000002", "part-junk.parquet"), Array[Byte](1, 2))
+    assert(Versioned.currentVersion(root) === Some(1))
+    assert(Versioned.read(spark, root).as[Int].collect() === Array(1))
+    // next publish allocates ABOVE the orphan (never reuses its dir)
+    val v = Versioned.publish(Seq(2).toDF("x"), root)
+    assert(v === 3)
+    assert(Versioned.read(spark, root).as[Int].collect() === Array(2))
+    // vacuum reclaims both the old version and the orphan
+    val removed = Versioned.vacuum(root, keep = 1)
+    assert(removed === 2)
+    assert(!Files.exists(Paths.get(root, "v000001")))
+    assert(!Files.exists(Paths.get(root, "v000002")))
+    assert(Versioned.read(spark, root).as[Int].collect() === Array(2))
+  }
+
+  test("vacuum keeps the live version plus retention window") {
+    val root = tmpRoot("versioned-vacuum")
+    (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), root))
+    val removed = Versioned.vacuum(root, keep = 2)
+    assert(removed === 2) // v1, v2 gone; v3 retained for in-flight readers
+    assert(Files.isDirectory(Paths.get(root, "v000003")))
+    assert(Versioned.read(spark, root).as[Int].collect() === Array(4))
+  }
+
+  test("versioned compact collapses files with zero reader-visible gap") {
+    val root = tmpRoot("versioned-compact")
+    Versioned.publish(
+      spark.range(10000).select($"id".cast("int").as("x")).repartition(16), root)
+    val before = Versioned.read(spark, root).inputFiles.length
+    assert(before >= 16)
+    Versioned.compact(spark, root)
+    val after = Versioned.read(spark, root)
+    assert(after.inputFiles.length < before)
+    assert(after.agg(sum($"x")).as[Long].head === 10000L * 9999 / 2)
+  }
+
+  test("recoverSwap heals a crash between the two swap moves") {
+    val dir = tmpRoot("swap-crash")
+    Seq(1, 2, 3).toDF("x").write.parquet(dir)
+    // crash window: old snapshot moved aside, staging never moved in
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // plus a stale half-written staging from the dead writer
+    Files.createDirectories(Paths.get(dir + ".compacting"))
+    Files.write(Paths.get(dir + ".compacting", "junk"), Array[Byte](9))
+    LakeWriter.recoverSwap(dir)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted === Array(1, 2, 3))
+    assert(!Files.exists(Paths.get(dir + ".old")))
+    assert(!Files.exists(Paths.get(dir + ".compacting")))
+    // crash AFTER the swap completed but before .old cleanup: the new
+    // snapshot at path wins, the backup is reclaimed
+    Seq(9).toDF("x").write.parquet(dir + ".old")
+    LakeWriter.recoverSwap(dir)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted === Array(1, 2, 3))
+    assert(!Files.exists(Paths.get(dir + ".old")))
+  }
+}
