@@ -84,11 +84,16 @@ object LakeWriter {
     * spot, `:262-268`). Rewrites a parquet directory into
     * ceil(totalBytes / targetBytes) files via round-robin repartition
     * (even sizes without a key), never `coalesce(1)` (single-task OOM,
-    * the G.1X incident). Staged write + atomic swap so readers never see
-    * a half-compacted directory; returns the target file budget (the
-    * exact file count on the unpartitioned path; with `partitionCols`
-    * the hive layout is kept and per-folder files are bounded by
-    * `maxRecordsPerFile` instead).
+    * the G.1X incident). Staged write + two-move swap, so readers never
+    * see a PARTIALLY-WRITTEN directory — but between the two renames the
+    * table path briefly does not exist, so a concurrent reader can catch
+    * a not-found window (retry the read, or use [[Versioned]] for the
+    * pointer-indirection layout with no window at all). A crash between
+    * the moves is self-healing: the next call restores the `.old`
+    * snapshot before compacting (see [[recoverSwap]]). Returns the
+    * target file budget (the exact file count on the unpartitioned path;
+    * with `partitionCols` the hive layout is kept and per-folder files
+    * are bounded by `maxRecordsPerFile` instead).
     *
     * Scale shape: one full read + one shuffle-free round-robin exchange +
     * one write — O(data) with no driver materialization; each of the N
@@ -99,7 +104,8 @@ object LakeWriter {
       path: String,
       targetBytes: Long = 256L * 1024 * 1024,
       partitionCols: Seq[String] = Nil): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
+    recoverSwap(path)
     val df = spark.read.parquet(path)
     val totalBytes = df.inputFiles.map(f =>
       Files.size(Paths.get(new java.net.URI(f)))).sum
@@ -115,12 +121,49 @@ object LakeWriter {
         .option("maxRecordsPerFile", ProductionMaxRecordsPerFile)
         .partitionBy(partitionCols: _*)
     writer.mode("overwrite").option("compression", "snappy").parquet(staging)
-    val old = Paths.get(path)
-    val bak = Paths.get(path.stripSuffix("/") + ".old")
-    Files.move(old, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), old, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    swapIn(path, staging)
     nFiles
+  }
+
+  /** Replace the directory at `path` with the fully-written `staging`
+    * directory via two ATOMIC_MOVEs (old → `.old`, staging → path), then
+    * reclaim `.old`. Readers never observe a partially-written directory;
+    * they CAN catch a brief not-found window between the renames — callers
+    * needing zero-window publishes use [[Versioned]]. A missing `path`
+    * (first publish) is a single move.
+    */
+  private[graft] def swapIn(path: String, staging: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(path)
+    val bak = Paths.get(path.stripSuffix("/") + ".old")
+    if (Files.exists(p)) {
+      Files.move(p, bak, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
+      org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    } else
+      Files.move(Paths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Startup recovery for [[swapIn]] crash windows: a crash between the
+    * two moves leaves `<path>.old` holding the only copy of the table —
+    * move it back; a crash before the swap leaves a stale half-written
+    * staging `.compacting`/`.staging` sibling — delete it so the next
+    * ATOMIC_MOVE doesn't target a non-empty directory (ENOTEMPTY).
+    * Idempotent; safe to call before every compact/ingest run.
+    */
+  private[graft] def recoverSwap(path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(path)
+    val bak = Paths.get(path.stripSuffix("/") + ".old")
+    if (Files.exists(bak) && !Files.exists(p))
+      Files.move(bak, p, StandardCopyOption.ATOMIC_MOVE)
+    else if (Files.exists(bak))
+      org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
+    Seq(".compacting", ".staging").foreach { suf =>
+      val stale = Paths.get(path.stripSuffix("/") + suf)
+      if (Files.exists(stale))
+        org.apache.commons.io.FileUtils.deleteDirectory(stale.toFile)
+    }
   }
 
   /** Bucketed catalog table: pre-shuffles data into `buckets` files per

@@ -258,16 +258,16 @@ object Streams extends Serializable {
         col("event_type"), col("value"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val changes = batch
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1)
+        val changes = graft.lake.Scd
+          .latestWins(batch, Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").desc))
           .select(col("user_id"),
             col("event_type").as("last_type"),
             Casts.asMoney(col("value")).cast(DoubleType).as("last_value"))
         val sparkB = batch.sparkSession
+        // heal a crash inside a previous batch's swap window (and remove
+        // stale staging) BEFORE reading the current snapshot
+        graft.lake.LakeWriter.recoverSwap(lakePath)
         val current =
           if (new java.io.File(lakePath).exists())
             sparkB.read.parquet(lakePath)
@@ -276,23 +276,18 @@ object Streams extends Serializable {
               .withColumn("eff_from", lit("1970-01-01"))
               .withColumn("eff_to", lit(null).cast(StringType))
               .withColumn("is_current", lit(true))
+        // version label, not a date: fixed 12-digit zero-pad keeps
+        // lexicographic ordering for any realistic batch count (a %04d
+        // tag inverts at batch 10000: "batch_10000" < "batch_9999")
         val merged = graft.lake.Scd
-          .scd2Merge(current, changes, Seq("user_id"), f"batch_$batchId%04d")
-        // two-ATOMIC_MOVE swap (same pattern as LakeWriter.compact): the
-        // old snapshot moves aside, staging moves in — a reader always
-        // sees either the previous or the new complete snapshot, never a
-        // missing/half-deleted directory
-        import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+          .scd2Merge(current, changes, Seq("user_id"), f"batch_$batchId%012d")
+        // two-ATOMIC_MOVE swap (shared with LakeWriter.compact): readers
+        // never see a partially-written snapshot; a brief not-found
+        // window between the renames is possible, and recoverSwap heals
+        // a crash inside it on the next run
         val staging = lakePath + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        val p = JPaths.get(lakePath)
-        val bak = JPaths.get(lakePath + ".old")
-        if (JFiles.exists(p)) {
-          JFiles.move(p, bak, StandardCopyOption.ATOMIC_MOVE)
-          JFiles.move(JPaths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
-          org.apache.commons.io.FileUtils.deleteDirectory(bak.toFile)
-        } else
-          JFiles.move(JPaths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
+        graft.lake.LakeWriter.swapIn(lakePath, staging)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -139,7 +139,7 @@ class StreamsSpec extends SparkSpec {
       .select($"last_type", $"is_current", $"eff_to")
       .collect().map(r => (r.getString(0), r.getBoolean(1), Option(r.getString(2)))).toSet
     assert(u1 === Set(
-      ("click", false, Some("batch_0001")),
+      ("click", false, Some("batch_000000000001")),
       ("purchase", true, None)))
     // u2 untouched by the second delivery
     val u2 = out2.where($"user_id" === 2L).collect()
