@@ -24,12 +24,40 @@ import org.apache.spark.sql.functions._
   * unchanged re-delivery of the same change batch is a no-op
   * (idempotent ingestion, the property retries at 100 TB need).
   *
-  * Validity columns are `yyyy-MM-dd` date STRINGS (SURVEY §1.2: strings
-  * dodge tz semantics by construction); `eff_to` is null on open rows.
+  * Validity columns `eff_from`/`eff_to` are opaque STRING version labels
+  * whose only contract is lexicographic monotonicity across merges —
+  * typically `yyyy-MM-dd` dates (SURVEY §1.2: strings dodge tz semantics
+  * by construction), or fixed-width batch tags from the streaming
+  * ingester; `eff_to` is null on open rows.
+  *
+  * PRECONDITIONS (violating either fans out the full-outer join and
+  * emits multiple closed copies / simultaneously-open versions per key):
+  *  - `changes` carries AT MOST ONE row per key — collapse a raw change
+  *    feed with [[latestWins]] first;
+  *  - `current` has at most one `is_current` row per key (guaranteed by
+  *    induction if every merge went through this function).
   */
 object Scd {
 
   val MetaCols: Seq[String] = Seq("eff_from", "eff_to", "is_current")
+
+  /** Collapse a raw change feed to one row per key — the highest
+    * `orderBy` wins (pass `.desc` columns for latest-wins). Make the
+    * ordering total (e.g. timestamp + a unique id) or the survivor among
+    * ties is nondeterministic. One window over the key partition: the
+    * same single shuffle the merge itself needs.
+    */
+  def latestWins(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    changes
+      .withColumn("__scd_rn", row_number().over(w))
+      .where(col("__scd_rn") === 1)
+      .drop("__scd_rn")
+  }
 
   def scd2Merge(
       current: DataFrame,

@@ -49,6 +49,30 @@ class ScdSpec extends SparkSpec {
       "identical attrs must not open a new version")
   }
 
+  test("latestWins collapses a raw change feed to one row per key") {
+    val feed = Seq(
+      (2L, "O", 25.0, 10L, 1L), // older delivery
+      (2L, "O", 27.0, 20L, 2L), // latest -> survivor
+      (4L, "P", 40.0, 5L, 3L))
+      .toDF("k", "status", "price", "ts", "seq")
+    val deduped = Scd.latestWins(feed, Seq("k"),
+      Seq(col("ts").desc, col("seq").desc))
+      .drop("ts", "seq")
+    val current = snapshot((2L, "O", 20.0))
+    val out = collect(Scd.scd2Merge(current, deduped, Seq("k"), "2021-06-01"))
+    // without the dedupe the full-outer join fans out: two closed copies
+    // of k=2 and two simultaneously-open versions — the precondition
+    // latestWins exists to establish
+    assert(out === Set(
+      (2L, "O", 20.0, "2020-01-01", Some("2021-06-01"), false),
+      (2L, "O", 27.0, "2021-06-01", None, true),
+      (4L, "P", 40.0, "2021-06-01", None, true)))
+    val openPerKey = Scd.scd2Merge(current, deduped, Seq("k"), "2021-06-01")
+      .where(col("is_current")).groupBy(col("k")).count()
+      .where(col("count") > 1).count()
+    assert(openPerKey === 0L)
+  }
+
   test("scd2Merge never touches history rows") {
     val history = snapshot((9L, "X", 1.0))
       .withColumn("eff_to", lit("2019-01-01"))
