@@ -24,9 +24,26 @@ object DataQuality {
     def name = s"$column.not_null"
   }
 
-  /** Key columns must be unique (violations = rows − distinct keys). */
+  /** Key columns must be unique (violations = rows − distinct keys),
+    * with `count(DISTINCT ...)` null semantics: rows where ANY key
+    * column is null are excluded from the distinct count, so each one
+    * counts as a violation — i.e. Unique implies NotNull on the keys
+    * (SQL-standard, and what the DuckDB oracle computes). When null keys
+    * are legitimate, use [[UniqueOrNull]] which counts only true
+    * duplicates.
+    */
   final case class Unique(columns: Seq[String]) extends Rule {
     def name = s"${columns.mkString("+")}.unique"
+  }
+
+  /** Exact duplicate count including null keys: violations = rows −
+    * distinct keys where null is a value like any other (two (1, null)
+    * rows = 1 violation; a single null-keyed row = 0). Rides the same
+    * one-pass aggregation — the keys are wrapped in a struct, which is
+    * itself never null, so nothing drops from the distinct count.
+    */
+  final case class UniqueOrNull(columns: Seq[String]) extends Rule {
+    def name = s"${columns.mkString("+")}.unique_or_null"
   }
 
   /** Numeric column must lie in [lo, hi]; nulls don't violate (pair with
@@ -79,6 +96,9 @@ object DataQuality {
       case r @ Unique(cols) =>
         r.name -> (count(lit(1)) -
           countDistinct(col(cols.head), cols.tail.map(col): _*))
+      case r @ UniqueOrNull(cols) =>
+        r.name -> (count(lit(1)) -
+          countDistinct(struct(cols.map(col): _*)))
     }
     val fks = rules.collect { case r: ForeignKey => r }
 

@@ -234,6 +234,30 @@ class ExtSpec extends SparkSpec {
     assert(rep.size === 5)
   }
 
+  test("UniqueOrNull counts true duplicates only; Unique implies NotNull") {
+    import graft.ops.DataQuality._
+    // fully-unique non-null keys plus ONE null-keyed row: Unique reports
+    // 1 (the null), UniqueOrNull reports 0 (no actual duplicate)
+    val oneNull = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val r1 = report(oneNull, Seq(Unique(Seq("k")), UniqueOrNull(Seq("k"))))
+      .as[(String, Long)].collect().toMap
+    assert(r1("k.unique") === 1L)
+    assert(r1("k.unique_or_null") === 0L)
+    // three null-keyed rows: Unique reports 3; UniqueOrNull treats null
+    // as a value, so they're duplicates of each other → 2
+    val threeNulls = Seq(Some(1L), None, None, None).toDF("k")
+    val r3 = report(threeNulls, Seq(Unique(Seq("k")), UniqueOrNull(Seq("k"))))
+      .as[(String, Long)].collect().toMap
+    assert(r3("k.unique") === 3L)
+    assert(r3("k.unique_or_null") === 2L)
+    // composite key with a real duplicate and a null component
+    val comp = Seq((Some(1L), "a"), (Some(1L), "a"), (None, "a"), (None, "b"))
+      .toDF("k1", "k2")
+    val rc = report(comp, Seq(UniqueOrNull(Seq("k1", "k2"))))
+      .as[(String, Long)].collect().toMap
+    assert(rc("k1+k2.unique_or_null") === 1L) // only the (1,a) pair
+  }
+
   test("stratified sampling is deterministic and tracks target fractions") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def kept() = d.where(graft.ext.Sampling.stratifiedPredicate(
