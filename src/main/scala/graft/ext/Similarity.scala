@@ -56,6 +56,51 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
+  // ── int8 scalar quantization ──
+  //
+  // The 100 TB memory lever for similarity search: a symmetric per-vector
+  // int8 code is 8× smaller than the float64 work the scorer does (4× vs
+  // float32 storage), so broadcast index budgets stretch 4-8× and shuffle
+  // volume in the ANN paths drops proportionally. Reconstruction error is
+  // bounded by scale/2 = maxabs/254 per component. All-declarative Column
+  // arithmetic (floor-then-cast, sequential double sums) so the result is
+  // bit-reproducible against any engine computing the same formula.
+
+  /** max(|v_i|): the quantization range anchor. */
+  def maxAbsCol(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 code: q_i = floor(v_i / (maxabs/127) + 0.5) ∈
+    * [-127, 127] (half-up rounding spelled as floor so the int cast is
+    * exact under both truncating and rounding cast semantics). An
+    * all-zero vector quantizes to all-zero codes.
+    */
+  def quantizeCol(emb: Column, maxAbs: Column): Column =
+    when(maxAbs === lit(0.0), transform(emb, _ => lit(0)))
+      .otherwise(transform(emb, x =>
+        floor(x.cast("double") / (maxAbs / lit(127.0)) + lit(0.5)).cast("int")))
+
+  /** Reconstruction: v̂_i = q_i · scale (double). */
+  def dequantizeCol(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Rebuild an Array[Float] embedding frame from int8 codes, for running
+    * any of the search paths over the quantized representation.
+    */
+  def dequantized(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      transform(col("q"), x => (x.cast("double") * col("scale")).cast("float"))
+        .as("embedding"))
+
+  /** Per-vector quantization frame: (vec_id, scale, q). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        maxAbsCol(col("embedding")).as("maxabs"))
+      .select(col("vec_id"),
+        (col("maxabs") / lit(127.0)).as("scale"),
+        quantizeCol(col("embedding"), col("maxabs")).as("q"))
+
   private[ext] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

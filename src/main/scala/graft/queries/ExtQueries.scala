@@ -499,6 +499,61 @@ object ExtQueries {
       |FROM embeddings e CROSS JOIN ref
       |ORDER BY vec_id""".stripMargin
 
+  /** x45 — int8 scalar quantization ([[graft.ext.Similarity.quantizeInt8]]):
+    * per-vector symmetric code + reconstruction fidelity (cosine between
+    * the full vector and its dequantization, max componentwise error —
+    * bounded by scale/2). The 4-8× memory lever that stretches ANN
+    * broadcast/shuffle budgets at 100 TB; layered selects keep each
+    * expensive array expression evaluated once.
+    */
+  def x45Quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    e.select(col("vec_id"), col("embedding"),
+        Similarity.maxAbsCol(col("embedding")).as("maxabs"))
+      .select(col("vec_id"), col("embedding"),
+        (col("maxabs") / lit(127.0)).as("scale"),
+        Similarity.quantizeCol(col("embedding"), col("maxabs")).as("q"))
+      .select(col("vec_id"), col("embedding"), col("scale"), col("q"),
+        Similarity.dequantizeCol(col("q"), col("scale")).as("deq"))
+      .select(
+        col("vec_id"), col("scale"), col("q"),
+        when(col("scale") === lit(0.0), lit(null).cast("double"))
+          .otherwise(Similarity.cosineCol(col("embedding"), col("deq")))
+          .as("cos_q"),
+        array_max(zip_with(col("embedding"), col("deq"),
+          (x, y) => abs(x.cast("double") - y))).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x45Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, embedding, maxabs/127 AS scale,
+      |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(floor(x::DOUBLE/(maxabs/127) + 0.5) AS INT))
+      |    END AS q
+      |  FROM b),
+      |d AS (
+      |  SELECT vec_id, embedding, scale, q,
+      |    list_transform(q, x -> x::DOUBLE * scale) AS deq
+      |  FROM qz)
+      |SELECT vec_id, scale, q,
+      |  CASE WHEN scale = 0 THEN NULL ELSE
+      |    list_sum(list_transform(generate_series(1, len(embedding)),
+      |      i -> embedding[i]::DOUBLE * deq[i]))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      |         i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(generate_series(1, len(deq)),
+      |         i -> deq[i] * deq[i]))))
+      |  END AS cos_q,
+      |  list_max(list_transform(generate_series(1, len(embedding)),
+      |    i -> abs(embedding[i]::DOUBLE - deq[i]))) AS max_abs_err
+      |FROM d ORDER BY vec_id""".stripMargin
+
   /** x66 — skew-safe salted equi-join (Relational.saltedEquiJoin): events
     * fact joined to its per-user aggregate; salting must not change join
     * semantics, so the oracle is the plain join.
@@ -1285,6 +1340,7 @@ object ExtQueries {
     "x41_ann_lsh" -> (x41AnnLsh _),
     "x42_cosine_neardup" -> (x42CosineNearDup _),
     "x44_vector_ops" -> (x44VectorOps _),
+    "x45_quantize" -> (x45Quantize _),
     "x66_salted_join" -> (x66SaltedJoin _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
@@ -1332,6 +1388,7 @@ object ExtQueries {
     "x40_cosine_topk" -> x40Sql,
     "x42_cosine_neardup" -> x42Sql,
     "x44_vector_ops" -> x44Sql,
+    "x45_quantize" -> x45Sql,
     "x66_salted_join" -> x66Sql,
     "x50_media_meta" -> x50Sql,
     "x52_media_resize" -> x52Sql,

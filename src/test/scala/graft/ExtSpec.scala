@@ -358,6 +358,29 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(_.vec_id == 0L))
   }
 
+  test("int8 quantization: bounded error, high search fidelity on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(embs)
+    // codes stay in the int8 range and reconstruction error within scale/2
+    val codes = q.select(explode($"q").as("c")).as[Int].collect()
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    val errOverBound = embs.join(q, "vec_id")
+      .select(array_max(zip_with($"embedding",
+        Similarity.dequantizeCol($"q", $"scale"),
+        (x, y) => abs(x.cast("double") - y))) > $"scale" * 0.5 + 1e-12)
+      .as[Boolean].collect()
+    assert(!errOverBound.exists(identity), "component error exceeded scale/2")
+    // exact search over the dequantized int8 index finds the same nearest
+    // neighbor almost always — the memory-8x representation is search-grade
+    val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    val viaInt8 = Similarity.bruteForceTopK(Similarity.dequantized(q), k = 1)
+      .collect().map(n => n.vec_id -> n.neighbor_id).toMap
+    val recall = exact.count { case (id, n) => viaInt8.get(id).contains(n) }
+      .toDouble / exact.size
+    assert(recall > 0.9, s"int8 nearest-neighbor agreement $recall too low")
+  }
+
   test("LSH ANN achieves high recall vs brute force on the real embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(embs, k = 1).collect()

@@ -15,8 +15,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def to_cmp(v):
+    """Array cells (numpy arrays / lists) -> nested tuples so pandas can
+    sort and compare them; scalars pass through."""
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(to_cmp(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, to_cmp(x)) for k, x in v.items()))
+    return v
+
+
 def canon(df):
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(to_cmp)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
