@@ -73,6 +73,27 @@ class VersionedSpec extends SparkSpec {
     assert(after.agg(sum($"x")).as[Long].head === 10000L * 9999 / 2)
   }
 
+  test("log table: O(delta) appends, manifest union read, compact folds") {
+    val root = tmpRoot("versioned-log")
+    Versioned.publishDelta(Seq(1, 2).toDF("x"), root)
+    Versioned.publishDelta(Seq(3).toDF("x"), root)
+    Versioned.publishDelta(Seq(4, 5).toDF("x"), root)
+    assert(Versioned.manifest(root) === Seq(1, 2, 3))
+    assert(Versioned.read(spark, root).as[Int].collect().sorted === (1 to 5).toArray)
+    // earlier deltas were never rewritten: appends stayed O(delta)
+    assert(Files.isDirectory(Paths.get(root, "v000001")))
+    // compaction folds the chain into one directory, atomically
+    val v = Versioned.compact(spark, root)
+    assert(Versioned.manifest(root) === Seq(v))
+    assert(Versioned.read(spark, root).as[Int].collect().sorted === (1 to 5).toArray)
+    // old deltas reclaimable once no reader window needs them
+    assert(Versioned.vacuum(root, keep = 1) === 3)
+    assert(Versioned.read(spark, root).as[Int].collect().sorted === (1 to 5).toArray)
+    // appends keep working after compaction
+    Versioned.publishDelta(Seq(6).toDF("x"), root)
+    assert(Versioned.read(spark, root).as[Int].collect().sorted === (1 to 6).toArray)
+  }
+
   test("recoverSwap heals a crash between the two swap moves") {
     val dir = tmpRoot("swap-crash")
     Seq(1, 2, 3).toDF("x").write.parquet(dir)
