@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.lake.Versioned
+
+/** Incremental corpus deduplication — the production loop of a training
+  * -data pipeline: deliveries arrive over time and each must be deduped
+  * against everything already accepted WITHOUT re-running corpus-wide
+  * pair generation.
+  *
+  * Persisted state under `stateRoot` (two [[Versioned]] log tables, so
+  * every publish is atomic for readers and O(delivery), never a corpus
+  * rewrite):
+  *  - `survivors`: accepted documents (id, text, content_hash);
+  *  - `bands`: their MinHash LSH bands (id, band, band_hash) — the
+  *    precomputed index that makes delivery-vs-corpus candidate
+  *    generation an equi-join. Signature computation (the CPU-heavy
+  *    part) happens exactly once per accepted document, at ingest.
+  *
+  * Per-delivery work: O(|delivery|) hashing + signatures, one hash
+  * equi-join + one bucket-join against the persisted index (both prune
+  * to narrow columns on the corpus side), and exact Jaccard
+  * verification of the (small) candidate set. Survivor rules are
+  * deterministic: min-id within a delivery, corpus-first-wins across
+  * deliveries (an accepted document is never evicted — ingestion
+  * history is append-only, so re-delivering old data is a no-op).
+  *
+  * Near-dups are caught by banding + Jaccard ≥ threshold; exact dups
+  * (including documents too short to shingle) by the normalized content
+  * hash — the same two tiers as the batch [[Dedup]] operators.
+  */
+object IncrementalDedup {
+
+  /** Per-ingest accounting (all counts are documents). */
+  final case class IngestStats(
+      delivered: Long,
+      dupsWithinDelivery: Long,
+      dupsVsCorpus: Long,
+      accepted: Long)
+
+  private def survivorsRoot(stateRoot: String) =
+    stateRoot.stripSuffix("/") + "/survivors"
+  private def bandsRoot(stateRoot: String) =
+    stateRoot.stripSuffix("/") + "/bands"
+
+  /** The accepted corpus so far: (idCol, textCol, content_hash), empty
+    * (with that schema) if nothing was ever ingested.
+    */
+  def survivors(
+      spark: SparkSession,
+      stateRoot: String,
+      idCol: String,
+      textCol: String): DataFrame =
+    if (Versioned.exists(survivorsRoot(stateRoot)))
+      Versioned.read(spark, survivorsRoot(stateRoot))
+    else
+      spark.range(0)
+        .select(col("id").as(idCol),
+          lit("").as(textCol),
+          lit("").as("content_hash"))
+
+  /** Ingest one delivery: dedupe it against itself and the accepted
+    * corpus, append only novel documents to the state, return the
+    * accounting. Deterministic given the delivery content.
+    */
+  def ingest(
+      delivery: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateRoot: String,
+      n: Int = 3,
+      threshold: Double = 0.3,
+      numHashes: Int = 64,
+      bands: Int = 16): IngestStats = {
+    val spark = delivery.sparkSession
+    val delivered = delivery.count()
+
+    // 1a. within-delivery EXACT dedup on the normalized content hash —
+    //     catches everything identical, including sub-n-token documents
+    //     the shingle tier can't see; min-id survivor via one window
+    val hashed = delivery.select(col(idCol), col(textCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"))
+    val exactKept = hashed
+      .withColumn("keep",
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("content_hash"))))
+      .where(col("keep"))
+      .drop("keep")
+
+    // 1b. within-delivery NEAR dedup: LSH pairs → components → min-id
+    val pairs = Dedup
+      .minhashPairs(exactKept, idCol, textCol, n, threshold, numHashes, bands)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val keptWithin = exactKept
+      .join(cc, exactKept(idCol) === cc("node"), "left")
+      .withColumn("component", coalesce(col("label"), col(idCol)))
+      .select(exactKept(idCol).as(idCol), col(textCol), col("content_hash"),
+        col("component"))
+      .withColumn("keep",
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("component"))))
+      .where(col("keep"))
+      .select(col(idCol), col(textCol), col("content_hash"))
+
+    // 2. delivery-vs-corpus, two tiers. Corpus side prunes to narrow
+    //    columns (hash / bands) — text is only fetched for candidates.
+    val corpus = survivors(spark, stateRoot, idCol, textCol)
+    val exactDupVsCorpus = keptWithin
+      .join(corpus.select(col("content_hash")), Seq("content_hash"), "left_semi")
+      .select(col(idCol).as("new_id"))
+
+    val spread = keptWithin.repartition(spark.sparkContext.defaultParallelism)
+    val newSigs = spread
+      .where(size(split(trim(lower(col(textCol))), "\\s+")) >= lit(n))
+      .select(col(idCol),
+        graft.functions.MinHashSignature.column(col(textCol), n, numHashes).as("mh"))
+    val newBands = Dedup.lshBands(newSigs, idCol, bands, numHashes / bands)
+      .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
+
+    val bRoot = bandsRoot(stateRoot)
+    val nearDupVsCorpus: DataFrame =
+      if (!Versioned.exists(bRoot))
+        keptWithin.select(col(idCol).as("new_id")).limit(0)
+      else {
+        val corpusBands = Versioned.read(spark, bRoot)
+          .select(col(idCol).as("old_id"), col("band"), col("band_hash"))
+        val candidates = newBands
+          .join(corpusBands, Seq("band", "band_hash"))
+          .select(col("new_id"), col("old_id"))
+          .distinct()
+        val newSets = keptWithin.select(col(idCol).as("new_id"),
+          graft.functions.GraftFunctions.wordShingles(col(textCol), n).as("sh_a"))
+        val oldSets = corpus.select(col(idCol).as("old_id"),
+          graft.functions.GraftFunctions.wordShingles(col(textCol), n).as("sh_b"))
+        candidates
+          .join(newSets, Seq("new_id"))
+          .join(oldSets, Seq("old_id"))
+          .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            col("n_common").cast(DoubleType)
+              / (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
+                .cast(DoubleType))
+          .where(col("jaccard") >= lit(threshold))
+          .select(col("new_id"))
+          .distinct()
+      }
+
+    val dupIds = exactDupVsCorpus.union(nearDupVsCorpus).distinct()
+    val novel = keptWithin
+      .join(dupIds, keptWithin(idCol) === dupIds("new_id"), "left_anti")
+      // reused 3× below (two publishes + count); sever the multi-join
+      // lineage and materialize once
+      .localCheckpoint(true)
+
+    // 3. publish the delta: documents first, then their index. A writer
+    //    crash between the two flips leaves accepted documents missing
+    //    from the band index — the exact tier still catches identical
+    //    re-deliveries (hash lives in survivors), and the worst case is
+    //    accepting a NEAR-dup of an unindexed document; never a lost one
+    val keptCount = keptWithin.count()
+    val novelCount = novel.count()
+    if (novelCount > 0) {
+      Versioned.publishDelta(novel, survivorsRoot(stateRoot))
+      val novelBands = newBands
+        .join(novel.select(col(idCol).as("new_id")), Seq("new_id"), "left_semi")
+        .select(col("new_id").as(idCol), col("band"), col("band_hash"))
+      Versioned.publishDelta(novelBands, bRoot)
+    }
+    IngestStats(
+      delivered = delivered,
+      dupsWithinDelivery = delivered - keptCount,
+      dupsVsCorpus = keptCount - novelCount,
+      accepted = novelCount)
+  }
+}
