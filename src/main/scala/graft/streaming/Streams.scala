@@ -113,6 +113,41 @@ object Streams extends Serializable {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Streaming incremental corpus dedup: each micro-batch (= delivery of
+    * document files) runs [[graft.ext.IncrementalDedup.ingest]] against
+    * the persisted hash + band state inside `foreachBatch`, so the
+    * accepted corpus under `stateRoot` stays continuously deduped as
+    * deliveries arrive. The checkpoint persists across invocations:
+    * re-running processes only NEW files (the file source's seen-files
+    * log) — the streaming spelling of the deliver→ingest→repeat loop,
+    * with the same deterministic survivor rules as the batch operator.
+    * Returns the accepted corpus after the run.
+    */
+  def dedupIngestStreamingFrom(
+      spark: SparkSession,
+      sourceDir: String,
+      stateRoot: String,
+      checkpoint: String,
+      n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val ss = streamSession(spark)
+    val q = ss.readStream
+      .schema(DocumentsRawSchema)
+      .parquet(sourceDir)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.IncrementalDedup
+          .ingest(batch, "doc_id", "text", stateRoot, n, threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.IncrementalDedup.survivors(spark, stateRoot, "doc_id", "text")
+  }
+
   /** Streaming exact dedup: min-id survivor per normalized-content hash,
     * computed incrementally over the document stream — arriving duplicates
     * fold into their group's running (min id, count) state, so the result

@@ -70,6 +70,32 @@ class IncrementalDedupSpec extends SparkSpec {
       === first.accepted)
   }
 
+  test("streaming file-delivery ingest ≡ the batch delivery loop") {
+    import java.nio.file.{Files => JFiles}
+    val fullDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val src = JFiles.createTempDirectory("graft-incdedup-src").toString
+    val ckpt = JFiles.createTempDirectory("graft-incdedup-ckpt").toString
+    val rootStream = freshRoot()
+    val rootBatch = freshRoot()
+    val d1 = fullDocs.where($"doc_id" % 2 === 0)
+    val d2 = fullDocs.where($"doc_id" % 2 === 1)
+
+    // delivery 1 arrives; persisted checkpoint processes only new files
+    d1.coalesce(1).write.mode("append").parquet(src)
+    graft.streaming.Streams.dedupIngestStreamingFrom(spark, src, rootStream, ckpt)
+    IncrementalDedup.ingest(d1.select($"doc_id", $"text"), "doc_id", "text", rootBatch)
+    // delivery 2 arrives later
+    d2.coalesce(1).write.mode("append").parquet(src)
+    graft.streaming.Streams.dedupIngestStreamingFrom(spark, src, rootStream, ckpt)
+    IncrementalDedup.ingest(d2.select($"doc_id", $"text"), "doc_id", "text", rootBatch)
+
+    def ids(root: String) = IncrementalDedup
+      .survivors(spark, root, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids(rootStream) === ids(rootBatch),
+      "streaming deliveries must accept exactly the batch loop's survivors")
+  }
+
   test("single-delivery ingest agrees with the batch dedup survivor count") {
     val root = freshRoot()
     IncrementalDedup.ingest(docs, "doc_id", "text", root)
