@@ -104,6 +104,115 @@ object Orchestrator {
     } finally pool.shutdown()
   }
 
+  /** Explicit-dependency job node for [[runDag]]. */
+  final case class DagJob(id: String, dependsOn: Set[String] = Set.empty)
+
+  /** [[runDag]] outcome: `skipped` jobs never ran because a transitive
+    * dependency failed (their `outcome` carries the cause).
+    */
+  final case class DagResult(
+      id: String,
+      outcome: Try[Unit],
+      durationMs: Long,
+      attempts: Int,
+      skipped: Boolean)
+
+  /** Dependency-DAG dispatch — the finer-grained alternative to priority
+    * groups: each job starts the moment ITS dependencies finish, rather
+    * than when a whole group barrier clears. With a 1000-executor cluster
+    * behind the session, a group barrier idles unrelated work behind the
+    * group's straggler; DAG dispatch keeps the pool saturated (a priority
+    * plan is expressible as the chain group(N+1) ← all of group(N), so
+    * this strictly generalizes [[run]]).
+    *
+    * Failure semantics: a failed job (after `maxAttempts`) marks every
+    * transitive dependent `skipped` — the partial-progress behavior a
+    * multi-table ingestion wants (independent subtrees complete). Cycles
+    * and unknown/duplicate ids are rejected up front.
+    */
+  def runDag(
+      jobs: Seq[DagJob],
+      maxConcurrentThreads: Int = 3,
+      maxAttempts: Int = 1,
+      retryBackoffMs: Long = 0L)(
+      process: DagJob => Unit): Seq[DagResult] = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val ids = jobs.map(_.id)
+    require(ids.distinct.size == ids.size,
+      s"duplicate job ids: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
+    val known = ids.toSet
+    jobs.foreach { j =>
+      val missing = j.dependsOn.diff(known)
+      require(missing.isEmpty,
+        s"job '${j.id}' depends on unknown job(s): ${missing.mkString(", ")}")
+    }
+    // Kahn's algorithm up front: reject cycles before running anything.
+    val dependents: Map[String, Seq[String]] = jobs
+      .flatMap(j => j.dependsOn.map(_ -> j.id))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    locally {
+      val indeg = scala.collection.mutable.Map(jobs.map(j => j.id -> j.dependsOn.size): _*)
+      val queue = scala.collection.mutable.Queue(jobs.collect {
+        case j if j.dependsOn.isEmpty => j.id
+      }: _*)
+      var seen = 0
+      while (queue.nonEmpty) {
+        val id = queue.dequeue(); seen += 1
+        dependents.getOrElse(id, Nil).foreach { d =>
+          indeg(d) -= 1; if (indeg(d) == 0) queue.enqueue(d)
+        }
+      }
+      require(seen == jobs.size,
+        s"dependency cycle among: ${indeg.collect { case (k, v) if v > 0 => k }.toSeq.sorted.mkString(", ")}")
+    }
+
+    val byId = jobs.map(j => j.id -> j).toMap
+    val pool = Executors.newFixedThreadPool(maxConcurrentThreads)
+    val doneQueue = new java.util.concurrent.LinkedBlockingQueue[DagResult]()
+    try {
+      val remainingDeps = scala.collection.mutable.Map(
+        jobs.map(j => j.id -> j.dependsOn.size): _*)
+      val failedOrSkipped = scala.collection.mutable.Set.empty[String]
+      val results = scala.collection.mutable.ArrayBuffer.empty[DagResult]
+
+      def submit(id: String): Unit = pool.execute { () =>
+        val t0 = System.nanoTime()
+        var attempts = 0
+        var outcome: Try[Unit] = null
+        while ({
+          attempts += 1
+          outcome = Try(process(byId(id)))
+          outcome.isFailure && attempts < maxAttempts
+        }) if (retryBackoffMs > 0) Thread.sleep(retryBackoffMs * attempts)
+        doneQueue.put(DagResult(
+          id, outcome, (System.nanoTime() - t0) / 1000000L, attempts, skipped = false))
+      }
+
+      jobs.foreach(j => if (j.dependsOn.isEmpty) submit(j.id))
+      while (results.size < jobs.size) {
+        val res = doneQueue.take()
+        results += res
+        if (res.outcome.isFailure || res.skipped) failedOrSkipped += res.id
+        dependents.getOrElse(res.id, Nil).foreach { d =>
+          remainingDeps(d) -= 1
+          if (remainingDeps(d) == 0) {
+            val badDeps = byId(d).dependsOn.intersect(failedOrSkipped)
+            if (badDeps.nonEmpty)
+              // cascade through the completion queue so THIS job's own
+              // dependents get skipped by the same path
+              doneQueue.put(DagResult(
+                d,
+                scala.util.Failure(new IllegalStateException(
+                  s"skipped: dependency failed (${badDeps.toSeq.sorted.mkString(", ")})")),
+                0L, 0, skipped = true))
+            else submit(d)
+          }
+        }
+      }
+      results.toSeq
+    } finally pool.shutdown()
+  }
+
   /** Per-job retry with linear backoff (O-ext): transient failures —
     * executor OOM, S3 throttling, metastore hiccups — are the norm in
     * long ingestion runs; a bounded in-place retry beats failing the

@@ -162,6 +162,56 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     JobSpec(6, "logs_c", 2, parallelRun = true),
     JobSpec(7, "history", 3, parallelRun = false))
 
+  test("DAG dispatch: dependency order, straggler overlap, failure cascade") {
+    import Orchestrator.DagJob
+    // diamond with a side straggler: d needs (b, c); e is independent
+    val dag = Seq(
+      DagJob("a"),
+      DagJob("b", Set("a")), DagJob("c", Set("a")),
+      DagJob("d", Set("b", "c")),
+      DagJob("e"))
+    val events = mutable.ArrayBuffer[(String, String)]() // (phase, id)
+    val live = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxLive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = Orchestrator.runDag(dag, maxConcurrentThreads = 3) { j =>
+      val l = live.incrementAndGet()
+      maxLive.getAndUpdate(m => math.max(m, l))
+      events.synchronized { events += (("start", j.id)) }
+      Thread.sleep(60)
+      events.synchronized { events += (("end", j.id)) }
+      live.decrementAndGet()
+      ()
+    }
+    assert(results.size === 5 && results.forall(_.outcome.isSuccess))
+    val order = events.synchronized(events.toList)
+    def pos(phase: String, id: String) = order.indexOf((phase, id))
+    // every dependency ended before its dependent started
+    for (j <- dag; dep <- j.dependsOn)
+      assert(pos("end", dep) < pos("start", j.id), s"${j.id} started before $dep ended")
+    // independent jobs actually overlapped (no global barrier)
+    assert(maxLive.get() >= 2, "independent jobs should run concurrently")
+
+    // failure cascade: b fails -> d skipped; a, c, e unaffected
+    val r2 = Orchestrator.runDag(dag, maxConcurrentThreads = 3) { j =>
+      if (j.id == "b") throw new RuntimeException("boom")
+    }
+    val byId = r2.map(r => r.id -> r).toMap
+    assert(byId("b").outcome.isFailure && !byId("b").skipped)
+    assert(byId("d").skipped && byId("d").outcome.isFailure)
+    assert(Seq("a", "c", "e").forall(byId(_).outcome.isSuccess))
+
+    // malformed graphs rejected up front
+    intercept[IllegalArgumentException] {
+      Orchestrator.runDag(Seq(DagJob("x", Set("y")), DagJob("y", Set("x"))))(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      Orchestrator.runDag(Seq(DagJob("x", Set("nope"))))(_ => ())
+    }
+    intercept[IllegalArgumentException] {
+      Orchestrator.runDag(Seq(DagJob("x"), DagJob("x")))(_ => ())
+    }
+  }
+
   test("orchestrator honors priority barriers and sequential-first discipline") {
     val started = mutable.ArrayBuffer[(Int, String)]()
     val results = Orchestrator.run(jobControl, maxConcurrentThreads = 3) { spec =>
