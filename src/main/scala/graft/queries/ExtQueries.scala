@@ -554,6 +554,54 @@ object ExtQueries {
       |    i -> abs(embedding[i]::DOUBLE - deq[i]))) AS max_abs_err
       |FROM d ORDER BY vec_id""".stripMargin
 
+  /** x46 — exact top-5 over the DEQUANTIZED int8 index
+    * ([[graft.ext.Similarity.dequantized]] ∘ `quantizeInt8`): proves the
+    * 4-8× smaller representation produces oracle-exact scores and
+    * rankings end-to-end (float rounding of q·scale is IEEE-identical in
+    * both engines; scoring then runs the same double path as x40).
+    */
+  def x46QuantizedTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .bruteForceTopK(Similarity.dequantized(Similarity.quantizeInt8(embs(s, dir))), k = 5)
+      .toDF()
+      .orderBy(col("vec_id"), col("rank"))
+
+  val x46Sql: String =
+    """WITH b0 AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, maxabs/127 AS scale,
+      |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(floor(x::DOUBLE/(maxabs/127) + 0.5) AS INT))
+      |    END AS q
+      |  FROM b0),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list_transform(q, x -> CAST(x::DOUBLE * scale AS FLOAT)) AS embedding
+      |  FROM qz)
+      |SELECT a.vec_id AS vec_id,
+      |  CAST(row_number() OVER w AS INTEGER) AS rank,
+      |  b.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS score
+      |FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
+      |WINDOW w AS (PARTITION BY a.vec_id ORDER BY
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) DESC, b.vec_id)
+      |QUALIFY row_number() OVER w <= 5
+      |ORDER BY a.vec_id, rank""".stripMargin
+
   /** x66 — skew-safe salted equi-join (Relational.saltedEquiJoin): events
     * fact joined to its per-user aggregate; salting must not change join
     * semantics, so the oracle is the plain join.
@@ -1341,6 +1389,7 @@ object ExtQueries {
     "x42_cosine_neardup" -> (x42CosineNearDup _),
     "x44_vector_ops" -> (x44VectorOps _),
     "x45_quantize" -> (x45Quantize _),
+    "x46_quantized_topk" -> (x46QuantizedTopK _),
     "x66_salted_join" -> (x66SaltedJoin _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
@@ -1389,6 +1438,7 @@ object ExtQueries {
     "x42_cosine_neardup" -> x42Sql,
     "x44_vector_ops" -> x44Sql,
     "x45_quantize" -> x45Sql,
+    "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,
     "x50_media_meta" -> x50Sql,
     "x52_media_resize" -> x52Sql,
