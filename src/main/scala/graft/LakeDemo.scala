@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.LakeWriter
 import graft.orchestrate.Orchestrator
-import graft.orchestrate.Orchestrator.JobSpec
+import graft.orchestrate.Orchestrator.DagJob
 import graft.pipeline.{OrdinaryPayment, RunParams, WorkflowType}
 
-/** End-to-end lake demo (the reference's production shape): the
-  * orchestrator dispatches per-table jobs by priority group; each job runs
-  * a pipeline and appends run-index-partitioned parquet to the lake.
-  * Usage: runMain graft.LakeDemo [sfDir] [runIndex]
+/** End-to-end lake demo (the reference's production shape, upgraded to
+  * dependency-DAG dispatch): each job starts when ITS dependencies
+  * finish — the event and document jobs don't wait behind the flagship
+  * pipeline the way a priority barrier would make them. Jobs append
+  * run-index-partitioned parquet to the lake; the corpus job ingests
+  * documents through the incremental dedup state; maintenance compacts
+  * behind its producer. Usage: runMain graft.LakeDemo [sfDir] [runIndex]
   */
 object LakeDemo {
   def main(args: Array[String]): Unit = {
@@ -31,25 +34,26 @@ object LakeDemo {
     graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    // Priority 1: the data-quality gate — ingestion publishes nothing if
-    // the source violates its contract (the reference's implicit-cast
-    // trust, made explicit). Priority 2: the flagship document pipeline.
-    // Priority 3: parallel derived tables + an SCD2 upsert of per-user
-    // state. Priority 4: lake maintenance (small-file compaction).
-    val jobs = Seq(
-      JobSpec(0, "dq_gate", 1, parallelRun = false),
-      JobSpec(1, "payment_documents", 2, parallelRun = false),
-      JobSpec(2, "event_hourly", 3, parallelRun = true),
-      JobSpec(3, "doc_quality", 3, parallelRun = true),
-      JobSpec(4, "user_state_scd2", 3, parallelRun = true),
-      JobSpec(5, "compact_documents", 4, parallelRun = false))
+    val corpusState = s"$lakeRoot/corpus_state"
 
-    val results = Orchestrator.run(jobs, abortOnGroupFailure = true, maxAttempts = 2) { spec =>
-      def append(df: org.apache.spark.sql.DataFrame): Unit =
+    // True dependencies, not barrier groups: everything gates on the
+    // data-quality check; compaction gates on its producer only.
+    val jobs = Seq(
+      DagJob("dq_gate"),
+      DagJob("payment_documents", Set("dq_gate")),
+      DagJob("event_hourly", Set("dq_gate")),
+      DagJob("doc_quality", Set("dq_gate")),
+      DagJob("user_state_scd2", Set("dq_gate")),
+      DagJob("corpus_dedup", Set("dq_gate")),
+      DagJob("compact_doc_quality", Set("doc_quality")))
+
+    val results = Orchestrator.runDag(jobs, maxConcurrentThreads = 3,
+      maxAttempts = 2) { job =>
+      def append(df: org.apache.spark.sql.DataFrame, table: String): Unit =
         LakeWriter.appendPartitioned(
           df.withColumn("run_index", LakeWriter.runIndexKey(lit("20260812"), runIndex)),
-          s"$lakeRoot/${spec.targetTable}", "run_index")
-      spec.targetTable match {
+          s"$lakeRoot/$table", "run_index")
+      job.id match {
         case "dq_gate" =>
           import graft.ops.DataQuality._
           assertClean(graft.core.Tables.orders(spark, sfDir), Seq(
@@ -57,18 +61,25 @@ object LakeDemo {
             Accepted("o_orderstatus", Seq("O", "F", "P"))))
         case "payment_documents" =>
           append(OrdinaryPayment.flattened(spark, sfDir,
-            RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01")))
+            RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01")),
+            "payment_documents")
         case "event_hourly" =>
-          append(graft.streaming.Streams.eventsHourly(spark, sfDir))
+          append(graft.streaming.Streams.eventsHourly(spark, sfDir), "event_hourly")
         case "doc_quality" =>
           append(graft.ext.TextAnalysis.qualityFeatures(
             graft.core.Tables.documents(spark, sfDir), "text")
-            .select(col("doc_id"), col("quality_score")))
+            .select(col("doc_id"), col("quality_score")), "doc_quality")
         case "user_state_scd2" =>
           graft.streaming.Streams.scd2IngestStreaming(
             spark, sfDir, s"$lakeRoot/user_state")
           ()
-        case "compact_documents" =>
+        case "corpus_dedup" =>
+          val stats = graft.ext.IncrementalDedup.ingest(
+            graft.core.Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+            "doc_id", "text", corpusState)
+          println(s"[lake-demo] corpus_dedup accepted=${stats.accepted} " +
+            s"dupsWithin=${stats.dupsWithinDelivery} dupsVsCorpus=${stats.dupsVsCorpus}")
+        case "compact_doc_quality" =>
           val n = LakeWriter.compact(spark, s"$lakeRoot/doc_quality",
             targetBytes = 256L * 1024 * 1024, partitionCols = Seq("run_index"))
           println(s"[lake-demo] compacted doc_quality (hive layout kept, ~$n file budget)")
@@ -76,16 +87,24 @@ object LakeDemo {
     }
 
     results.foreach { r =>
-      println(s"[lake-demo] ${r.spec.targetTable} priority=${r.spec.priority} " +
-        s"parallel=${r.spec.parallelRun} outcome=${if (r.outcome.isSuccess) "OK" else s"FAILED: ${r.outcome.failed.get.getMessage}"} ${r.durationMs}ms")
+      println(s"[lake-demo] ${r.id} outcome=${
+        if (r.skipped) "SKIPPED"
+        else if (r.outcome.isSuccess) "OK"
+        else s"FAILED: ${r.outcome.failed.get.getMessage}"} ${r.durationMs}ms")
     }
     println(s"[lake-demo] lake root: $lakeRoot")
-    graft.core.Tables.all.take(0) // keep import
-    new java.io.File(lakeRoot).listFiles().foreach { t =>
-      val parts = Option(t.listFiles()).map(_.map(_.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted.mkString(", ")).getOrElse("")
-      val n = spark.read.parquet(t.getAbsolutePath).count()
-      println(s"[lake-demo] table=${t.getName} rows=$n partitions=[$parts]")
+    new java.io.File(lakeRoot).listFiles().sortBy(_.getName).foreach { t =>
+      if (t.getName == "corpus_state") {
+        val n = graft.ext.IncrementalDedup
+          .survivors(spark, corpusState, "doc_id", "text").count()
+        println(s"[lake-demo] table=corpus_state/survivors rows=$n " +
+          s"(versioned manifest: ${graft.lake.Versioned.manifest(s"$corpusState/survivors")})")
+      } else {
+        val parts = Option(t.listFiles()).map(_.map(_.getName)
+          .filter(n => !n.startsWith("_") && !n.startsWith(".")).sorted.mkString(", ")).getOrElse("")
+        val n = spark.read.parquet(t.getAbsolutePath).count()
+        println(s"[lake-demo] table=${t.getName} rows=$n partitions=[$parts]")
+      }
     }
     spark.stop()
   }
