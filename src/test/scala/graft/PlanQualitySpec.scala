@@ -31,6 +31,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning injects on selective shuffle joins") {
+    // The 100 TB selective-join lever: when a filtered dim shuffle-joins a
+    // huge fact, Spark can build a bloom filter on the dim keys and
+    // apply it to the fact scan side, cutting shuffle volume before the
+    // join. Pin that our join shapes qualify for the injection (engine
+    // thresholds are sized for clusters, so the spec scales them down —
+    // production keeps the defaults).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    import org.apache.spark.sql.functions.col
+    val fact = ss.read.parquet(s"$dir/lineitem.parquet")
+    val dim = ss.read.parquet(s"$dir/part.parquet").where(col("p_size") === 1)
+    val plan = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+      "selective dim ⋈ fact should inject a runtime bloom filter on the fact side")
+    // and the join result is unchanged by the rewrite
+    val withBloom = fact.join(dim, fact("l_partkey") === dim("p_partkey")).count()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val without = fact.join(dim, fact("l_partkey") === dim("p_partkey")).count()
+    assert(withBloom === without)
+  }
+
   test("expensive compiled expressions evaluate exactly once per row") {
     // A filter pushed below a projection re-evaluates the projected
     // expression per consumer (the round-1 minhash regression): pin that

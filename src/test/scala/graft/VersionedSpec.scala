@@ -94,6 +94,50 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, root).as[Int].collect().sorted === (1 to 6).toArray)
   }
 
+  test("Z-order layout: files cover rectangles, so either column prunes") {
+    import graft.lake.ZOrder
+    // uniform 100×100 grid — the worst case for a single-column sort
+    val grid = spark.range(10000)
+      .select(($"id" % 100).as("x"), ($"id" / 100).cast("long").as("y"))
+    val zDir = Files.createTempDirectory("graft-zorder").toString + "/z"
+    val linDir = Files.createTempDirectory("graft-zorder").toString + "/lin"
+    ZOrder.writeZOrdered(grid, zDir, "x", "y", nFiles = 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(linDir)
+
+    // content is unchanged by the layout
+    assert(spark.read.parquet(zDir).count() === 10000L)
+    assert(spark.read.parquet(zDir).agg(sum($"x" + $"y")).as[Long].head ===
+      grid.agg(sum($"x" + $"y")).as[Long].head)
+
+    // per-file y-ranges: how many files would a y-filter have to read?
+    def filesOverlapping(dir: String, lo: Long, hi: Long): Int = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"y"), max($"y")).head()
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+    }
+    // x-sorted layout: every file spans all of y -> nothing prunes
+    assert(filesOverlapping(linDir, 10, 19) === 16)
+    // z-order: a 10% y-slice touches a minority of files
+    val zTouched = filesOverlapping(zDir, 10, 19)
+    assert(zTouched <= 8, s"y-slice touched $zTouched/16 z-ordered files")
+    // and x stays prunable too (the trade is symmetric)
+    val zTouchedX = {
+      val files = new java.io.File(zDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"x"), max($"x")).head()
+        r.getLong(0) <= 19 && r.getLong(1) >= 10
+      }
+    }
+    assert(zTouchedX <= 8, s"x-slice touched $zTouchedX/16 z-ordered files")
+  }
+
   test("recoverSwap heals a crash between the two swap moves") {
     val dir = tmpRoot("swap-crash")
     Seq(1, 2, 3).toDF("x").write.parquet(dir)
