@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Version-pointer table layout: the truly gap-free publish that an
   * in-place directory swap cannot provide (between "move old aside" and
@@ -85,19 +86,60 @@ object Versioned {
 
   private def dirName(v: Int): String = f"v$v%06d"
 
+  private val StatsFile = "_GRAFT_STATS.tsv"
+
   private def writeDir(
-      df: DataFrame, rootPath: Path, maxRecordsPerFile: Long): Int = {
+      df: DataFrame, rootPath: Path, maxRecordsPerFile: Long,
+      statsCols: Seq[String]): Int = {
     Files.createDirectories(rootPath)
     // next = max over DIRECTORIES (not the manifest): a crashed publish
     // leaves an orphan dir above the manifest, and reusing its number
     // would write into a non-empty directory
     val next = listVersions(rootPath).lastOption.getOrElse(0) + 1
+    val dir = rootPath.resolve(dirName(next))
     df.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "snappy")
-      .parquet(rootPath.resolve(dirName(next)).toString)
+      .parquet(dir.toString)
+    if (statsCols.nonEmpty) {
+      // one scan of the just-written files → per-file min/max per column
+      // (numeric columns; values stored as doubles). Written INSIDE the
+      // version dir before the pointer flips, so stats publish atomically
+      // with their data.
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c")))
+      val rows = df.sparkSession.read.parquet(dir.toString)
+        .groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val lines = rows.flatMap { r =>
+        val file = Paths.get(new java.net.URI(r.getString(0))).getFileName.toString
+        statsCols.map(c => s"$file\t$c\t${r.getAs[Double](s"min_$c")}\t${r.getAs[Double](s"max_$c")}")
+      }
+      Files.write(dir.resolve(StatsFile),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
     next
+  }
+
+  /** Per-file [min, max] entries of `column` for one version dir, if the
+    * dir was published with stats covering it.
+    */
+  private def fileStats(dir: Path, column: String): Option[Map[String, (Double, Double)]] = {
+    val f = dir.resolve(StatsFile)
+    if (!Files.exists(f)) None
+    else {
+      val entries = new String(Files.readAllBytes(f), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).map(_.split('\t'))
+        .collect { case Array(file, c, lo, hi) if c == column =>
+          file -> (lo.toDouble, hi.toDouble)
+        }
+        .toMap
+      if (entries.isEmpty) None else Some(entries)
+    }
   }
 
   private def flipPointer(rootPath: Path, versions: Seq[Int]): Unit = {
@@ -116,9 +158,10 @@ object Versioned {
   def publish(
       df: DataFrame,
       tableRoot: String,
-      maxRecordsPerFile: Long = LakeWriter.ProductionMaxRecordsPerFile): Int = {
+      maxRecordsPerFile: Long = LakeWriter.ProductionMaxRecordsPerFile,
+      statsCols: Seq[String] = Nil): Int = {
     val rootPath = root(tableRoot)
-    val next = writeDir(df, rootPath, maxRecordsPerFile)
+    val next = writeDir(df, rootPath, maxRecordsPerFile, statsCols)
     flipPointer(rootPath, Seq(next))
     next
   }
@@ -131,10 +174,11 @@ object Versioned {
   def publishDelta(
       df: DataFrame,
       tableRoot: String,
-      maxRecordsPerFile: Long = LakeWriter.ProductionMaxRecordsPerFile): Int = {
+      maxRecordsPerFile: Long = LakeWriter.ProductionMaxRecordsPerFile,
+      statsCols: Seq[String] = Nil): Int = {
     val rootPath = root(tableRoot)
     val prev = manifest(tableRoot)
-    val next = writeDir(df, rootPath, maxRecordsPerFile)
+    val next = writeDir(df, rootPath, maxRecordsPerFile, statsCols)
     flipPointer(rootPath, prev :+ next)
     next
   }
@@ -154,6 +198,46 @@ object Versioned {
 
   /** True once the table has a published manifest. */
   def exists(tableRoot: String): Boolean = manifest(tableRoot).nonEmpty
+
+  /** Range read with file-level stat pruning: version dirs published with
+    * `statsCols` covering `column` contribute only files whose
+    * [min, max] intersects [lo, hi]; dirs without stats contribute all
+    * their files (correctness never depends on stats). The residual
+    * filter is applied on top, so the result is exactly
+    * `read(...).where(column between lo and hi)` — with (lay the data
+    * out via [[ZOrder.zArrange]]) most files never opened. This is
+    * manifest-level data skipping: at 100 TB the win is in LISTING and
+    * footer reads, before any row group is touched.
+    */
+  def readWhere(
+      spark: SparkSession,
+      tableRoot: String,
+      column: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    val live = manifest(tableRoot)
+    if (live.isEmpty)
+      throw new IllegalStateException(s"no published version under $tableRoot")
+    val filter = col(column).cast("double") >= lit(lo) &&
+      col(column).cast("double") <= lit(hi)
+    val selected: Seq[String] = live.flatMap { v =>
+      val dir = root(tableRoot).resolve(dirName(v))
+      fileStats(dir, column) match {
+        case Some(stats) =>
+          stats.collect {
+            case (file, (mn, mx)) if mn <= hi && mx >= lo =>
+              dir.resolve(file).toString
+          }
+        case None =>
+          Files.list(dir).iterator.asScala
+            .map(_.toString)
+            .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
+            .toSeq
+      }
+    }
+    if (selected.isEmpty) read(spark, tableRoot).where(lit(false))
+    else spark.read.parquet(selected: _*).where(filter)
+  }
 
   /** Rewrite the live table into ceil(bytes/targetBytes) files in ONE
     * directory and publish it as the new manifest — collapses a

@@ -51,12 +51,16 @@ object ZOrder {
     * write; the benefit is on every future read that filters either
     * column.
     */
-  def writeZOrdered(
+  /** Rearrange `df` along the Z-curve of (colA, colB): `nFiles` range
+    * partitions of the z-value, sorted within each — the layout step of
+    * [[writeZOrdered]], exposed so other writers (e.g.
+    * [[Versioned.publish]] with stats) can adopt the layout.
+    */
+  def zArrange(
       df: DataFrame,
-      path: String,
       colA: String,
       colB: String,
-      nFiles: Int): Unit = {
+      nFiles: Int): DataFrame = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
@@ -68,6 +72,14 @@ object ZOrder {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").option("compression", "snappy").parquet(path)
   }
+
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      nFiles: Int): Unit =
+    zArrange(df, colA, colB, nFiles)
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
 }

@@ -138,6 +138,30 @@ class VersionedSpec extends SparkSpec {
     assert(zTouchedX <= 8, s"x-slice touched $zTouchedX/16 z-ordered files")
   }
 
+  test("stat-pruned reads: z-published table answers range queries from few files") {
+    import graft.lake.{Versioned, ZOrder}
+    val root = tmpRoot("versioned-stats")
+    val grid = spark.range(10000)
+      .select(($"id" % 100).as("x"), ($"id" / 100).cast("long").as("y"))
+    Versioned.publish(ZOrder.zArrange(grid, "x", "y", nFiles = 16), root,
+      statsCols = Seq("x", "y"))
+    val pruned = Versioned.readWhere(spark, root, "y", 10, 19)
+    val expect = Versioned.read(spark, root)
+      .where($"y" >= 10 && $"y" <= 19)
+    assert(pruned.inputFiles.length <= 8,
+      s"stat pruning opened ${pruned.inputFiles.length}/16 files")
+    assert(pruned.agg(sum($"x" + $"y")).as[Long].head ===
+      expect.agg(sum($"x" + $"y")).as[Long].head)
+    assert(pruned.count() === 1000L)
+
+    // a stats-less delta stays correct (contributes all its files)
+    Versioned.publishDelta(Seq((5L, 15L)).toDF("x", "y"), root)
+    val pruned2 = Versioned.readWhere(spark, root, "y", 10, 19)
+    assert(pruned2.count() === 1001L)
+    // and an out-of-range query still sees only the stats-less delta
+    assert(Versioned.readWhere(spark, root, "y", 200, 300).count() === 0L)
+  }
+
   test("recoverSwap heals a crash between the two swap moves") {
     val dir = tmpRoot("swap-crash")
     Seq(1, 2, 3).toDF("x").write.parquet(dir)
