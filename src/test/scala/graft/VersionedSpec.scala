@@ -162,6 +162,33 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, root, "y", 200, 300).count() === 0L)
   }
 
+  test("a reader loop never fails while a writer publishes continuously") {
+    val root = tmpRoot("versioned-concurrent")
+    Versioned.publish(Seq(0).toDF("x"), root)
+    // valid observable states: each publish replaces the table with a
+    // single row carrying the publish index
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val v = Versioned.read(spark, root).as[Int].collect()
+          assert(v.length === 1) // never empty, never mixed generations
+          observed.add(v.head)
+        } catch { case t: Throwable => failures.add(t); stop.set(true) }
+      }
+    })
+    reader.start()
+    try (1 to 8).foreach(i => Versioned.publish(Seq(i).toDF("x"), root))
+    finally { stop.set(true); reader.join(30000) }
+    assert(failures.isEmpty,
+      s"reader failed during publishes: ${Option(failures.peek()).map(_.toString)}")
+    import scala.jdk.CollectionConverters._
+    assert(observed.asScala.nonEmpty &&
+      observed.asScala.forall(v => v >= 0 && v <= 8))
+  }
+
   test("recoverSwap heals a crash between the two swap moves") {
     val dir = tmpRoot("swap-crash")
     Seq(1, 2, 3).toDF("x").write.parquet(dir)
