@@ -390,6 +390,55 @@ object ExtQueries {
       |FROM gated g JOIN surv s ON g.doc_id = s.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** x38 — incremental dedup, one-shot ingest
+    * ([[graft.ext.IncrementalDedup.ingest]] into a fresh state root):
+    * accepted-corpus ids after the exact tier (min-id per normalized
+    * content hash) and the near tier (LSH pairs → components → min-id).
+    * A single delivery makes the incremental survivor rules coincide
+    * with the batch definition, so the DuckDB oracle is the exact
+    * two-tier dedup spelled with a recursive-CTE component closure.
+    */
+  def x38IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-x38-state").toString + "/state"
+    graft.ext.IncrementalDedup.ingest(
+      docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", root)
+    graft.ext.IncrementalDedup.survivors(s, root, "doc_id", "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x38Sql: String =
+    """WITH RECURSIVE kept AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, min(doc_id) OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS m
+      |    FROM documents) WHERE doc_id = m),
+      |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM kept),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.3),
+      |edges AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp0 AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+      |comp AS (SELECT k.doc_id, COALESCE(c.component, k.doc_id) AS component
+      |  FROM kept k LEFT JOIN comp0 c USING (doc_id))
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY component) AS m FROM comp)
+      |WHERE doc_id = m
+      |ORDER BY doc_id""".stripMargin
+
   /** x40 — exact cosine top-5 neighbors per vector (broadcast brute force,
     * sequential-double accumulation = DuckDB list_sum bit-exact).
     */
@@ -1384,6 +1433,7 @@ object ExtQueries {
     "x33_simhash_pairs" -> (x33SimhashPairs _),
     "x34_dedup_clusters" -> (x34DedupClusters _),
     "x35_curation" -> (x35Curation _),
+    "x38_incremental_dedup" -> (x38IncrementalDedup _),
     "x40_cosine_topk" -> (x40CosineTopK _),
     "x41_ann_lsh" -> (x41AnnLsh _),
     "x42_cosine_neardup" -> (x42CosineNearDup _),
@@ -1438,6 +1488,7 @@ object ExtQueries {
     "x42_cosine_neardup" -> x42Sql,
     "x44_vector_ops" -> x44Sql,
     "x45_quantize" -> x45Sql,
+    "x38_incremental_dedup" -> x38Sql,
     "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,
     "x50_media_meta" -> x50Sql,
