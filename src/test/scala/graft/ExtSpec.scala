@@ -188,6 +188,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch token frequencies match exact counts (x25's 100 TB twin)") {
+    // The third sketch of the family (HLL = distinct, percentile_approx =
+    // quantiles, CMS = frequencies): mergeable fixed-memory counts with a
+    // one-sided error bound — overestimates only, by at most eps·N with
+    // confidence 1-delta. On this corpus the sketch is wider than the
+    // vocabulary, so estimates are exact; the bound is what scales.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(TextAnalysis.tokens(lower($"text"))).as("token"))
+    val exact = toks.groupBy($"token").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(
+        toks.agg(count_min_sketch($"token", lit(0.001), lit(0.99), lit(42))
+          .as("cms")).as[Array[Byte]].head()))
+    exact.foreach { case (tok, cnt) =>
+      val est = sketch.estimateCount(tok)
+      assert(est >= cnt, s"CMS must never undercount ($tok: $est < $cnt)")
+      assert(est <= cnt + (0.001 * n).toLong + 1,
+        s"$tok: est $est exceeds eps·N bound over exact $cnt")
+    }
+  }
+
   test("compiled stopword scores equal the declarative per-language spellings") {
     val langs = TextAnalysis.Stopwords.map(_._1)
     val viaExpr = docsFixture.select($"doc_id", TextAnalysis.stopwordScores($"text").as("sc"))
