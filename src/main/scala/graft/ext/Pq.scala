@@ -1,0 +1,201 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search — the memory lever
+  * beyond int8: split each (L2-normalized) vector into `m` subvectors,
+  * k-means each subspace into `k` centroids, and store per vector only
+  * the m centroid ids (m bytes at k ≤ 256) — 16-32× smaller than
+  * float32. Search scores candidates with the asymmetric distance
+  * computation (ADC): per query, one m×k table of subspace dot products,
+  * then each candidate is m table lookups — no candidate-vector floats
+  * touched until the exact re-rank of the ADC top `rerank`.
+  *
+  * Training is deterministic end-to-end (hash-seeded centroids + Lloyd
+  * iterations as Spark aggregations, mirroring
+  * [[Similarity.ivfCentroids]]), so models, codes, and search results
+  * are reproducible across runs and cluster layouts.
+  *
+  * Scale shape: training touches the corpus O(iters) times with only
+  * (m·k·subDim) doubles ever on the driver; encoding is one narrow map;
+  * the codes table broadcasts at m bytes/vector (a 1e9-vector corpus at
+  * m=16 is 16 GB — blocked search applies above that, same pattern as
+  * [[Similarity.blockedTopK]]); re-rank joins fetch full vectors for
+  * only O(queries × rerank) rows.
+  */
+object Pq {
+
+  /** m × k × (dim/m) codebooks over L2-normalized inputs. */
+  final case class PqModel(m: Int, k: Int, dim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  private def normalize(v: Array[Float]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_.toDouble * inv)
+  }
+
+  private def subDot(a: Array[Double], offset: Int, c: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < c.length) { d += a(offset + i) * c(i); i += 1 }
+    d
+  }
+
+  private def nearest(sub: Array[Double], offset: Int,
+      cents: Array[Array[Double]]): Int = {
+    // max inner product ≡ min L2 on normalized data per subspace ties to
+    // the ADC dot scoring below; ties break to the lowest centroid id
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = {
+        var d = 0.0; var i = 0
+        val cc = cents(c)
+        while (i < cc.length) { d += sub(offset + i) * cc(i); i += 1 }
+        // centering on plain dot would leave ties; subtract half self-dot
+        // so this is exactly -0.5·||x-c||² up to a per-x constant
+        var n = 0.0; i = 0
+        while (i < cc.length) { n += cc(i) * cc(i); i += 1 }
+        d - 0.5 * n
+      }
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic PQ training: seed each subspace's centroids from the
+    * `k` vectors with smallest xxhash64(vec_id), then `iters` Lloyd
+    * steps computed distributively (assign in a map, means via one
+    * groupBy per iteration).
+    */
+  def train(embeddings: DataFrame, m: Int = 16, k: Int = 16,
+      iters: Int = 3): PqModel = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val seeds = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(r => normalize(r._2))
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
+      seeds(c % seeds.length).slice(s * subDim, (s + 1) * subDim)
+    }
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      val means = embeddings
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (_, v) =>
+          val nv = normalize(v)
+          val bks = bc.value
+          (0 until bks.length).iterator.flatMap { s =>
+            val c = nearest(nv, s * (nv.length / bks.length), bks(s))
+            val off = s * (nv.length / bks.length)
+            (0 until nv.length / bks.length).iterator
+              .map(p => ((s, c, p), nv(off + p)))
+          }
+        }
+        .toDF("key", "x")
+        .groupBy(col("key")).agg(avg(col("x")).as("mu"))
+        .as[((Int, Int, Int), Double)]
+        .collect()
+      val byCell = means.groupBy { case ((s, c, _), _) => (s, c) }
+      books = Array.tabulate(m, k) { (s, c) =>
+        byCell.get((s, c)) match {
+          case Some(rows) =>
+            rows.sortBy { case ((_, _, p), _) => p }.map(_._2).toArray
+          case None => books(s)(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    PqModel(m, k, dim, books)
+  }
+
+  /** Per-vector PQ codes: (vec_id, codes m×[0,k)). */
+  def encode(embeddings: DataFrame, model: PqModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val nv = normalize(v)
+        val subDim = mm.dim / mm.m
+        (id, Array.tabulate(mm.m)(s => nearest(nv, s * subDim, mm.codebooks(s))))
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** ANN top-k: ADC candidate generation over broadcast codes, exact
+    * cosine re-rank of the top `rerank` candidates per query. Output
+    * matches [[Similarity.bruteForceTopK]]'s shape.
+    */
+  def adcTopK(embeddings: DataFrame, topK: Int, m: Int = 16, k: Int = 16,
+      rerank: Int = 50, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val model = train(embeddings, m, k, iters)
+    val codes: Array[(Long, Array[Int])] = encode(embeddings, model)
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val bcCodes = spark.sparkContext.broadcast(codes)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val candidates = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val mm = bcModel.value
+        val nq = normalize(qv)
+        val subDim = mm.dim / mm.m
+        // the ADC table: dot of each query subvector with every centroid
+        val table = Array.tabulate(mm.m, mm.k)((s, c) =>
+          subDot(nq, s * subDim, mm.codebooks(s)(c)))
+        val best = new Array[(Long, Double)](rerank)
+        var filled = 0
+        bcCodes.value.foreach { case (cid, cs) =>
+          if (cid != qid) {
+            var score = 0.0; var s = 0
+            while (s < cs.length) { score += table(s)(cs(s)); s += 1 }
+            if (filled < rerank || score > best(filled - 1)._2
+              || (score == best(filled - 1)._2 && cid < best(filled - 1)._1)) {
+              var pos = math.min(filled, rerank - 1)
+              if (filled < rerank) filled += 1
+              while (pos > 0 && (best(pos - 1)._2 < score
+                || (best(pos - 1)._2 == score && best(pos - 1)._1 > cid))) {
+                best(pos) = best(pos - 1); pos -= 1
+              }
+              best(pos) = (cid, score)
+            }
+          }
+        }
+        (0 until filled).iterator.map(i => (qid, best(i)._1))
+      }
+      .toDF("vec_id", "neighbor_id")
+    // exact re-rank on the true vectors, candidates only
+    val embA = embeddings.select(col("vec_id"), col("embedding").as("emb_a"))
+    val embB = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"))
+    import org.apache.spark.sql.expressions.Window
+    candidates
+      .join(embA, Seq("vec_id"))
+      .join(embB, Seq("neighbor_id"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (nid, qid, a, b) => (qid, nid, Similarity.cosine(a, b)) }
+      .toDF("vec_id", "neighbor_id", "score")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rank") <= topK)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+}

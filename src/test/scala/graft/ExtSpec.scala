@@ -433,6 +433,26 @@ class ExtSpec extends SparkSpec {
     assert(guarded === reference)
   }
 
+  test("PQ ANN: 16-byte codes + ADC + re-rank recover exact neighbors") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    val pq = graft.ext.Pq.adcTopK(embs, topK = 1, m = 16, k = 16, rerank = 50)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, n) => pq.get(q).contains(n) }
+      .toDouble / exact.size
+    assert(recall > 0.8, s"PQ+re-rank top-1 recall $recall too low")
+    // deterministic end-to-end (hash-seeded training, no RNG)
+    val again = graft.ext.Pq.adcTopK(embs, topK = 1, m = 16, k = 16, rerank = 50)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(pq === again)
+    // the codes really are m small ints — the 16x memory story
+    val model = graft.ext.Pq.train(embs, m = 16, k = 16)
+    val codes = graft.ext.Pq.encode(embs, model)
+      .select($"codes").as[Array[Int]].collect()
+    assert(codes.forall(c => c.length === 16 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("IVF ANN achieves high recall vs brute force on the real embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
