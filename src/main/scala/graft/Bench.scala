@@ -52,13 +52,26 @@ object Bench {
         else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
       name -> m
     }.toMap
+    val line = renderLine(median, n, sfDir)
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    println(line)
+  }
+
+  /** The ONE JSON line the harness parses — from only the LAST ~2000
+    * chars of output, with sbt's "[success] Total time" line (~80 chars)
+    * appended after us. Keep the whole line under `budget` chars:
+    * 3-decimal seconds, and if the query map still doesn't fit, keep the
+    * slowest queries and fold the rest into an "omitted" summary so the
+    * line stays parseable no matter how many queries the catalog grows.
+    */
+  private[graft] def renderLine(
+      median: Map[String, Double],
+      n: Int,
+      sfDir: String,
+      budget: Int = 1800): String = {
+    val names = median.keys.toSeq
     val total = median.values.sum
-    // The harness captures only the LAST ~2000 chars of output and parses
-    // the JSON line from that window; sbt appends a "[success] Total time"
-    // line (~80 chars) after us. Keep the whole line under 1800 chars:
-    // 3-decimal seconds, and if the query map still doesn't fit, keep the
-    // slowest queries and fold the rest into an "omitted" summary so the
-    // line stays parseable no matter how many queries the catalog grows.
     def fmt(d: Double): String = f"$d%.3f"
     def render(keep: Seq[String]): String = {
       val qs = keep.map(k => "\"" + k + "\":" + fmt(median(k)))
@@ -74,12 +87,9 @@ object Bench {
         s""""n_queries":${names.size},"queries":$qs$omittedPart,"sf":"$sfDir"}"""
     }
     val bySlowest = names.sortBy(n => (-median(n), n))
-    val line = Iterator.range(names.size, 0, -1)
+    Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))
-      .find(_.length <= 1800)
+      .find(_.length <= budget)
       .getOrElse(render(Nil))
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
-    println(line)
   }
 }
