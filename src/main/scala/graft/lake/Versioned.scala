@@ -188,12 +188,18 @@ object Versioned {
     * table: the manifest flips atomically between sets of immutable
     * directories.
     */
-  def read(spark: SparkSession, tableRoot: String): DataFrame = {
+  def read(
+      spark: SparkSession,
+      tableRoot: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val live = manifest(tableRoot)
     if (live.isEmpty)
       throw new IllegalStateException(s"no published version under $tableRoot")
     val paths = live.map(v => root(tableRoot).resolve(dirName(v)).toString)
-    spark.read.parquet(paths: _*)
+    // mergeSchema: log tables whose deltas EVOLVED (added columns) union
+    // under the merged schema, older deltas null-filling the new columns
+    // — pay the extra footer pass only when evolution is expected
+    spark.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
   }
 
   /** True once the table has a published manifest. */

@@ -146,6 +146,43 @@ class StreamsSpec extends SparkSpec {
     assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current"))
   }
 
+  test("dropDuplicatesWithinWatermark dedups a doubled stream with bounded state") {
+    // Unbounded-key streaming dedup (x65's complete-mode aggregation)
+    // keeps every key forever; the 100 TB shape bounds state by event
+    // time — keys older than the watermark horizon are evicted. Deliver
+    // every event TWICE (two files, same content) and pin exact dedup.
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = JFiles.createTempDirectory("graft-wmdedup-src")
+    Seq("a.parquet", "b.parquet").foreach { name =>
+      JFiles.createSymbolicLink(
+        streamDir.resolve(name),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
+    }
+    val sink = s"graft_wmdedup_${System.nanoTime()}"
+    val q = ss.readStream
+      .schema(Streams.EventsRawSchema)
+      .parquet(streamDir.toString)
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation",
+        JFiles.createTempDirectory("graft-wmdedup-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val deduped = ss.table(sink).count()
+    val distinctIds = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id").distinct().count()
+    assert(deduped === distinctIds,
+      s"watermarked dedup kept $deduped of $distinctIds distinct events")
+  }
+
   test("streaming state runs on the RocksDB store (the scalable state backend)") {
     // The default HDFS-backed store keeps state on the JVM heap — fine
     // for tests, not for 100 TB streaming state. Prove the engine's

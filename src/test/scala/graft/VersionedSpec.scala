@@ -162,6 +162,17 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, root, "y", 200, 300).count() === 0L)
   }
 
+  test("log-table schema evolution: mergeSchema unions added columns") {
+    val root = tmpRoot("versioned-evolve")
+    Versioned.publishDelta(Seq((1, "a")).toDF("x", "s"), root)
+    Versioned.publishDelta(Seq((2, "b", 9.5)).toDF("x", "s", "score"), root)
+    val merged = Versioned.read(spark, root, mergeSchema = true)
+    assert(merged.columns.sorted === Array("s", "score", "x"))
+    val rows = merged.select($"x", $"score").as[(Int, Option[Double])]
+      .collect().toMap
+    assert(rows === Map(1 -> None, 2 -> Some(9.5)))
+  }
+
   test("a reader loop never fails while a writer publishes continuously") {
     val root = tmpRoot("versioned-concurrent")
     Versioned.publish(Seq(0).toDF("x"), root)
