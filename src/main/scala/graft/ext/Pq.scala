@@ -181,7 +181,17 @@ object Pq {
         (0 until filled).iterator.map(i => (qid, best(i)._1))
       }
       .toDF("vec_id", "neighbor_id")
-    // exact re-rank on the true vectors, candidates only
+    rerankExact(candidates, embeddings, topK)
+  }
+
+  /** Exact cosine re-rank of (vec_id, neighbor_id) candidate pairs:
+    * fetches true vectors for candidates only — O(queries × rerank)
+    * join rows regardless of corpus size.
+    */
+  private def rerankExact(
+      candidates: DataFrame, embeddings: DataFrame, topK: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val embA = embeddings.select(col("vec_id"), col("embedding").as("emb_a"))
     val embB = embeddings.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("emb_b"))
@@ -198,4 +208,94 @@ object Pq {
       .where(col("rank") <= topK)
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
   }
+
+  /** IVF-PQ: the production vector-search composition (FAISS's IVFPQ
+    * expressed on Spark). IVF cells prune candidate generation to the
+    * query's `nprobe` nearest cells (a cogroup on cell id — shuffle
+    * O(rows × nprobe), never O(rows²)); INSIDE each cell, candidates are
+    * scored from PQ codes with one m×k ADC table per (query, cell) and m
+    * lookups per member — no full vectors move until the exact re-rank
+    * of the global ADC top `rerank`. Corpus memory in the search stage
+    * is m bytes + a cell id per vector.
+    */
+  def ivfAdcTopK(
+      embeddings: DataFrame,
+      topK: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 16,
+      k: Int = 16,
+      rerank: Int = 50,
+      iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.ivfCentroids(embeddings, nCells, iters)
+    val model = train(embeddings, m, k, iters)
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val base = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+    def bestCell(v: Array[Float]): Int = {
+      val cs = bcCents.value
+      var best = 0; var bestScore = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        val s = Similarity.cosineVs(v, cs(c))
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = base.map { case (id, v) =>
+      val mm = bcModel.value
+      val nv = normalize(v)
+      val subDim = mm.dim / mm.m
+      PqCoded(id,
+        Array.tabulate(mm.m)(s => nearest(nv, s * subDim, mm.codebooks(s))),
+        bestCell(v))
+    }
+    val probes = base.flatMap { case (id, v) =>
+      val cs = bcCents.value
+      cs.indices
+        .map(c => (c, Similarity.cosineVs(v, cs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(nprobe)
+        .iterator
+        .map { case (c, _) => BlockedVec(id, v, c) }
+    }
+    val partials = probes.groupByKey(_.blk)
+      .cogroup(assigned.groupByKey(_.cell)) { (_, qs, members) =>
+        val cell = members.map(p => (p.vec_id, p.codes)).toArray.sortBy(_._1)
+        if (cell.isEmpty) Iterator.empty
+        else qs.flatMap { q =>
+          val mm = bcModel.value
+          val nq = normalize(q.embedding)
+          val subDim = mm.dim / mm.m
+          // one ADC table per (query, cell): m×k subspace dot products
+          val table = Array.tabulate(mm.m, mm.k)((s, c) =>
+            subDot(nq, s * subDim, mm.codebooks(s)(c)))
+          cell.iterator.collect {
+            case (cid, cs) if cid != q.vec_id =>
+              var score = 0.0; var s = 0
+              while (s < cs.length) { score += table(s)(cs(s)); s += 1 }
+              PartialHit(q.vec_id, cid, score)
+          }
+        }
+      }
+    val candidates = partials
+      .groupByKey(_.vec_id)
+      .flatMapGroups { (qid, hits) =>
+        hits.toSeq.distinct // a pair can meet in several probed cells
+          .sortBy(h => (-h.score, h.neighbor_id))
+          .iterator.take(rerank)
+          .map(h => (qid, h.neighbor_id))
+      }
+      .toDF("vec_id", "neighbor_id")
+    rerankExact(candidates, embeddings, topK)
+  }
 }
+
+/** PQ-coded vector pinned to its IVF cell; top-level for Encoder codegen. */
+case class PqCoded(vec_id: Long, codes: Array[Int], cell: Int)

@@ -453,6 +453,26 @@ class ExtSpec extends SparkSpec {
     assert(codes.forall(c => c.length === 16 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("IVF-PQ: cell-pruned, code-scored search still finds exact neighbors") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
+      .map(n => n.vec_id -> n.neighbor_id).toMap
+    val ivfpq = graft.ext.Pq.ivfAdcTopK(embs, topK = 1,
+      nCells = 16, nprobe = 4, m = 16, k = 16, rerank = 50)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, n) => ivfpq.get(q).contains(n) }
+      .toDouble / exact.size
+    assert(recall > 0.6, s"IVF-PQ top-1 recall $recall too low")
+    // widening the probe budget recovers recall (the tuning contract)
+    val wide = graft.ext.Pq.ivfAdcTopK(embs, topK = 1,
+      nCells = 16, nprobe = 16, m = 16, k = 16, rerank = 50)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val wideRecall = exact.count { case (q, n) => wide.get(q).contains(n) }
+      .toDouble / exact.size
+    assert(wideRecall >= recall)
+    assert(wideRecall > 0.75, s"full-probe IVF-PQ recall $wideRecall too low")
+  }
+
   test("IVF ANN achieves high recall vs brute force on the real embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(embs, k = 1).collect()
