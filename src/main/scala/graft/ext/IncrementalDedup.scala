@@ -119,6 +119,9 @@ object IncrementalDedup {
         graft.functions.MinHashSignature.column(col(textCol), n, numHashes).as("mh"))
     val newBands = Dedup.lshBands(newSigs, idCol, bands, numHashes / bands)
       .select(col(idCol).as("new_id"), col("band"), col("band_hash"))
+      // consumed twice (candidate join + novel-band publish): materialize
+      // the signature pass once instead of recomputing 64 hashes per doc
+      .localCheckpoint(true)
 
     val bRoot = bandsRoot(stateRoot)
     val nearDupVsCorpus: DataFrame =
