@@ -107,6 +107,29 @@ object Orchestrator {
   /** Explicit-dependency job node for [[runDag]]. */
   final case class DagJob(id: String, dependsOn: Set[String] = Set.empty)
 
+  /** Load a dependency DAG from a metadata frame — the [[jobsFrom]]
+    * analogue for [[runDag]]. Accepts `{job_id, depends_on}` rows where
+    * `depends_on` is an array of ids, a comma-separated string, or
+    * null/empty for roots. Collecting is correct: job-control is
+    * metadata (dozens of rows), not data.
+    */
+  def dagFrom(df: org.apache.spark.sql.DataFrame): Seq[DagJob] =
+    df.select("job_id", "depends_on")
+      .collect()
+      .map { r =>
+        val deps: Set[String] = r.get(1) match {
+          case null => Set.empty
+          case xs: scala.collection.Seq[_] =>
+            xs.iterator.map(_.toString.trim).filter(_.nonEmpty).toSet
+          case s: String =>
+            s.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet
+          case other => throw new IllegalArgumentException(
+            s"unsupported depends_on value: $other")
+        }
+        DagJob(r.get(0).toString, deps)
+      }
+      .toSeq
+
   /** [[runDag]] outcome: `skipped` jobs never ran because a transitive
     * dependency failed (their `outcome` carries the cause).
     */

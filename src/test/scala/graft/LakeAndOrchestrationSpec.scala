@@ -200,6 +200,19 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(byId("d").skipped && byId("d").outcome.isFailure)
     assert(Seq("a", "c", "e").forall(byId(_).outcome.isSuccess))
 
+    // metadata-frame loading: array and CSV spellings of depends_on
+    import spark.implicits._
+    val metaDag = Orchestrator.dagFrom(Seq(
+      ("a", null.asInstanceOf[String]),
+      ("b", "a"), ("c", "a"),
+      ("d", "b, c"), ("e", "")).toDF("job_id", "depends_on"))
+    assert(metaDag.toSet === dag.toSet)
+    val arrDag = Orchestrator.dagFrom(Seq(
+      ("a", Seq.empty[String]), ("b", Seq("a")), ("c", Seq("a")),
+      ("d", Seq("b", "c")), ("e", Seq.empty[String]))
+      .toDF("job_id", "depends_on"))
+    assert(arrDag.toSet === dag.toSet)
+
     // malformed graphs rejected up front
     intercept[IllegalArgumentException] {
       Orchestrator.runDag(Seq(DagJob("x", Set("y")), DagJob("y", Set("x"))))(_ => ())
