@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed batch-wise per partition.
   * North-star extension layer (SURVEY §7.9).
   *
-  * The decode step is a clearly-marked deterministic STUB (no codec
-  * libraries in this environment); the Spark-side plumbing — schema,
-  * partitioning, per-partition batch iteration, feature-vector shape — is
-  * real and tested. Swapping `stubDecode` for a JNI/ffmpeg/PIL-backed
-  * decoder changes no plan shape: mapPartitions keeps the codec's state
-  * (contexts, buffers) alive across a whole partition, which is the
-  * Scala-side equivalent of `mapInPandas` batch processing.
+  * IMAGE decode is REAL — [[decodeImages]] uses the JDK's bundled
+  * ImageIO readers (PNG/BMP/GIF/JPEG), pixel-exact and spec-verified on
+  * generated images. Codecs the JVM does not ship (video/audio) remain a
+  * clearly-marked deterministic STUB ([[stubDecode]]) with the identical
+  * plan shape, so swapping in a JNI/ffmpeg decoder changes nothing
+  * structural: mapPartitions keeps codec state (contexts, buffers) alive
+  * across a whole partition — the Scala-side equivalent of `mapInPandas`
+  * batch processing.
   */
 object Multimodal {
 
@@ -87,6 +88,67 @@ object Multimodal {
           val bytes = if (payload == null) Array.emptyByteArray else payload
           val (checksum, features) = stubDecode(bytes)
           MediaFeatures(id, kind, bytes.length, checksum, features)
+        }
+      }
+  }
+
+  case class DecodedImage(
+      media_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      features: Array[Double])
+
+  /** REAL image decode — no stub: the JDK ships ImageIO readers for
+    * PNG/BMP/GIF/JPEG, so pixel-true decoding needs no external codec.
+    * Emits dimensions, exact per-channel means, and a normalized 8-bin
+    * luminance histogram. Payloads ImageIO can't parse (exotic codecs,
+    * non-image bytes) fall back to [[stubDecode]]'s byte features with
+    * `decoded = false`, so mixed corpora flow through one operator.
+    * Same mapPartitions batch shape as the rest of the layer: reader
+    * machinery and buffers amortize across a partition.
+    */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per record
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) {
+            val (_, hist) = stubDecode(bytes)
+            DecodedImage(id, decoded = false, 0, 0, 0.0, 0.0, 0.0, hist)
+          } else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            val hist = new Array[Double](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+                sr += r; sg += g; sb += b
+                hist(((r + g + b) / 3) / 32) += 1.0
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            var j = 0
+            while (j < 8) { hist(j) /= n; j += 1 }
+            DecodedImage(id, decoded = true, w, h, sr / n, sg / n, sb / n, hist)
+          }
         }
       }
   }

@@ -600,6 +600,44 @@ class ExtSpec extends SparkSpec {
     assert(again === hashes)
   }
 
+  test("real PNG decode: pixel-exact dimensions, channel means, fallback") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val solid = png(16, 16)((_, _) => (200 << 16) | (100 << 8) | 50)
+    val halves = png(8, 8)((x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val media = Seq(
+      (1L, solid),
+      (2L, halves),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = graft.ext.Multimodal.decodeImages(media)
+      .collect().map(d => d.media_id -> d).toMap
+    // solid color: exact means, all luminance mass in one bin
+    val s = out(1L)
+    assert(s.decoded && s.width === 16 && s.height === 16)
+    assert(s.mean_r === 200.0 && s.mean_g === 100.0 && s.mean_b === 50.0)
+    assert(s.features(((200 + 100 + 50) / 3) / 32) === 1.0)
+    // half black / half white: means 127.5, histogram split across ends
+    val hv = out(2L)
+    assert(hv.decoded && hv.width === 8 && hv.height === 8)
+    assert(hv.mean_r === 127.5 && hv.mean_g === 127.5 && hv.mean_b === 127.5)
+    assert(hv.features(0) === 0.5 && hv.features(7) === 0.5)
+    // non-image bytes: graceful stub fallback
+    val f = out(3L)
+    assert(!f.decoded && f.width === 0 && math.abs(f.features.sum - 1.0) < 1e-9)
+    // PNG is lossless and the decode is pure — bit-stable across runs
+    val again = graft.ext.Multimodal.decodeImages(media)
+      .collect().map(d => d.media_id -> d.features.toSeq).toMap
+    assert(again === out.view.mapValues(_.features.toSeq).toMap)
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
