@@ -171,29 +171,33 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val means = new Array[Double](64)
-          if (bytes.nonEmpty) {
-            var b = 0
-            while (b < 64) {
-              val lo = (bytes.length.toLong * b / 64).toInt
-              val hi = math.max(lo + 1, (bytes.length.toLong * (b + 1) / 64).toInt)
-              var s = 0L
-              var i = lo
-              while (i < math.min(hi, bytes.length)) { s += (bytes(i) & 0xFF); i += 1 }
-              means(b) = s.toDouble / math.max(1, math.min(hi, bytes.length) - lo)
-              b += 1
-            }
-          }
-          val mean = means.sum / 64.0
-          var hash = 0L
-          var b = 0
-          while (b < 64) {
-            if (means(b) > mean) hash |= (1L << b)
-            b += 1
-          }
-          MediaHash(id, hash)
+          MediaHash(id, byteBlockAHash(bytes))
         }
       }
+  }
+
+  private[ext] def byteBlockAHash(bytes: Array[Byte]): Long = {
+    val means = new Array[Double](64)
+    if (bytes.nonEmpty) {
+      var b = 0
+      while (b < 64) {
+        val lo = (bytes.length.toLong * b / 64).toInt
+        val hi = math.max(lo + 1, (bytes.length.toLong * (b + 1) / 64).toInt)
+        var s = 0L
+        var i = lo
+        while (i < math.min(hi, bytes.length)) { s += (bytes(i) & 0xFF); i += 1 }
+        means(b) = s.toDouble / math.max(1, math.min(hi, bytes.length) - lo)
+        b += 1
+      }
+    }
+    val mean = means.sum / 64.0
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (means(b) > mean) hash |= (1L << b)
+      b += 1
+    }
+    hash
   }
 
   /** Perceptual near-dup pairs across media payloads: aHash banding via
@@ -202,6 +206,67 @@ object Multimodal {
     */
   def nearDupMedia(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hash64Pairs(aHash64(media).toDF(), "media_id", "ahash", maxHamming)
+
+  /** REAL perceptual average-hash for images: decode (JDK ImageIO),
+    * average-pool luminance to the classic 8×8 grid, threshold each cell
+    * at the global mean → 64 bits. Non-image payloads fall back to the
+    * byte-block [[aHash64]] so mixed corpora still hash. Pixel-space
+    * hashing is what makes the hash survive RE-ENCODING (same image,
+    * different bytes), which the byte-block variant cannot.
+    */
+  def aHash64Images(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) MediaHash(id, byteBlockAHash(bytes))
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val means = new Array[Double](64)
+            var cell = 0
+            while (cell < 64) {
+              val (cx, cy) = (cell % 8, cell / 8)
+              val x0 = w * cx / 8; val x1 = math.max(x0 + 1, w * (cx + 1) / 8)
+              val y0 = h * cy / 8; val y1 = math.max(y0 + 1, h * (cy + 1) / 8)
+              var s = 0L; var n = 0
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  val rgb = img.getRGB(x, y)
+                  s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              means(cell) = if (n == 0) 0.0 else s.toDouble / (3 * n)
+              cell += 1
+            }
+            val mean = means.sum / 64.0
+            var hash = 0L
+            var b = 0
+            while (b < 64) { if (means(b) > mean) hash |= (1L << b); b += 1 }
+            MediaHash(id, hash)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs on the pixel-space hash: banding + exact
+    * hamming via [[Dedup.hash64Pairs]], identical scale shape to
+    * [[nearDupMedia]].
+    */
+  def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hash64Pairs(aHash64Images(media).toDF(), "media_id", "ahash", maxHamming)
 
   case class ResizedMedia(
       media_id: Long,

@@ -638,6 +638,42 @@ class ExtSpec extends SparkSpec {
     assert(again === out.view.mapValues(_.features.toSeq).toMap)
   }
 
+  test("pixel-space aHash survives re-encoding and finds planted image near-dups") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def render(w: Int, h: Int, fmt: String)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    def pattern(seed: Int)(x: Int, y: Int): Int = {
+      val v = (x * 31 + y * 17 + seed * 101) % 256
+      (v << 16) | (v << 8) | v
+    }
+    val basePng = render(32, 32, "png")(pattern(1))
+    val sameAsBmp = render(32, 32, "bmp")(pattern(1)) // same pixels, other bytes
+    val perturbed = render(32, 32, "png") { (x, y) =>
+      if (x == 0 && y == 0) 0xFFFFFF else pattern(1)(x, y) }
+    val different = render(32, 32, "png")(pattern(7))
+    val media = Seq(
+      (1L, basePng), (2L, sameAsBmp), (3L, perturbed), (4L, different))
+      .toDF("media_id", "payload")
+    val hashes = graft.ext.Multimodal.aHash64Images(media)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical pixels re-encoded in another container: identical hash —
+    // exactly what the byte-block hash cannot do
+    assert(ham(hashes(1L), hashes(2L)) === 0)
+    assert(ham(hashes(1L), hashes(3L)) <= 3, "tiny perturbation must stay near")
+    assert(ham(hashes(1L), hashes(4L)) > 10, "different image must be far")
+    // and the banded pair search surfaces exactly the planted near-dups
+    val pairs = graft.ext.Multimodal.nearDupImages(media, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
