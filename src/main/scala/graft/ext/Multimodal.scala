@@ -303,6 +303,46 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize: decode (JDK ImageIO), bilinear-rescale to
+    * `(width, height)` with fixed rendering hints (deterministic), and
+    * re-encode as PNG (lossless, bit-stable). Non-image payloads pass
+    * through the byte-budget stub [[resize]] semantics via a null
+    * marker: `resized = false`, payload unchanged. Same batch shape.
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, s"bad target ${width}x$height")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (img == null) (id, false, bytes)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, true, buf.toByteArray)
+          }
+        }
+      }
+      .toDF("media_id", "resized", "payload")
+  }
+
   case class MediaFrame(
       media_id: Long,
       kind: String,

@@ -674,6 +674,30 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("real image resize: dimensions change, solid colors stay exact") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val buf = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    val media = Seq((1L, buf.toByteArray),
+      (2L, "definitely not pixels".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = graft.ext.Multimodal.resizeImages(media, 8, 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getAs[Array[Byte]](2))).toMap
+    assert(out(1L)._1, "real image must resize")
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out(1L)._2))
+    assert(back.getWidth === 8 && back.getHeight === 8)
+    // bilinear over a constant field is exact — no color drift
+    assert((back.getRGB(4, 4) & 0xFFFFFF) === ((10 << 16) | (20 << 8) | 30))
+    // non-image passes through untouched
+    assert(!out(2L)._1 &&
+      new String(out(2L)._2, "UTF-8") === "definitely not pixels")
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
