@@ -153,6 +153,78 @@ object Multimodal {
       }
   }
 
+  case class DecodedAudio(
+      media_id: Long,
+      decoded: Boolean,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      rms: Double,
+      zero_cross_rate: Double)
+
+  /** REAL audio decode — the JDK bundles javax.sound.sampled readers for
+    * WAV/AU/AIFF PCM: emits format metadata plus sample statistics (RMS
+    * amplitude over [-1, 1]-normalized samples, zero-crossing rate — the
+    * first-pass features audio curation filters on). Undecodable
+    * payloads (compressed codecs, non-audio bytes) yield
+    * `decoded = false` with zeroed stats. Same per-partition batch
+    * shape as the image path.
+    */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          val in =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+          if (in == null) DecodedAudio(id, decoded = false, 0.0, 0, 0L, 0.0, 0.0)
+          else
+            try {
+              val fmt = in.getFormat
+              val bytesPerSample = fmt.getSampleSizeInBits / 8
+              val data = in.readAllBytes()
+              val n = data.length / (bytesPerSample * fmt.getChannels)
+              var sumSq = 0.0
+              var crossings = 0L
+              var prevSign = 0
+              var f = 0
+              while (f < n) {
+                // mean over channels, 16-bit signed PCM little/big per fmt
+                var acc = 0.0
+                var c = 0
+                while (c < fmt.getChannels) {
+                  val off = (f * fmt.getChannels + c) * bytesPerSample
+                  val raw =
+                    if (bytesPerSample == 2) {
+                      val (b0, b1) = (data(off) & 0xFF, data(off + 1) & 0xFF)
+                      (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+                    } else data(off).toInt // 8-bit signed
+                  acc += raw.toDouble / (if (bytesPerSample == 2) 32768.0 else 128.0)
+                  c += 1
+                }
+                val s = acc / fmt.getChannels
+                sumSq += s * s
+                val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+                if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+                if (sign != 0) prevSign = sign
+                f += 1
+              }
+              DecodedAudio(id, decoded = true,
+                fmt.getSampleRate.toDouble, fmt.getChannels, n.toLong,
+                if (n == 0) 0.0 else math.sqrt(sumSq / n),
+                if (n <= 1) 0.0 else crossings.toDouble / (n - 1))
+            } finally in.close()
+        }
+      }
+  }
+
   case class MediaHash(media_id: Long, ahash: Long)
 
   /** Average-hash (aHash) over the decoded payload: 64 equal byte blocks,

@@ -698,6 +698,34 @@ class ExtSpec extends SparkSpec {
       new String(out(2L)._2, "UTF-8") === "definitely not pixels")
   }
 
+  test("real WAV decode: exact RMS and zero-crossing rate on a square wave") {
+    import javax.sound.sampled._
+    val n = 8000
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    for (f <- 0 until n) {
+      val v: Short = if ((f / 4) % 2 == 0) 16384 else -16384 // flip every 4
+      data(2 * f) = (v & 0xFF).toByte
+      data(2 * f + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, buf)
+    val media = Seq((1L, buf.toByteArray),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = graft.ext.Multimodal.decodeAudio(media)
+      .collect().map(d => d.media_id -> d).toMap
+    val a = out(1L)
+    assert(a.decoded && a.sample_rate === 8000.0 && a.channels === 1)
+    assert(a.n_frames === n.toLong)
+    // ±16384/32768 = ±0.5 exactly → RMS is exactly 0.5
+    assert(a.rms === 0.5)
+    // sign flips at every 4th frame boundary: n/4 - 1 crossings
+    assert(a.zero_cross_rate === (n / 4 - 1).toDouble / (n - 1))
+    assert(!out(2L).decoded && out(2L).n_frames === 0L)
+  }
+
   test("multimodal feature extraction is deterministic with unit-sum histogram") {
     val media = Multimodal.ingestFromDocuments(
       Seq((1L, "hello world", "en", "src0", 11L))
