@@ -225,6 +225,54 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     }
   }
 
+  test("backfill windows: contiguous half-open chunks; windowed re-runs ≡ one-shot") {
+    import graft.orchestrate.Backfill
+    assert(Backfill.windows("2020-01-01", "2020-01-10", 3) === Seq(
+      ("2020-01-01", "2020-01-04"), ("2020-01-04", "2020-01-07"),
+      ("2020-01-07", "2020-01-10")))
+    // last chunk clamps to the range end
+    assert(Backfill.windows("2020-01-01", "2020-01-08", 3).last ===
+      ("2020-01-07", "2020-01-08"))
+    assert(Backfill.windows("2020-01-01", "2020-01-01", 3) === Seq.empty)
+
+    // end-to-end: hourly aggregation backfilled per window with dynamic
+    // partition overwrite equals the one-shot run — and re-running one
+    // window is idempotent (the resume-after-failure contract)
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("dt", date_format($"ts", "yyyy-MM-dd"))
+    val bounds = events
+      .agg(min($"dt"), date_format(expr("min(ts) + INTERVAL 2 DAYS"), "yyyy-MM-dd"),
+        date_format(expr("max(ts) + INTERVAL 1 DAY"), "yyyy-MM-dd"))
+      .collect().head.toSeq.map(_.toString)
+    val (d0, dMid, dEnd) = (bounds(0), bounds(1), bounds(2))
+    val chunkDays = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(d0), java.time.LocalDate.parse(dMid)).toInt
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft-backfill").toString + "/hourly"
+    def runWindow(lo: String, hi: String): Unit =
+      LakeWriter.overwritePartitionsDynamic(
+        graft.streaming.Streams.hourlyAgg(
+          events.where($"dt" >= lo && $"dt" < hi))
+          .withColumn("dt", substring($"window_start", 1, 10)),
+        lake, "dt")
+    val jobs = Backfill.jobs(d0, dEnd, chunkDays)
+    assert(jobs.size >= 2, s"need >=2 windows, got ${jobs.size}")
+    val results = Orchestrator.runDag(jobs, maxConcurrentThreads = 2) { j =>
+      val (lo, hi) = Backfill.windowOf(j, d0, dEnd, chunkDays)
+      runWindow(lo, hi)
+    }
+    assert(results.forall(_.outcome.isSuccess))
+    // re-run the first window alone: dynamic overwrite makes it a no-op
+    val (lo0, hi0) = Backfill.windowOf(jobs.head, d0, dEnd, chunkDays)
+    runWindow(lo0, hi0)
+    val backfilled = spark.read.parquet(lake)
+      .select($"window_start", $"event_type", $"n_events", $"sum_value", $"n_users")
+    val oneShot = graft.streaming.Streams.hourlyAgg(events)
+    assert(backfilled.count() === oneShot.count())
+    assert(backfilled.exceptAll(oneShot).count() === 0L)
+    assert(oneShot.exceptAll(backfilled).count() === 0L)
+  }
+
   test("orchestrator honors priority barriers and sequential-first discipline") {
     val started = mutable.ArrayBuffer[(Int, String)]()
     val results = Orchestrator.run(jobControl, maxConcurrentThreads = 3) { spec =>
