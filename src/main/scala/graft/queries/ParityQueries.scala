@@ -738,8 +738,90 @@ object ParityQueries {
       |                         WHERE l2.l_orderkey = l.l_orderkey)
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
+  /** q24 — TPC-H Q14 shape: promo revenue share over a date window.
+    * Numerator and denominator are exact decimal sums (order-independent
+    * partial aggregation); the ratio divides the two exact doubles, so
+    * both engines compute the identical IEEE quotient.
+    */
+  def q24PromoRatio(s: SparkSession, dir: String): DataFrame = {
+    val one = Casts.asMoney(lit(1))
+    val revenue = Casts.asMoney(col("l_extendedprice")) *
+      (one - Casts.asMoney(col("l_discount")))
+    li(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === lit("PROMO"), revenue)
+          .otherwise(Casts.asMoney(lit(0)))).cast(DoubleType).as("promo_revenue"),
+        sum(revenue).cast(DoubleType).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"))
+  }
+
+  val q24Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+      |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'""".stripMargin
+
+  /** q25 — TPC-H Q19 shape: equi-join with a DISJUNCTIVE residual (OR of
+    * brand/size/quantity bands). The planner must keep l_partkey =
+    * p_partkey as the join key and evaluate the OR as a post-join filter
+    * — never a cartesian (PlanQualitySpec covers the whole catalog).
+    */
+  def q25DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val one = Casts.asMoney(lit(1))
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val branches =
+      (col("p_brand") === lit("Brand#13") && col("p_size").between(1, 15)
+        && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === lit("Brand#19") && col("p_size").between(10, 30)
+        && col("l_quantity").between(10, 35)) ||
+      (col("p_type") === lit("PROMO") && col("p_size").between(20, 50)
+        && col("l_quantity").between(20, 50))
+    li(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") && branches)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(Casts.asMoney(col("l_extendedprice"))
+          * (one - Casts.asMoney(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+  }
+
+  val q25Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+      |  (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 1 AND 20) OR
+      |  (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+      |    AND l_quantity BETWEEN 10 AND 35) OR
+      |  (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50
+      |    AND l_quantity BETWEEN 20 AND 50))""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_promo_ratio" -> (q24PromoRatio _),
+    "q25_disjunctive_join" -> (q25DisjunctiveJoin _),
     "q22_exists" -> (q22Exists _),
     "q23_min_subquery" -> (q23MinSubquery _),
     "q15_star_join" -> (q15StarJoin _),
@@ -765,6 +847,8 @@ object ParityQueries {
     "q14_rollup" -> (q14Rollup _))
 
   val oracles: Map[String, String] = Map(
+    "q24_promo_ratio" -> q24Sql,
+    "q25_disjunctive_join" -> q25Sql,
     "q22_exists" -> q22Sql,
     "q23_min_subquery" -> q23Sql,
     "q15_star_join" -> q15Sql,
