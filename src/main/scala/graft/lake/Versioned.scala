@@ -205,6 +205,40 @@ object Versioned {
   /** True once the table has a published manifest. */
   def exists(tableRoot: String): Boolean = manifest(tableRoot).nonEmpty
 
+  /** Enforce the single-writer discipline the layout assumes: an
+    * advisory `_WRITER_LOCK` taken with an atomic create-new (the same
+    * primitive object stores expose as if-none-match put). A second
+    * writer fails fast instead of interleaving version allocations. The
+    * lock never gates READERS — publishes stay gap-free without it.
+    *
+    * A crashed holder leaves a stale lock; `breakLock` removes it after
+    * the operator confirms the holder is gone (the lock file records
+    * owner and acquisition time for that call).
+    */
+  def withWriterLock[A](tableRoot: String)(body: => A): A = {
+    val rootPath = root(tableRoot)
+    Files.createDirectories(rootPath)
+    val lock = rootPath.resolve("_WRITER_LOCK")
+    try
+      Files.write(lock,
+        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+          .getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = new String(Files.readAllBytes(lock), "UTF-8").trim
+        throw new IllegalStateException(
+          s"another writer holds $tableRoot (holder: $holder); " +
+            "if it crashed, Versioned.breakLock(tableRoot) releases it")
+    }
+    try body
+    finally Files.deleteIfExists(lock)
+  }
+
+  /** Remove a stale writer lock after confirming its holder is dead. */
+  def breakLock(tableRoot: String): Boolean =
+    Files.deleteIfExists(root(tableRoot).resolve("_WRITER_LOCK"))
+
   /** Range read with file-level stat pruning: version dirs published with
     * `statsCols` covering `column` contribute only files whose
     * [min, max] intersects [lo, hi]; dirs without stats contribute all

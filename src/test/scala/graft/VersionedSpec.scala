@@ -173,6 +173,36 @@ class VersionedSpec extends SparkSpec {
     assert(rows === Map(1 -> None, 2 -> Some(9.5)))
   }
 
+  test("writer lock: second writer fails fast, readers unaffected, break recovers") {
+    val root = tmpRoot("versioned-lock")
+    Versioned.publish(Seq(1).toDF("x"), root)
+    Versioned.withWriterLock(root) {
+      // a concurrent writer is rejected while the lock is held...
+      val e = intercept[IllegalStateException] {
+        Versioned.withWriterLock(root)(fail("second writer must not enter"))
+      }
+      assert(e.getMessage.contains("another writer"))
+      // ...but readers never block on it
+      assert(Versioned.read(spark, root).as[Int].collect() === Array(1))
+      Versioned.publish(Seq(2).toDF("x"), root)
+    }
+    // released on exit: the next writer proceeds
+    Versioned.withWriterLock(root)(Versioned.publish(Seq(3).toDF("x"), root))
+    assert(Versioned.read(spark, root).as[Int].collect() === Array(3))
+    // a failing body propagates its own exception...
+    intercept[RuntimeException] {
+      Versioned.withWriterLock(root) { throw new RuntimeException("crash") }
+    }
+    // lock released even on body failure (try/finally) — reacquire works
+    Versioned.withWriterLock(root)(())
+    // simulate a hard crash that never reached the finally
+    java.nio.file.Files.write(
+      Paths.get(root, "_WRITER_LOCK"), "dead@nowhere\n".getBytes("UTF-8"))
+    intercept[IllegalStateException] { Versioned.withWriterLock(root)(()) }
+    assert(Versioned.breakLock(root))
+    Versioned.withWriterLock(root)(())
+  }
+
   test("a reader loop never fails while a writer publishes continuously") {
     val root = tmpRoot("versioned-concurrent")
     Versioned.publish(Seq(0).toDF("x"), root)
