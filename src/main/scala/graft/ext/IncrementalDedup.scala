@@ -75,7 +75,25 @@ object IncrementalDedup {
       n: Int = 3,
       threshold: Double = 0.3,
       numHashes: Int = 64,
-      bands: Int = 16): IngestStats = {
+      bands: Int = 16): IngestStats =
+    // the dedup decision depends on the state read at the START of the
+    // ingest, so the lock must span read-through-publish: two concurrent
+    // ingests against the same base would otherwise double-accept
+    // near-dups of each other (not just interleave version numbers)
+    Versioned.withWriterLock(stateRoot) {
+      ingestLocked(delivery, idCol, textCol, stateRoot, n, threshold,
+        numHashes, bands)
+    }
+
+  private def ingestLocked(
+      delivery: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateRoot: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): IngestStats = {
     val spark = delivery.sparkSession
     val delivered = delivery.count()
 

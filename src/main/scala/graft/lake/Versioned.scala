@@ -87,6 +87,24 @@ object Versioned {
   private def dirName(v: Int): String = f"v$v%06d"
 
   private val StatsFile = "_GRAFT_STATS.tsv"
+  private val MetaFile = "_GRAFT_META"
+
+  /** Exact row count of the live table from per-version metadata — no
+    * scan; recorded at publish time by an Observation riding the write.
+    * None if any live directory predates metadata recording.
+    */
+  def publishedRows(tableRoot: String): Option[Long] = {
+    val live = manifest(tableRoot)
+    if (live.isEmpty) return None
+    val counts = live.map { v =>
+      val f = root(tableRoot).resolve(dirName(v)).resolve(MetaFile)
+      if (!Files.exists(f)) return None
+      new String(Files.readAllBytes(f), "UTF-8").linesIterator
+        .collectFirst { case l if l.startsWith("rows=") => l.stripPrefix("rows=").toLong }
+        .getOrElse(return None)
+    }
+    Some(counts.sum)
+  }
 
   private def writeDir(
       df: DataFrame, rootPath: Path, maxRecordsPerFile: Long,
@@ -97,11 +115,18 @@ object Versioned {
     // would write into a non-empty directory
     val next = listVersions(rootPath).lastOption.getOrElse(0) + 1
     val dir = rootPath.resolve(dirName(next))
-    df.write
+    // row count observed DURING the write (Observation rides the action —
+    // no second scan), recorded with the version for reconciliation
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "snappy")
       .parquet(dir.toString)
+    Files.write(dir.resolve(MetaFile),
+      s"rows=${obs.get("rows")}\n".getBytes("UTF-8"))
     if (statsCols.nonEmpty) {
       // one scan of the just-written files → per-file min/max per column
       // (numeric columns; values stored as doubles). Written INSIDE the

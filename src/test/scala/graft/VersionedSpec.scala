@@ -173,6 +173,19 @@ class VersionedSpec extends SparkSpec {
     assert(rows === Map(1 -> None, 2 -> Some(9.5)))
   }
 
+  test("publishes record observed row counts: exact totals with no scan") {
+    val root = tmpRoot("versioned-meta")
+    Versioned.publishDelta(spark.range(123).toDF("x"), root)
+    assert(Versioned.publishedRows(root) === Some(123L))
+    Versioned.publishDelta(spark.range(77).toDF("x"), root)
+    assert(Versioned.publishedRows(root) === Some(200L))
+    // snapshot publish resets to its own count
+    Versioned.publish(spark.range(5).toDF("x"), root)
+    assert(Versioned.publishedRows(root) === Some(5L))
+    // the count agrees with an actual scan
+    assert(Versioned.read(spark, root).count() === 5L)
+  }
+
   test("writer lock: second writer fails fast, readers unaffected, break recovers") {
     val root = tmpRoot("versioned-lock")
     Versioned.publish(Seq(1).toDF("x"), root)
