@@ -79,6 +79,39 @@ object DataQuality {
         s"data-quality gate failed: ${bad.mkString(", ")}")
   }
 
+  /** Attach row-local rules to `df` as an [[org.apache.spark.sql.Observation]]:
+    * violation counters are collected DURING whatever action the caller
+    * runs next (typically the lake write) — auditing with zero extra
+    * scans, the shape an ingest job wants at 100 TB. Returns the
+    * instrumented frame and a thunk that yields (check → n_violations)
+    * once the action has run.
+    *
+    * Row-local rules only ([[NotNull]]/[[RangeIn]]/[[Accepted]]):
+    * uniqueness and referential rules need a shuffle/join and cannot
+    * ride a write — run those via [[report]].
+    */
+  def observed(
+      df: DataFrame,
+      rules: Seq[Rule]): (DataFrame, () => Map[String, Long]) = {
+    require(rules.nonEmpty, "no rules given")
+    val rowLocal = rules.collect {
+      case r @ NotNull(c) => r.name -> col(c).isNull
+      case r @ RangeIn(c, lo, hi) =>
+        r.name -> (col(c) < lit(lo) || col(c) > lit(hi))
+      case r: Accepted =>
+        r.name -> (col(r.column).isNotNull && !col(r.column).isin(r.values: _*))
+    }
+    require(rowLocal.size == rules.size,
+      s"observed() takes row-local rules only; got ${rules.map(_.name)}")
+    val counters = rowLocal.map { case (n, pred) =>
+      coalesce(sum(when(pred, lit(1L)).otherwise(lit(0L))), lit(0L)).as(n)
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val instrumented = df.observe(obs, counters.head, counters.tail: _*)
+    (instrumented,
+      () => rowLocal.map { case (n, _) => n -> obs.get(n).asInstanceOf[Long] }.toMap)
+  }
+
   /** Evaluate all rules; returns (check, n_violations) sorted by check. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession

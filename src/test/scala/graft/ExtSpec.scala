@@ -256,6 +256,30 @@ class ExtSpec extends SparkSpec {
     assert(rep.size === 5)
   }
 
+  test("observed rules ride the write: same counts as report(), no extra scan") {
+    import graft.ops.DataQuality._
+    val df = Seq(
+      (Some(1L), Some(10.0), "O"),
+      (None, Some(-5.0), "X"),
+      (Some(2L), Some(2000.0), "F")).toDF("k", "amt", "code")
+    val rules = Seq(NotNull("k"), RangeIn("amt", 0.0, 1000.0),
+      Accepted("code", Seq("O", "F", "P")))
+    val (instrumented, metrics) = observed(df, rules)
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-dq-observe").toString + "/out"
+    instrumented.write.parquet(sink) // the ONLY action — counters ride it
+    val viaObserve = metrics()
+    val viaReport = report(df, rules).as[(String, Long)].collect().toMap
+    assert(viaObserve === viaReport)
+    assert(viaObserve("k.not_null") === 1L)
+    assert(viaObserve("amt.range[0.0,1000.0]") === 2L)
+    assert(viaObserve("code.accepted") === 1L)
+    // non-row-local rules are rejected loudly
+    intercept[IllegalArgumentException] {
+      observed(df, Seq(Unique(Seq("k"))))
+    }
+  }
+
   test("UniqueOrNull counts true duplicates only; Unique implies NotNull") {
     import graft.ops.DataQuality._
     // fully-unique non-null keys plus ONE null-keyed row: Unique reports
