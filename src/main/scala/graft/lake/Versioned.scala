@@ -51,13 +51,18 @@ object Versioned {
 
   private def root(p: String): Path = Paths.get(p.stripSuffix("/"))
 
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator.asScala.toList
+    finally s.close() // directory streams hold a file descriptor
+  }
+
   private def listVersions(rootPath: Path): Seq[Int] =
     if (!Files.isDirectory(rootPath)) Nil
     else
-      Files.list(rootPath).iterator.asScala
+      listDir(rootPath)
         .map(_.getFileName.toString)
         .collect { case VerDir(n) => n.toInt }
-        .toSeq
         .sorted
 
   /** The live manifest: version numbers whose directories' union is the
@@ -294,10 +299,9 @@ object Versioned {
               dir.resolve(file).toString
           }
         case None =>
-          Files.list(dir).iterator.asScala
+          listDir(dir)
             .map(_.toString)
             .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
-            .toSeq
       }
     }
     if (selected.isEmpty) read(spark, tableRoot).where(lit(false))
