@@ -85,6 +85,7 @@ object Pq {
       .as[(Long, Array[Float])]
       .collect()
       .map(r => normalize(r._2))
+    require(seeds.nonEmpty, "cannot train PQ on an empty corpus")
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
       seeds(c % seeds.length).slice(s * subDim, (s + 1) * subDim)
     }
@@ -139,14 +140,26 @@ object Pq {
   /** ANN top-k: ADC candidate generation over broadcast codes, exact
     * cosine re-rank of the top `rerank` candidates per query. Output
     * matches [[Similarity.bruteForceTopK]]'s shape.
+    *
+    * The codes table is collected and broadcast (m ints + an id per
+    * vector) — the broadcast-build contract. Indexes beyond
+    * `maxIndexRows` fail fast toward [[ivfAdcTopK]], whose cell cogroup
+    * never materializes codes on the driver.
     */
   def adcTopK(embeddings: DataFrame, topK: Int, m: Int = 16, k: Int = 16,
-      rerank: Int = 50, iters: Int = 3): DataFrame = {
+      rerank: Int = 50, iters: Int = 3,
+      maxIndexRows: Long = Similarity.MaxBroadcastIndexRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val model = train(embeddings, m, k, iters)
-    val codes: Array[(Long, Array[Int])] = encode(embeddings, model)
-      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val budget = math.min(maxIndexRows, (Int.MaxValue - 2).toLong).toInt
+    val prefix: Array[(Long, Array[Int])] = encode(embeddings, model)
+      .as[(Long, Array[Int])].limit(budget + 1).collect()
+    if (prefix.length > budget)
+      throw new IllegalArgumentException(
+        s"PQ code index exceeds the broadcast budget ($maxIndexRows rows); " +
+          "use Pq.ivfAdcTopK, whose cell cogroup keeps codes distributed")
+    val codes: Array[(Long, Array[Int])] = prefix.sortBy(_._1)
     val bcCodes = spark.sparkContext.broadcast(codes)
     val bcModel = spark.sparkContext.broadcast(model)
     val candidates = embeddings

@@ -475,6 +475,11 @@ class ExtSpec extends SparkSpec {
     val codes = graft.ext.Pq.encode(embs, model)
       .select($"codes").as[Array[Int]].collect()
     assert(codes.forall(c => c.length === 16 && c.forall(x => x >= 0 && x < 16)))
+    // over-budget code index dispatches away from the driver collect
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Pq.adcTopK(embs, topK = 1, maxIndexRows = 10)
+    }
+    assert(e.getMessage.contains("ivfAdcTopK"))
   }
 
   test("IVF-PQ: cell-pruned, code-scored search still finds exact neighbors") {
