@@ -205,7 +205,10 @@ object Multimodal {
                     if (bytesPerSample == 2) {
                       val (b0, b1) = (data(off) & 0xFF, data(off + 1) & 0xFF)
                       (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
-                    } else data(off).toInt // 8-bit signed
+                    } else if (fmt.getEncoding ==
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                      (data(off) & 0xFF) - 128 // 8-bit WAV PCM is unsigned
+                    else data(off).toInt // 8-bit signed (AU/AIFF)
                   acc += raw.toDouble / (if (bytesPerSample == 2) 32768.0 else 128.0)
                   c += 1
                 }

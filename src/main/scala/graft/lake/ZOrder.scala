@@ -65,6 +65,7 @@ object ZOrder {
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (stats.isNullAt(0)) return df.repartition(nFiles) // empty input
     val (aMin, aMax, bMin, bMax) =
       (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
     df.withColumn("__z", interleave16(
