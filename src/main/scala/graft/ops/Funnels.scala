@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: ordered funnels and cohort retention —
+  * the two queries every event pipeline runs, expressed as compositions
+  * of per-user aggregates and equi-joins (each stage is one map-side-
+  * combinable min + one join on the user key; nothing is quadratic and
+  * no window spans more than a user's own events).
+  */
+object Funnels {
+
+  /** Ordered-funnel reach: a user reaches stage k when an event of type
+    * `steps(k)` occurs STRICTLY AFTER their stage-(k-1) reach time
+    * (reach time = earliest qualifying event). Returns one row per
+    * stage: (stage 1-based, step, n_users). Monotone by construction.
+    *
+    * Scale shape: per stage, one filtered min-aggregate (partial agg on
+    * the user key) joined back on the same key — the join reuses the
+    * aggregation's hash partitioning, so the whole funnel is one shuffle
+    * per stage over per-user rows (not per-event).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val candidates = events
+          .filter(col(typeCol) === lit(step))
+          .select(col(userCol).as("u"), col(tsCol).as("t"))
+        val qualified = prev match {
+          case None => candidates
+          case Some(p) =>
+            candidates.join(p, Seq("u")).where(col("t") > col("reach_t"))
+              .select(col("u"), col("t"))
+        }
+        Some(qualified.groupBy(col("u")).agg(min(col("t")).as("reach_t")))
+    }.flatten
+    reaches.zip(steps).zipWithIndex
+      .map { case ((reach, step), i) =>
+        reach.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(step).as("step"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users are cohorted by their first-activity date;
+    * each (cohort_date, day_offset) cell counts distinct cohort members
+    * active that day, for offsets in [0, maxDays]. One min-aggregate for
+    * cohorts + one distinct (user, day) projection + one join on the
+    * user key.
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxDays: Int): DataFrame = {
+    require(maxDays >= 0, s"maxDays must be >= 0, got $maxDays")
+    val days = events.select(
+      col(userCol).as("u"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val cohorts = days.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("u"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .where(col("day_offset") <= lit(maxDays))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // (u, day) is distinct already
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+}

@@ -651,6 +651,51 @@ object ExtQueries {
       |QUALIFY row_number() OVER w <= 5
       |ORDER BY a.vec_id, rank""".stripMargin
 
+  /** x82 — ordered funnel ([[graft.ops.Funnels.funnel]]): users reaching
+    * signup → view → click → purchase, each stage strictly after the
+    * previous stage's reach time.
+    */
+  def x82Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnels.funnel(Tables.events(s, dir),
+      "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+
+  val x82Sql: String =
+    """WITH r1 AS (SELECT user_id u, min(ts) t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |r2 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN r1 ON e.user_id = r1.u
+      |  WHERE e.event_type = 'view' AND e.ts > r1.t GROUP BY 1),
+      |r3 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN r2 ON e.user_id = r2.u
+      |  WHERE e.event_type = 'click' AND e.ts > r2.t GROUP BY 1),
+      |r4 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN r3 ON e.user_id = r3.u
+      |  WHERE e.event_type = 'purchase' AND e.ts > r3.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM r1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM r2
+      |  UNION ALL SELECT 3, 'click', count(*) FROM r3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM r4)
+      |ORDER BY stage""".stripMargin
+
+  /** x83 — cohort retention ([[graft.ops.Funnels.retention]]): distinct
+    * active users per (first-activity cohort, day offset ≤ 7).
+    */
+  def x83Retention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnels.retention(Tables.events(s, dir), "user_id", "ts", 7)
+
+  val x83Sql: String =
+    """WITH days AS (SELECT DISTINCT user_id u, CAST(ts AS DATE) AS day FROM events),
+      |coh AS (SELECT u, min(day) AS cohort_day FROM days GROUP BY 1)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_date,
+      |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+      |  count(*) AS n_users
+      |FROM days JOIN coh USING (u)
+      |WHERE date_diff('day', cohort_day, day) <= 7
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
   /** x66 — skew-safe salted equi-join (Relational.saltedEquiJoin): events
     * fact joined to its per-user aggregate; salting must not change join
     * semantics, so the oracle is the plain join.
@@ -1441,6 +1486,8 @@ object ExtQueries {
     "x45_quantize" -> (x45Quantize _),
     "x46_quantized_topk" -> (x46QuantizedTopK _),
     "x66_salted_join" -> (x66SaltedJoin _),
+    "x82_funnel" -> (x82Funnel _),
+    "x83_retention" -> (x83Retention _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
     "x51_media_features" -> (x51MediaFeatures _),
@@ -1489,6 +1536,8 @@ object ExtQueries {
     "x44_vector_ops" -> x44Sql,
     "x45_quantize" -> x45Sql,
     "x38_incremental_dedup" -> x38Sql,
+    "x82_funnel" -> x82Sql,
+    "x83_retention" -> x83Sql,
     "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,
     "x50_media_meta" -> x50Sql,
