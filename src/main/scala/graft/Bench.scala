@@ -72,7 +72,10 @@ object Bench {
       budget: Int = 1800): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
-    def fmt(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render 1,234 — invalid JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def render(keep: Seq[String]): String = {
       val qs = keep.map(k => "\"" + k + "\":" + fmt(median(k)))
         .mkString("{", ",", "}")

@@ -152,10 +152,19 @@ object IncrementalDedup {
           .join(corpusBands, Seq("band", "band_hash"))
           .select(col("new_id"), col("old_id"))
           .distinct()
+          // consumed twice (corpus prune + verification join); checkpoint
+          // so the band join runs once
+          .localCheckpoint(true)
         val newSets = keptWithin.select(col(idCol).as("new_id"),
           graft.functions.GraftFunctions.wordShingles(col(textCol), n).as("sh_a"))
-        val oldSets = corpus.select(col(idCol).as("old_id"),
-          graft.functions.GraftFunctions.wordShingles(col(textCol), n).as("sh_b"))
+        // semi-join prune BEFORE shingling: without it the shingle
+        // projection evaluates over the ENTIRE corpus every ingest —
+        // exactly the O(corpus) recompute this class exists to avoid
+        val oldSets = corpus
+          .join(candidates.select(col("old_id")).distinct(),
+            corpus(idCol) === col("old_id"), "left_semi")
+          .select(col(idCol).as("old_id"),
+            graft.functions.GraftFunctions.wordShingles(col(textCol), n).as("sh_b"))
         candidates
           .join(newSets, Seq("new_id"))
           .join(oldSets, Seq("old_id"))

@@ -189,6 +189,15 @@ object Multimodal {
             try {
               val fmt = in.getFormat
               val bytesPerSample = fmt.getSampleSizeInBits / 8
+              // only the integer PCM widths this decoder actually handles:
+              // 24-bit/32-bit/float PCM would fall through to reading one
+              // byte per sample and report decoded=true with garbage stats
+              val enc = fmt.getEncoding
+              val supported = (bytesPerSample == 1 || bytesPerSample == 2) &&
+                (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+              if (!supported) DecodedAudio(id, decoded = false, 0.0, 0, 0L, 0.0, 0.0)
+              else {
               val data = in.readAllBytes()
               val n = data.length / (bytesPerSample * fmt.getChannels)
               var sumSq = 0.0
@@ -223,6 +232,7 @@ object Multimodal {
                 fmt.getSampleRate.toDouble, fmt.getChannels, n.toLong,
                 if (n == 0) 0.0 else math.sqrt(sumSq / n),
                 if (n <= 1) 0.0 else crossings.toDouble / (n - 1))
+              }
             } finally in.close()
         }
       }

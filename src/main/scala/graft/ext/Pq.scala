@@ -75,7 +75,9 @@ object Pq {
       iters: Int = 3): PqModel = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val dimRow = embeddings.select(size(col("embedding"))).head(1)
+    require(dimRow.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val seeds = embeddings

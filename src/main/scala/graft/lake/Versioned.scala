@@ -299,9 +299,16 @@ object Versioned {
               dir.resolve(file).toString
           }
         case None =>
+          // filter on the file NAME: matching "/_" against the whole path
+          // would drop every file of a table rooted under an
+          // underscore-prefixed directory
           listDir(dir)
+            .filter { p =>
+              val name = p.getFileName.toString
+              name.endsWith(".parquet") && !name.startsWith("_") &&
+                !name.startsWith(".")
+            }
             .map(_.toString)
-            .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
       }
     }
     if (selected.isEmpty) read(spark, tableRoot).where(lit(false))

@@ -40,17 +40,6 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_.bitwiseOR(_))
 
-  /** Write `df` to parquet in `nFiles` files laid out along the Z-curve
-    * of (colA, colB): range-partition by z so each file owns a z-range
-    * (a rectangle-ish region of the 2-D space), sort within partitions
-    * so row groups inside a file are tight too. Output schema is
-    * unchanged (the z-value is dropped before writing).
-    *
-    * Scale shape: one (min, max) aggregate + one range-exchange +
-    * parallel sorted writes — the same cost as any repartitionByRange
-    * write; the benefit is on every future read that filters either
-    * column.
-    */
   /** Rearrange `df` along the Z-curve of (colA, colB): `nFiles` range
     * partitions of the z-value, sorted within each — the layout step of
     * [[writeZOrdered]], exposed so other writers (e.g.
@@ -75,6 +64,17 @@ object ZOrder {
       .drop("__z")
   }
 
+  /** Write `df` to parquet in `nFiles` files laid out along the Z-curve
+    * of (colA, colB): range-partition by z so each file owns a z-range
+    * (a rectangle-ish region of the 2-D space), sort within partitions
+    * so row groups inside a file are tight too. Output schema is
+    * unchanged (the z-value is dropped before writing).
+    *
+    * Scale shape: one (min, max) aggregate + one range-exchange +
+    * parallel sorted writes — the same cost as any repartitionByRange
+    * write; the benefit is on every future read that filters either
+    * column.
+    */
   def writeZOrdered(
       df: DataFrame,
       path: String,

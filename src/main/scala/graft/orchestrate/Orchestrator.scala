@@ -202,13 +202,22 @@ object Orchestrator {
         val t0 = System.nanoTime()
         var attempts = 0
         var outcome: Try[Unit] = null
-        while ({
-          attempts += 1
-          outcome = Try(process(byId(id)))
-          outcome.isFailure && attempts < maxAttempts
-        }) if (retryBackoffMs > 0) Thread.sleep(retryBackoffMs * attempts)
+        // Try only catches NonFatal — an OOM/StackOverflow/interrupt in a
+        // job body would otherwise kill this worker WITHOUT enqueuing a
+        // result and deadlock the take() loop below. Every submitted job
+        // must produce exactly one DagResult, whatever it throws.
+        try
+          while ({
+            attempts += 1
+            outcome = Try(process(byId(id)))
+            outcome.isFailure && attempts < maxAttempts
+          }) if (retryBackoffMs > 0) Thread.sleep(retryBackoffMs * attempts)
+        catch {
+          case t: Throwable => outcome = scala.util.Failure(t)
+        }
         doneQueue.put(DagResult(
-          id, outcome, (System.nanoTime() - t0) / 1000000L, attempts, skipped = false))
+          id, outcome, (System.nanoTime() - t0) / 1000000L,
+          math.max(1, attempts), skipped = false))
       }
 
       jobs.foreach(j => if (j.dependsOn.isEmpty) submit(j.id))

@@ -313,7 +313,10 @@ object Streams extends Serializable {
               .withColumn("is_current", lit(true))
         // version label, not a date: fixed 12-digit zero-pad keeps
         // lexicographic ordering for any realistic batch count (a %04d
-        // tag inverts at batch 10000: "batch_10000" < "batch_9999")
+        // tag inverts at batch 10000: "batch_10000" < "batch_9999").
+        // NB the width changed from %04d pre-release: a lake written by
+        // the old code would interleave wrongly — start fresh (no
+        // production lakes exist) rather than mixing tag widths
         val merged = graft.lake.Scd
           .scd2Merge(current, changes, Seq("user_id"), f"batch_$batchId%012d")
         // two-ATOMIC_MOVE swap (shared with LakeWriter.compact): readers
