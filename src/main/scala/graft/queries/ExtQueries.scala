@@ -696,6 +696,72 @@ object ExtQueries {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_date, day_offset""".stripMargin
 
+  /** x84 — event transition matrix: per-user consecutive (prev → next)
+    * event-type pairs via a lag window over the user's own timeline
+    * (total order pinned by (ts, event_id)), counted corpus-wide.
+    */
+  def x84Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val x84Sql: String =
+    """SELECT prev_type, event_type AS next_type, count(*) AS n
+      |FROM (SELECT user_id, event_type, ts, event_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS prev_type
+      |      FROM events)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  /** x85 — embedding dedup clusters: cosine near-dup pairs (x42's exact
+    * broadcast path) → connected components → component label per
+    * vector, singletons self-labeled — the embedding-space twin of
+    * x34's text clusters, closing pairs → survivors for the
+    * semantic-dedup path.
+    */
+  def x85EmbedClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val pairs = Similarity.cosineNearDupPairs(e, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val cc = graft.ext.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    e.select(col("vec_id"))
+      .join(cc, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x85Sql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |        i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.4),
+      |edges AS (SELECT id_a a, id_b b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |comp AS (SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src)
+      |SELECT v.vec_id, COALESCE(c.component, v.vec_id) AS component
+      |FROM embeddings v LEFT JOIN comp c USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   /** x66 — skew-safe salted equi-join (Relational.saltedEquiJoin): events
     * fact joined to its per-user aggregate; salting must not change join
     * semantics, so the oracle is the plain join.
@@ -1488,6 +1554,8 @@ object ExtQueries {
     "x66_salted_join" -> (x66SaltedJoin _),
     "x82_funnel" -> (x82Funnel _),
     "x83_retention" -> (x83Retention _),
+    "x84_transitions" -> (x84Transitions _),
+    "x85_embed_clusters" -> (x85EmbedClusters _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
     "x51_media_features" -> (x51MediaFeatures _),
@@ -1538,6 +1606,8 @@ object ExtQueries {
     "x38_incremental_dedup" -> x38Sql,
     "x82_funnel" -> x82Sql,
     "x83_retention" -> x83Sql,
+    "x84_transitions" -> x84Sql,
+    "x85_embed_clusters" -> x85Sql,
     "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,
     "x50_media_meta" -> x50Sql,
