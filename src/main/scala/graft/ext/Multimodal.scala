@@ -193,9 +193,16 @@ object Multimodal {
               // 24-bit/32-bit/float PCM would fall through to reading one
               // byte per sample and report decoded=true with garbage stats
               val enc = fmt.getEncoding
-              val supported = (bytesPerSample == 1 || bytesPerSample == 2) &&
-                (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                  enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+              val signed =
+                enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              val unsigned =
+                enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+              // exact widths only: 12-bit would floor to 1 byte and read
+              // misaligned; 16-bit unsigned would decode silence (0x8000)
+              // as full scale in the signed two's-complement branch
+              val supported =
+                (fmt.getSampleSizeInBits == 8 && (signed || unsigned)) ||
+                  (fmt.getSampleSizeInBits == 16 && signed)
               if (!supported) DecodedAudio(id, decoded = false, 0.0, 0, 0L, 0.0, 0.0)
               else {
               val data = in.readAllBytes()
