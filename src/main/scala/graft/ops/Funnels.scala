@@ -52,6 +52,48 @@ object Funnels {
       .orderBy(col("stage"))
   }
 
+  /** Horizon-bounded funnel: like [[funnel]], but every later stage must
+    * ALSO land within `horizonHours` of the user's stage-1 reach time —
+    * the conversion-window form analytics actually reports. The window
+    * anchor (t0) rides along each stage's reach frame; plan shape is
+    * unchanged (one per-user min + one user-key join per stage).
+    */
+  def funnelWithin(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      horizonHours: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonHours >= 0, s"horizonHours must be >= 0, got $horizonHours")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val candidates = events
+          .filter(col(typeCol) === lit(step))
+          .select(col(userCol).as("u"), col(tsCol).as("t"))
+        Some(prev match {
+          case None =>
+            candidates.groupBy(col("u")).agg(min(col("t")).as("reach_t"))
+              .withColumn("t0", col("reach_t"))
+          case Some(p) =>
+            candidates.join(p, Seq("u"))
+              .where(col("t") > col("reach_t") &&
+                col("t") <= col("t0") + expr(s"INTERVAL $horizonHours HOURS"))
+              .groupBy(col("u"), col("t0")).agg(min(col("t")).as("reach_t"))
+        })
+    }.flatten
+    reaches.zip(steps).zipWithIndex
+      .map { case ((reach, step), i) =>
+        reach.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(step).as("step"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
   /** Cohort retention: users are cohorted by their first-activity date;
     * each (cohort_date, day_offset) cell counts distinct cohort members
     * active that day, for offsets in [0, maxDays]. One min-aggregate for

@@ -723,6 +723,37 @@ object ExtQueries {
       |GROUP BY prev_type, next_type
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** x86 — conversion-window funnel ([[graft.ops.Funnels.funnelWithin]]):
+    * x82's ordered funnel with every stage bounded to 72 hours of the
+    * user's stage-1 reach — the reported form of funnel metrics.
+    */
+  def x86FunnelWindow(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnels.funnelWithin(Tables.events(s, dir),
+      "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"), horizonHours = 72)
+
+  val x86Sql: String =
+    """WITH r1 AS (SELECT user_id u, min(ts) t, min(ts) t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |r2 AS (SELECT e.user_id u, min(e.ts) t, r1.t0 t0 FROM events e
+      |  JOIN r1 ON e.user_id = r1.u
+      |  WHERE e.event_type = 'view' AND e.ts > r1.t
+      |    AND e.ts <= r1.t0 + INTERVAL 72 HOURS GROUP BY 1, 3),
+      |r3 AS (SELECT e.user_id u, min(e.ts) t, r2.t0 t0 FROM events e
+      |  JOIN r2 ON e.user_id = r2.u
+      |  WHERE e.event_type = 'click' AND e.ts > r2.t
+      |    AND e.ts <= r2.t0 + INTERVAL 72 HOURS GROUP BY 1, 3),
+      |r4 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN r3 ON e.user_id = r3.u
+      |  WHERE e.event_type = 'purchase' AND e.ts > r3.t
+      |    AND e.ts <= r3.t0 + INTERVAL 72 HOURS GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM r1
+      |  UNION ALL SELECT 2, 'view', count(*) FROM r2
+      |  UNION ALL SELECT 3, 'click', count(*) FROM r3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM r4)
+      |ORDER BY stage""".stripMargin
+
   /** x85 — embedding dedup clusters: cosine near-dup pairs (x42's exact
     * broadcast path) → connected components → component label per
     * vector, singletons self-labeled — the embedding-space twin of
@@ -1555,6 +1586,7 @@ object ExtQueries {
     "x82_funnel" -> (x82Funnel _),
     "x83_retention" -> (x83Retention _),
     "x84_transitions" -> (x84Transitions _),
+    "x86_funnel_window" -> (x86FunnelWindow _),
     "x85_embed_clusters" -> (x85EmbedClusters _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
@@ -1607,6 +1639,7 @@ object ExtQueries {
     "x82_funnel" -> x82Sql,
     "x83_retention" -> x83Sql,
     "x84_transitions" -> x84Sql,
+    "x86_funnel_window" -> x86Sql,
     "x85_embed_clusters" -> x85Sql,
     "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,
