@@ -59,6 +59,29 @@ object Scd {
       .drop("__scd_rn")
   }
 
+  /** CDC apply (SCD type 1): collapse an I/U/D change feed to the table
+    * state it produces — per key, the latest change wins (total order
+    * from `orderBy`, pass `.desc` columns), and a latest `deleteOp`
+    * removes the key entirely. Inserts and updates are deliberately not
+    * distinguished (idempotent re-delivery and out-of-order feeds make
+    * the I/U distinction unreliable; last-writer-wins is the standard
+    * CDC-apply semantic). One window over the key partition — the same
+    * single shuffle as [[latestWins]].
+    *
+    * Returns the surviving rows WITHOUT the op column. Apply to an
+    * existing snapshot by unioning it in as updates with the oldest
+    * order value.
+    */
+  def cdcApply(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[org.apache.spark.sql.Column],
+      opCol: String,
+      deleteOp: String = "D"): DataFrame =
+    latestWins(changes, keyCols, orderBy)
+      .where(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+
   def scd2Merge(
       current: DataFrame,
       changes: DataFrame,

@@ -754,6 +754,37 @@ object ExtQueries {
       |  UNION ALL SELECT 4, 'purchase', count(*) FROM r4)
       |ORDER BY stage""".stripMargin
 
+  /** x87 — CDC apply ([[graft.lake.Scd.cdcApply]]): the events feed read
+    * as a change stream (errors = deletes, everything else = upserts),
+    * collapsed to the per-user table state it produces — latest change
+    * wins on the (ts, event_id) total order, latest delete removes the
+    * key.
+    */
+  def x87CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === lit("error"), lit("D"))
+          .otherwise(lit("U")).as("op"),
+        graft.core.Casts.asMoney(col("value")).cast("double").as("value"))
+    graft.lake.Scd
+      .cdcApply(changes, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), "op")
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val x87Sql: String =
+    """SELECT user_id, event_id, event_type AS last_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+      |FROM (SELECT user_id, event_id, ts, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** x85 — embedding dedup clusters: cosine near-dup pairs (x42's exact
     * broadcast path) → connected components → component label per
     * vector, singletons self-labeled — the embedding-space twin of
@@ -1587,6 +1618,7 @@ object ExtQueries {
     "x83_retention" -> (x83Retention _),
     "x84_transitions" -> (x84Transitions _),
     "x86_funnel_window" -> (x86FunnelWindow _),
+    "x87_cdc_apply" -> (x87CdcApply _),
     "x85_embed_clusters" -> (x85EmbedClusters _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
@@ -1640,6 +1672,7 @@ object ExtQueries {
     "x83_retention" -> x83Sql,
     "x84_transitions" -> x84Sql,
     "x86_funnel_window" -> x86Sql,
+    "x87_cdc_apply" -> x87Sql,
     "x85_embed_clusters" -> x85Sql,
     "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,
