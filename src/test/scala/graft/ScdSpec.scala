@@ -73,6 +73,22 @@ class ScdSpec extends SparkSpec {
     assert(openPerKey === 0L)
   }
 
+  test("cdcApply: latest change wins, delete removes, later upsert revives") {
+    val feed = Seq(
+      // k=1: update then delete -> gone
+      (1L, "A", 1.0, 10L, "U"), (1L, "A", 2.0, 20L, "D"),
+      // k=2: delete then later upsert -> revived with the late value
+      (2L, "B", 5.0, 10L, "D"), (2L, "B", 7.0, 30L, "U"),
+      // k=3: plain upserts, latest value survives
+      (3L, "C", 1.0, 10L, "U"), (3L, "C", 9.0, 40L, "U"))
+      .toDF("k", "status", "price", "seq", "op")
+    val out = Scd.cdcApply(feed, Seq("k"), Seq(col("seq").desc), "op")
+      .select("k", "status", "price", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(out === Set((2L, "B", 7.0, 30L), (3L, "C", 9.0, 40L)))
+  }
+
   test("scd2Merge never touches history rows") {
     val history = snapshot((9L, "X", 1.0))
       .withColumn("eff_to", lit("2019-01-01"))
