@@ -172,12 +172,81 @@ object Versioned {
     }
   }
 
+  private val History = "_HISTORY"
+
   private def flipPointer(rootPath: Path, versions: Seq[Int]): Unit = {
     val tmp = rootPath.resolve(Pointer + ".tmp")
     Files.write(tmp,
       versions.map(dirName).mkString("", "\n", "\n").getBytes("UTF-8"))
     Files.move(tmp, rootPath.resolve(Pointer),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // append-only publish log: one line per flip, enabling time travel.
+    // Appended AFTER the pointer flip — a crash between the two leaves
+    // the newest manifest missing from history (readable live, not
+    // time-travelable), never a phantom entry.
+    Files.write(rootPath.resolve(History),
+      (versions.map(dirName).mkString(",") + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The publish log: every manifest this table has ever pointed at, in
+    * flip order (last = live). Time-travel index for [[readAsOf]].
+    */
+  def history(tableRoot: String): Seq[Seq[Int]] = {
+    val f = root(tableRoot).resolve(History)
+    if (!Files.exists(f)) Nil
+    else
+      new String(Files.readAllBytes(f), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.split(',').toSeq.map {
+          case VerDir(n) => n.toInt
+          case other => throw new IllegalStateException(
+            s"corrupt $History entry: '$other'")
+        })
+        .toSeq
+  }
+
+  /** Time travel: read the table as of publish `ordinal` (0-based index
+    * into [[history]]; negative counts from the end, -1 = live). Fails
+    * if [[vacuum]] already reclaimed a directory that manifest needs —
+    * retention (`keep`) is the time-travel horizon.
+    */
+  def readAsOf(spark: SparkSession, tableRoot: String, ordinal: Int): DataFrame = {
+    val h = history(tableRoot)
+    require(h.nonEmpty, s"no publish history under $tableRoot")
+    val idx = if (ordinal < 0) h.size + ordinal else ordinal
+    require(idx >= 0 && idx < h.size,
+      s"publish ordinal $ordinal out of range (${h.size} publishes)")
+    val wanted = h(idx)
+    val missing = wanted.filterNot(v =>
+      Files.isDirectory(root(tableRoot).resolve(dirName(v))))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"publish #$idx needs vacuumed version(s) ${missing.mkString(", ")} — " +
+          "raise vacuum's keep to widen the time-travel horizon")
+    val paths = wanted.map(v => root(tableRoot).resolve(dirName(v)).toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Compaction-need policy: true when the manifest chain is longer than
+    * `maxManifestLen` (delta-read fan-out) or the live table's mean file
+    * size fell under `minFileBytes` (small-file reader tax) — the two
+    * signals a maintenance scheduler acts on.
+    */
+  def needsCompaction(
+      tableRoot: String,
+      maxManifestLen: Int = 8,
+      minFileBytes: Long = 32L * 1024 * 1024): Boolean = {
+    val live = manifest(tableRoot)
+    if (live.isEmpty) return false
+    if (live.size > maxManifestLen) return true
+    val files = live.flatMap { v =>
+      listDir(root(tableRoot).resolve(dirName(v)))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+    }
+    files.nonEmpty &&
+      files.map(Files.size).sum / files.size < minFileBytes
   }
 
   /** Publish `df` as the complete new table state (snapshot semantics)

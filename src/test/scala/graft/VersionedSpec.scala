@@ -173,6 +173,38 @@ class VersionedSpec extends SparkSpec {
     assert(rows === Map(1 -> None, 2 -> Some(9.5)))
   }
 
+  test("time travel: readAsOf replays any retained publish; vacuum is the horizon") {
+    val root = tmpRoot("versioned-history")
+    Versioned.publish(Seq(1).toDF("x"), root)
+    Versioned.publishDelta(Seq(2).toDF("x"), root)
+    Versioned.publish(Seq(9).toDF("x"), root) // snapshot rewrite
+    assert(Versioned.history(root) === Seq(Seq(1), Seq(1, 2), Seq(3)))
+    assert(Versioned.readAsOf(spark, root, 0).as[Int].collect().sorted === Array(1))
+    assert(Versioned.readAsOf(spark, root, 1).as[Int].collect().sorted === Array(1, 2))
+    assert(Versioned.readAsOf(spark, root, -1).as[Int].collect().sorted === Array(9))
+    // vacuum reclaims v1/v2 -> old publishes become unreadable, loudly
+    assert(Versioned.vacuum(root, keep = 1) === 2)
+    val e = intercept[IllegalStateException] {
+      Versioned.readAsOf(spark, root, 0)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(Versioned.readAsOf(spark, root, -1).as[Int].collect() === Array(9))
+  }
+
+  test("needsCompaction flags long manifests and small files") {
+    val root = tmpRoot("versioned-needs")
+    assert(!Versioned.needsCompaction(root)) // unpublished: nothing to do
+    (1 to 3).foreach(i => Versioned.publishDelta(Seq(i).toDF("x"), root))
+    // tiny files trip the mean-file-size signal
+    assert(Versioned.needsCompaction(root, maxManifestLen = 8))
+    // both signals clear for a compacted table with a generous threshold
+    Versioned.compact(spark, root)
+    assert(!Versioned.needsCompaction(root, maxManifestLen = 8, minFileBytes = 1L))
+    // manifest-length signal alone
+    (1 to 3).foreach(i => Versioned.publishDelta(Seq(i).toDF("x"), root))
+    assert(Versioned.needsCompaction(root, maxManifestLen = 3, minFileBytes = 1L))
+  }
+
   test("publishes record observed row counts: exact totals with no scan") {
     val root = tmpRoot("versioned-meta")
     Versioned.publishDelta(spark.range(123).toDF("x"), root)
