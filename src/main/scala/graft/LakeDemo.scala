@@ -45,7 +45,8 @@ object LakeDemo {
       DagJob("doc_quality", Set("dq_gate")),
       DagJob("user_state_scd2", Set("dq_gate")),
       DagJob("corpus_dedup", Set("dq_gate")),
-      DagJob("compact_doc_quality", Set("doc_quality")))
+      DagJob("compact_doc_quality", Set("doc_quality")),
+      DagJob("corpus_maintenance", Set("corpus_dedup")))
 
     val results = Orchestrator.runDag(jobs, maxConcurrentThreads = 3,
       maxAttempts = 2) { job =>
@@ -83,6 +84,19 @@ object LakeDemo {
           val n = LakeWriter.compact(spark, s"$lakeRoot/doc_quality",
             targetBytes = 256L * 1024 * 1024, partitionCols = Seq("run_index"))
           println(s"[lake-demo] compacted doc_quality (hive layout kept, ~$n file budget)")
+        case "corpus_maintenance" =>
+          // policy-driven: fold the delta chain / small files only when a
+          // signal trips, then reclaim unreferenced version dirs
+          import graft.lake.Versioned
+          Seq("survivors", "bands").foreach { t =>
+            val root = s"$corpusState/$t"
+            if (Versioned.needsCompaction(root)) {
+              Versioned.compact(spark, root)
+              val freed = Versioned.vacuum(root)
+              println(s"[lake-demo] corpus $t compacted, $freed dirs vacuumed " +
+                s"(publishes: ${Versioned.history(root).size})")
+            } else println(s"[lake-demo] corpus $t healthy, no compaction")
+          }
       }
     }
 
