@@ -785,6 +785,26 @@ object ExtQueries {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** x88 — x87's CDC apply executed as an incremental stream
+    * ([[graft.streaming.Streams.cdcApplyStreamingFrom]], foreachBatch
+    * latest-wins merge into the lake): shares x87's oracle — the
+    * batch ≡ stream contract for state maintenance.
+    */
+  def x88CdcApplyStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft-cdc-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val lake = Files.createTempDirectory("graft-cdc-lake").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    graft.streaming.Streams
+      .cdcApplyStreamingFrom(s, streamDir.toString, lake, ckpt)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** x85 — embedding dedup clusters: cosine near-dup pairs (x42's exact
     * broadcast path) → connected components → component label per
     * vector, singletons self-labeled — the embedding-space twin of
@@ -1619,6 +1639,7 @@ object ExtQueries {
     "x84_transitions" -> (x84Transitions _),
     "x86_funnel_window" -> (x86FunnelWindow _),
     "x87_cdc_apply" -> (x87CdcApply _),
+    "x88_cdc_apply_stream" -> (x88CdcApplyStream _),
     "x85_embed_clusters" -> (x85EmbedClusters _),
     "x43_ann_ivf" -> (x43AnnIvf _),
     "x50_media_meta" -> (x50MediaMeta _),
@@ -1673,6 +1694,7 @@ object ExtQueries {
     "x84_transitions" -> x84Sql,
     "x86_funnel_window" -> x86Sql,
     "x87_cdc_apply" -> x87Sql,
+    "x88_cdc_apply_stream" -> x87Sql,
     "x85_embed_clusters" -> x85Sql,
     "x46_quantized_topk" -> x46Sql,
     "x66_salted_join" -> x66Sql,

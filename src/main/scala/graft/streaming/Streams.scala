@@ -148,6 +148,64 @@ object Streams extends Serializable {
     graft.ext.IncrementalDedup.survivors(spark, stateRoot, "doc_id", "text")
   }
 
+  /** Streaming CDC apply: each micro-batch's changes merge into a
+    * latest-wins keyed state via [[graft.lake.Scd.cdcApply]] inside
+    * foreachBatch — the SCD1 companion of [[scd2IngestStreamingFrom]]
+    * (state, not history). The current snapshot joins each batch as
+    * prior changes with the lowest order rank, so re-delivery and
+    * cross-batch ordering resolve exactly like the batch operator; the
+    * lake swap is the shared recoverable two-move swap. Returns the
+    * final state.
+    *
+    * Deletes are NOT tombstoned: a later delivery containing only
+    * pre-delete stragglers for a deleted key would resurrect it. The
+    * contract is per-key non-decreasing order ACROSS deliveries — what
+    * CDC log shipping provides; keep tombstones (filter the delete op at
+    * read time) if the feed can violate it.
+    */
+  def cdcApplyStreamingFrom(
+      spark: SparkSession,
+      sourceDir: String,
+      lakePath: String,
+      checkpoint: String): DataFrame = {
+    graft.core.Tables.requireNanosConf(spark)
+    val ss = streamSession(spark)
+    val stream = ss.readStream
+      .schema(EventsRawSchema)
+      .parquet(sourceDir)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("event_type"),
+        when(col("event_type") === lit("error"), lit("D"))
+          .otherwise(lit("U")).as("op"),
+        Casts.asMoney(col("value")).cast(DoubleType).as("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sparkB = batch.sparkSession
+        graft.lake.LakeWriter.recoverSwap(lakePath)
+        // prior state re-enters as changes that lose every tie: op 'U'
+        // keeps survivors alive, and (ts, event_id) still orders against
+        // genuinely newer deliveries
+        val current =
+          if (new java.io.File(lakePath).exists())
+            sparkB.read.parquet(lakePath).withColumn("op", lit("U"))
+          else batch.limit(0)
+        val merged = graft.lake.Scd.cdcApply(
+          current.unionByName(batch),
+          Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc), "op")
+        val staging = lakePath + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        graft.lake.LakeWriter.swapIn(lakePath, staging)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(lakePath)
+  }
+
   /** Streaming exact dedup: min-id survivor per normalized-content hash,
     * computed incrementally over the document stream — arriving duplicates
     * fold into their group's running (min id, count) state, so the result

@@ -183,6 +183,35 @@ class StreamsSpec extends SparkSpec {
       s"watermarked dedup kept $deduped of $distinctIds distinct events")
   }
 
+  test("incremental CDC apply across deliveries ≡ batch over the union") {
+    import java.nio.file.{Files => JFiles}
+    val events = graft.core.Tables.events(spark, sfDir) // sets nanosAsLong
+    val src = JFiles.createTempDirectory("graft-cdcinc-src").toString
+    val ckpt = JFiles.createTempDirectory("graft-cdcinc-ckpt").toString
+    val lake = JFiles.createTempDirectory("graft-cdcinc-lake").toString + "/state"
+    // deliveries split on time: per-key order is non-decreasing across
+    // them (the CDC log-shipping contract the operator documents). Any
+    // split point works; take the raw-nanos median as a LONG.
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val mid = raw.agg(expr("CAST(percentile(ts, 0.5) AS LONG)"))
+      .head().getLong(0)
+    def deliver(cond: org.apache.spark.sql.Column): Unit =
+      raw.where(cond).coalesce(1).write.mode("append").parquet(src)
+    deliver(col("ts") <= lit(mid))
+    graft.streaming.Streams.cdcApplyStreamingFrom(spark, src, lake, ckpt)
+    deliver(col("ts") > lit(mid))
+    val streamed = graft.streaming.Streams
+      .cdcApplyStreamingFrom(spark, src, lake, ckpt)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    val batch = graft.lake.Scd.cdcApply(
+      events.select($"user_id", $"event_id", $"ts", $"event_type",
+        when($"event_type" === "error", "D").otherwise("U").as("op")),
+      Seq("user_id"), Seq($"ts".desc, $"event_id".desc), "op")
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "two-delivery streaming state must equal the batch collapse")
+  }
+
   test("streaming state runs on the RocksDB store (the scalable state backend)") {
     // The default HDFS-backed store keeps state on the JVM heap — fine
     // for tests, not for 100 TB streaming state. Prove the engine's
