@@ -79,7 +79,9 @@ object Scd {
       opCol: String,
       deleteOp: String = "D"): DataFrame =
     latestWins(changes, keyCols, orderBy)
-      .where(col(opCol) =!= lit(deleteOp))
+      // null-safe: a NULL op must read as "not a delete" (upsert) — the
+      // plain =!= yields NULL and the filter would silently DELETE the key
+      .where(!(col(opCol) <=> lit(deleteOp)))
       .drop(opCol)
 
   def scd2Merge(

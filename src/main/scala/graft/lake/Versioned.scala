@@ -192,19 +192,35 @@ object Versioned {
 
   /** The publish log: every manifest this table has ever pointed at, in
     * flip order (last = live). Time-travel index for [[readAsOf]].
+    *
+    * Crash tolerance: a torn trailing line (append died mid-write) is
+    * dropped, and when the log's last entry disagrees with the live
+    * manifest (crash between pointer flip and append) the live manifest
+    * is virtually appended — so the last entry ALWAYS reflects what
+    * [[read]] serves ("-1 = live" holds across crashes; the un-logged
+    * intermediate publish is readable live but not time-travelable,
+    * which the flip-order comment documents).
     */
   def history(tableRoot: String): Seq[Seq[Int]] = {
     val f = root(tableRoot).resolve(History)
-    if (!Files.exists(f)) Nil
-    else
-      new String(Files.readAllBytes(f), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.split(',').toSeq.map {
-          case VerDir(n) => n.toInt
-          case other => throw new IllegalStateException(
-            s"corrupt $History entry: '$other'")
-        })
-        .toSeq
+    val logged: Seq[Seq[Int]] =
+      if (!Files.exists(f)) Nil
+      else {
+        val raw = new String(Files.readAllBytes(f), "UTF-8")
+        val lines = raw.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        lines.zipWithIndex.flatMap { case (line, i) =>
+          val parts = line.split(',').toSeq
+          if (parts.forall(VerDir.matches))
+            Some(parts.map { case VerDir(n) => n.toInt })
+          else if (i == lines.size - 1 && !raw.endsWith("\n"))
+            None // torn trailing append — drop it
+          else throw new IllegalStateException(
+            s"corrupt $History entry: '$line'")
+        }
+      }
+    val live = manifest(tableRoot)
+    if (live.nonEmpty && !logged.lastOption.contains(live)) logged :+ live
+    else logged
   }
 
   /** Time travel: read the table as of publish `ordinal` (0-based index
@@ -245,7 +261,9 @@ object Versioned {
       listDir(root(tableRoot).resolve(dirName(v)))
         .filter(_.getFileName.toString.endsWith(".parquet"))
     }
-    files.nonEmpty &&
+    // a single file can't be folded further — without this, any table
+    // whose TOTAL size is under minFileBytes would re-compact forever
+    files.size > 1 &&
       files.map(Files.size).sum / files.size < minFileBytes
   }
 

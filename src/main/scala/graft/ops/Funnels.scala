@@ -26,22 +26,38 @@ object Funnels {
       userCol: String,
       typeCol: String,
       tsCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String]): DataFrame =
+    funnelCore(events, userCol, typeCol, tsCol, steps, horizonHours = None)
+
+  /** One implementation behind both funnel forms: each stage frame
+    * carries (u, reach_t, t0) — t0 (the stage-1 anchor) only constrains
+    * when a horizon is given.
+    */
+  private def funnelCore(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      horizonHours: Option[Int]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
     val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val candidates = events
           .filter(col(typeCol) === lit(step))
           .select(col(userCol).as("u"), col(tsCol).as("t"))
-        val qualified = prev match {
-          case None => candidates
+        Some(prev match {
+          case None =>
+            candidates.groupBy(col("u")).agg(min(col("t")).as("reach_t"))
+              .withColumn("t0", col("reach_t"))
           case Some(p) =>
-            candidates.join(p, Seq("u")).where(col("t") > col("reach_t"))
-              .select(col("u"), col("t"))
-        }
-        Some(qualified.groupBy(col("u")).agg(min(col("t")).as("reach_t")))
+            val within = horizonHours
+              .map(h => col("t") <= col("t0") + expr(s"INTERVAL $h HOURS"))
+              .getOrElse(lit(true))
+            candidates.join(p, Seq("u"))
+              .where(col("t") > col("reach_t") && within)
+              .groupBy(col("u"), col("t0")).agg(min(col("t")).as("reach_t"))
+        })
     }.flatten
     reaches.zip(steps).zipWithIndex
       .map { case ((reach, step), i) =>
@@ -65,33 +81,8 @@ object Funnels {
       tsCol: String,
       steps: Seq[String],
       horizonHours: Int): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
     require(horizonHours >= 0, s"horizonHours must be >= 0, got $horizonHours")
-    val spark = events.sparkSession
-    import spark.implicits._
-    val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, _)) =>
-        val candidates = events
-          .filter(col(typeCol) === lit(step))
-          .select(col(userCol).as("u"), col(tsCol).as("t"))
-        Some(prev match {
-          case None =>
-            candidates.groupBy(col("u")).agg(min(col("t")).as("reach_t"))
-              .withColumn("t0", col("reach_t"))
-          case Some(p) =>
-            candidates.join(p, Seq("u"))
-              .where(col("t") > col("reach_t") &&
-                col("t") <= col("t0") + expr(s"INTERVAL $horizonHours HOURS"))
-              .groupBy(col("u"), col("t0")).agg(min(col("t")).as("reach_t"))
-        })
-    }.flatten
-    reaches.zip(steps).zipWithIndex
-      .map { case ((reach, step), i) =>
-        reach.agg(count(lit(1)).as("n_users"))
-          .select(lit(i + 1).as("stage"), lit(step).as("step"), col("n_users"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy(col("stage"))
+    funnelCore(events, userCol, typeCol, tsCol, steps, Some(horizonHours))
   }
 
   /** Cohort retention: users are cohorted by their first-activity date;

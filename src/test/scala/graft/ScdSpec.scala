@@ -87,6 +87,12 @@ class ScdSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
       .toSet
     assert(out === Set((2L, "B", 7.0, 30L), (3L, "C", 9.0, 40L)))
+    // a NULL op is an upsert, never a silent delete (null-safe filter)
+    val withNull = Seq((4L, "D", 1.0, 10L, null.asInstanceOf[String]))
+      .toDF("k", "status", "price", "seq", "op")
+    val kept = Scd.cdcApply(withNull, Seq("k"), Seq(col("seq").desc), "op")
+      .count()
+    assert(kept === 1L)
   }
 
   test("scd2Merge never touches history rows") {

@@ -191,6 +191,24 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, root, -1).as[Int].collect() === Array(9))
   }
 
+  test("history survives torn appends and a flip-without-log crash") {
+    val root = tmpRoot("versioned-torn")
+    Versioned.publish(Seq(1).toDF("x"), root)
+    Versioned.publish(Seq(2).toDF("x"), root)
+    // torn trailing append (writer died mid-line, no newline)
+    java.nio.file.Files.write(Paths.get(root, "_HISTORY"),
+      "v0000".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    // the torn line is dropped; live manifest still ends the history
+    assert(Versioned.history(root) === Seq(Seq(1), Seq(2)))
+    assert(Versioned.readAsOf(spark, root, -1).as[Int].collect() === Array(2))
+    // crash BETWEEN pointer flip and append: wipe the log entirely —
+    // "-1 = live" must still hold via the virtual final entry
+    java.nio.file.Files.delete(Paths.get(root, "_HISTORY"))
+    assert(Versioned.history(root) === Seq(Seq(2)))
+    assert(Versioned.readAsOf(spark, root, -1).as[Int].collect() === Array(2))
+  }
+
   test("needsCompaction flags long manifests and small files") {
     val root = tmpRoot("versioned-needs")
     assert(!Versioned.needsCompaction(root)) // unpublished: nothing to do
@@ -200,6 +218,9 @@ class VersionedSpec extends SparkSpec {
     // both signals clear for a compacted table with a generous threshold
     Versioned.compact(spark, root)
     assert(!Versioned.needsCompaction(root, maxManifestLen = 8, minFileBytes = 1L))
+    // a single tiny file can't be folded further: the DEFAULT small-file
+    // threshold must not demand eternal re-compaction of small tables
+    assert(!Versioned.needsCompaction(root, maxManifestLen = 8))
     // manifest-length signal alone
     (1 to 3).foreach(i => Versioned.publishDelta(Seq(i).toDF("x"), root))
     assert(Versioned.needsCompaction(root, maxManifestLen = 3, minFileBytes = 1L))
