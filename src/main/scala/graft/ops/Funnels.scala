@@ -85,6 +85,61 @@ object Funnels {
     funnelCore(events, userCol, typeCol, tsCol, steps, Some(horizonHours))
   }
 
+  /** One-pass funnel — the 100 TB shape: ONE scan of events (filtered to
+    * the step types) and ONE shuffle (per-user sorted event list), then a
+    * per-user greedy walk computes the earliest-reach chain
+    * reach_k = min{ t of step k : t > reach_(k-1) [, t ≤ t0 + horizon] }
+    * — the same recurrence the staged joins evaluate, so results are
+    * identical (spec-pinned) while the multi-scan plan's #steps × scan
+    * cost collapses. Per-user state is that user's own step events only.
+    */
+  def funnelOnePass(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      horizonHours: Option[Int] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val horizonMicros = horizonHours.map(_ * 3600L * 1000000L)
+    val reached: DataFrame = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long").as("u"),
+        col(tsCol).cast("timestamp").as("t"), col(typeCol).as("s"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroups { (u, evs) =>
+        val sorted = evs.map { case (_, t, s) =>
+          (t.getTime * 1000L + (t.getNanos / 1000) % 1000, stepIdx(s))
+        }.toArray.sorted
+        var cur = 0
+        var prevReach = Long.MinValue
+        var t0 = Long.MinValue
+        sorted.foreach { case (t, s) =>
+          if (cur < steps.size && s == cur &&
+            (cur == 0 || t > prevReach) &&
+            (cur == 0 || horizonMicros.forall(h => t <= t0 + h))) {
+            if (cur == 0) t0 = t
+            prevReach = t
+            cur += 1
+          }
+        }
+        (u, cur)
+      }
+      .toDF("u", "reached")
+    steps.zipWithIndex
+      .map { case (step, i) =>
+        reached.where(col("reached") >= lit(i + 1))
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("stage"), lit(step).as("step"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
   /** Cohort retention: users are cohorted by their first-activity date;
     * each (cohort_date, day_offset) cell counts distinct cohort members
     * active that day, for offsets in [0, maxDays]. One min-aggregate for

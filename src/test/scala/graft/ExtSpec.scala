@@ -304,6 +304,26 @@ class ExtSpec extends SparkSpec {
     assert(rc("k1+k2.unique_or_null") === 1L) // only the (1,a) pair
   }
 
+  test("one-pass funnel ≡ staged-join funnel, with and without horizon") {
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    val steps = Seq("signup", "view", "click", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"stage", $"step", $"n_users")
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    val staged = rows(graft.ops.Funnels.funnel(
+      events, "user_id", "event_type", "ts", steps))
+    val onePass = rows(graft.ops.Funnels.funnelOnePass(
+      events, "user_id", "event_type", "ts", steps))
+    assert(onePass === staged)
+    val stagedH = rows(graft.ops.Funnels.funnelWithin(
+      events, "user_id", "event_type", "ts", steps, horizonHours = 72))
+    val onePassH = rows(graft.ops.Funnels.funnelOnePass(
+      events, "user_id", "event_type", "ts", steps, Some(72)))
+    assert(onePassH === stagedH)
+    // the horizon genuinely constrains on this data (not a vacuous check)
+    assert(stagedH.map(_._3).sum < staged.map(_._3).sum)
+  }
+
   test("stratified sampling is deterministic and tracks target fractions") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def kept() = d.where(graft.ext.Sampling.stratifiedPredicate(
