@@ -140,6 +140,34 @@ object Orchestrator {
       attempts: Int,
       skipped: Boolean)
 
+  /** The reference's priority plan expressed as a DAG — the executable
+    * form of "runDag strictly generalizes run": within a group,
+    * sequential jobs chain in list order and parallel jobs hang off the
+    * last sequential one (free to overlap each other); every group-N+1
+    * job depends on ALL of group N (the barrier). Job ids are
+    * `targetTable`.
+    */
+  def dagFromPriorities(jobs: Seq[JobSpec]): Seq[DagJob] = {
+    val ids = jobs.map(_.targetTable)
+    require(ids.distinct.size == ids.size,
+      s"duplicate target tables: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
+    val groups = jobs.groupBy(_.priority).toSeq.sortBy(_._1).map(_._2)
+    groups.foldLeft((Seq.empty[DagJob], Set.empty[String])) {
+      case ((acc, prevGroup), group) =>
+        val (parallel, sequential) = group.partition(_.parallelRun)
+        val seqJobs = sequential.zipWithIndex.map { case (j, i) =>
+          val dep =
+            if (i == 0) prevGroup
+            else Set(sequential(i - 1).targetTable)
+          DagJob(j.targetTable, dep)
+        }
+        val parDep =
+          sequential.lastOption.map(j => Set(j.targetTable)).getOrElse(prevGroup)
+        val parJobs = parallel.map(j => DagJob(j.targetTable, parDep))
+        (acc ++ seqJobs ++ parJobs, group.map(_.targetTable).toSet)
+    }._1
+  }
+
   /** Dependency-DAG dispatch — the finer-grained alternative to priority
     * groups: each job starts the moment ITS dependencies finish, rather
     * than when a whole group barrier clears. With a 1000-executor cluster

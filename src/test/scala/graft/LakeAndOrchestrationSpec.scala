@@ -273,6 +273,30 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     assert(oneShot.exceptAll(backfilled).count() === 0L)
   }
 
+  test("dagFromPriorities preserves the reference's dispatch discipline") {
+    val dag = Orchestrator.dagFromPriorities(jobControl)
+    assert(dag.map(_.id).toSet === jobControl.map(_.targetTable).toSet)
+    val started = mutable.ArrayBuffer[String]()
+    val results = Orchestrator.runDag(dag, maxConcurrentThreads = 3) { j =>
+      started.synchronized { started += j.id }
+      Thread.sleep(10)
+    }
+    assert(results.forall(_.outcome.isSuccess))
+    val order = started.synchronized(started.toList)
+    val prio = jobControl.map(j => j.targetTable -> j.priority).toMap
+    // barrier semantics survive: start order is non-decreasing in priority
+    val prios = order.map(prio)
+    assert(prios === prios.sorted,
+      s"priority order violated: $order")
+    // sequential-first within each group
+    jobControl.groupBy(_.priority).foreach { case (_, group) =>
+      val (par, seq) = group.partition(_.parallelRun)
+      for (s <- seq; p <- par)
+        assert(order.indexOf(s.targetTable) < order.indexOf(p.targetTable),
+          s"${s.targetTable} must start before parallel ${p.targetTable}")
+    }
+  }
+
   test("orchestrator honors priority barriers and sequential-first discipline") {
     val started = mutable.ArrayBuffer[(Int, String)]()
     val results = Orchestrator.run(jobControl, maxConcurrentThreads = 3) { spec =>
