@@ -360,6 +360,44 @@ object Multimodal {
   def nearDupImages(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hash64Pairs(aHash64Images(media).toDF(), "media_id", "ahash", maxHamming)
 
+  /** Deterministic planted near-duplicate images in [[MediaSchema]] shape:
+    * the same 32×32 gradient rendered as PNG (id −1), re-encoded as BMP
+    * (id −2, same pixels / different bytes), and a one-pixel perturbation
+    * (id −3). Negative ids never collide with document-derived media.
+    * Unioned into a corpus they guarantee [[nearDupImages]] witnesses a
+    * positive — the aHash survives re-encoding only in pixel space, so
+    * the planted pair also pins that property end-to-end in the query
+    * path. Rendering is driver-side, three tiny images, O(1).
+    */
+  def plantedNearDupImages(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def render(fmt: String, perturb: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * 31 + y * 17 + 101) % 256
+        img.setRGB(x, y,
+          if (perturb && x == 0 && y == 0) 0xFFFFFF else (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    Seq(
+      (-1L, render("png", perturb = false), "png"),
+      (-2L, render("bmp", perturb = false), "bmp"),
+      (-3L, render("png", perturb = true), "png"))
+      .toDF("media_id", "payload", "container")
+      .select(
+        col("media_id"),
+        lit("image").as("kind"),
+        col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          lit(null).cast(LongType).as("declared_chars"),
+          col("container")).as("meta"))
+  }
+
   case class ResizedMedia(
       media_id: Long,
       kind: String,

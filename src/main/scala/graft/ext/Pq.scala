@@ -145,23 +145,28 @@ object Pq {
     *
     * The codes table is collected and broadcast (m ints + an id per
     * vector) — the broadcast-build contract. Indexes beyond
-    * `maxIndexRows` fail fast toward [[ivfAdcTopK]], whose cell cogroup
-    * never materializes codes on the driver.
+    * `maxIndexRows` auto-dispatch to [[ivfAdcTopK]], whose cell cogroup
+    * never materializes codes on the driver — at 100× scale over-budget
+    * is the expected case, not an error (mirrors
+    * [[Similarity.bruteForceTopK]]'s degrade to `blockedTopK`).
     */
   def adcTopK(embeddings: DataFrame, topK: Int, m: Int = 16, k: Int = 16,
       rerank: Int = 50, iters: Int = 3,
       maxIndexRows: Long = Similarity.MaxBroadcastIndexRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val model = train(embeddings, m, k, iters)
+    // Budget probe BEFORE training: code-index rows == corpus rows, so a
+    // bounded limit+collect on ids alone decides the dispatch without
+    // paying for a training pass that the IVF path would redo anyway.
     val budget = math.min(maxIndexRows, (Int.MaxValue - 2).toLong).toInt
-    val prefix: Array[(Long, Array[Int])] = encode(embeddings, model)
-      .as[(Long, Array[Int])].limit(budget + 1).collect()
-    if (prefix.length > budget)
-      throw new IllegalArgumentException(
-        s"PQ code index exceeds the broadcast budget ($maxIndexRows rows); " +
-          "use Pq.ivfAdcTopK, whose cell cogroup keeps codes distributed")
-    val codes: Array[(Long, Array[Int])] = prefix.sortBy(_._1)
+    val idPrefix: Array[Long] = embeddings
+      .select(col("vec_id")).limit(budget + 1).as[Long].collect()
+    if (idPrefix.length > budget)
+      return ivfAdcTopK(embeddings, topK, m = m, k = k, rerank = rerank,
+        iters = iters)
+    val model = train(embeddings, m, k, iters)
+    val codes: Array[(Long, Array[Int])] = encode(embeddings, model)
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
     val bcCodes = spark.sparkContext.broadcast(codes)
     val bcModel = spark.sparkContext.broadcast(model)
     val candidates = embeddings

@@ -565,7 +565,10 @@ object ExtQueries {
       .select(col("vec_id"), col("embedding"), col("scale"), col("q"),
         Similarity.dequantizeCol(col("q"), col("scale")).as("deq"))
       .select(
-        col("vec_id"), col("scale"), col("q"),
+        col("vec_id"), col("scale"),
+        // Rendered (not raw array<int>) so the driver's pandas compare can
+        // sort the column — same convention as q06/q10's array digests.
+        concat_ws(",", col("q").cast("array<string>")).as("q_str"),
         when(col("scale") === lit(0.0), lit(null).cast("double"))
           .otherwise(Similarity.cosineCol(col("embedding"), col("deq")))
           .as("cos_q"),
@@ -590,7 +593,7 @@ object ExtQueries {
       |  SELECT vec_id, embedding, scale, q,
       |    list_transform(q, x -> x::DOUBLE * scale) AS deq
       |  FROM qz)
-      |SELECT vec_id, scale, q,
+      |SELECT vec_id, scale, array_to_string(q, ',') AS q_str,
       |  CASE WHEN scale = 0 THEN NULL ELSE
       |    list_sum(list_transform(generate_series(1, len(embedding)),
       |      i -> embedding[i]::DOUBLE * deq[i]))
@@ -1579,14 +1582,22 @@ object ExtQueries {
       |WHERE q.quality_score >= 0.6
       |ORDER BY d.doc_id""".stripMargin
 
-  /** x53 — perceptual media near-dup pairs: aHash over the (stub-decoded)
-    * payload, quarter-banded candidate join, exact hamming verification
-    * ([[Multimodal.nearDupMedia]]). Engine-hash family → rows-only check;
-    * planted-duplicate recall is spec-pinned in ExtSpec.
+  /** x53 — perceptual media near-dup pairs: pixel-space aHash (REAL
+    * ImageIO decode; non-image payloads fall back to the byte-block
+    * hash), quarter-banded candidate join, exact hamming verification
+    * ([[Multimodal.nearDupImages]]). The corpus is the documents-derived
+    * media table plus [[Multimodal.plantedNearDupImages]] — a PNG, its
+    * BMP re-encoding (same pixels, different bytes), and a one-pixel
+    * perturbation — so the operator is witnessed non-vacuously
+    * (`rows > 0`) at every SF: re-encoded duplicates hash identically
+    * only in pixel space. Engine-hash family → rows-only check;
+    * planted-pair output is spec-pinned in ExtSpec.
     */
   def x53MediaNearDup(s: SparkSession, dir: String): DataFrame =
-    Multimodal.nearDupMedia(
-      Multimodal.ingestFromDocuments(docs(s, dir)), maxHamming = 3)
+    Multimodal.nearDupImages(
+      Multimodal.ingestFromDocuments(docs(s, dir))
+        .unionByName(Multimodal.plantedNearDupImages(s)),
+      maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -495,11 +495,17 @@ class ExtSpec extends SparkSpec {
     val codes = graft.ext.Pq.encode(embs, model)
       .select($"codes").as[Array[Int]].collect()
     assert(codes.forall(c => c.length === 16 && c.forall(x => x >= 0 && x < 16)))
-    // over-budget code index dispatches away from the driver collect
-    val e = intercept[IllegalArgumentException] {
-      graft.ext.Pq.adcTopK(embs, topK = 1, maxIndexRows = 10)
-    }
-    assert(e.getMessage.contains("ivfAdcTopK"))
+    // over-budget code index auto-dispatches to the distributed IVF-ADC
+    // path (never throws): result ≡ calling ivfAdcTopK directly with the
+    // same PQ parameters — both sides are deterministic, so bit-for-bit
+    val overBudget = graft.ext.Pq.adcTopK(embs, topK = 1, maxIndexRows = 10)
+      .select($"vec_id", $"rank", $"neighbor_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().sorted
+    val viaIvf = graft.ext.Pq.ivfAdcTopK(embs, topK = 1,
+      m = 16, k = 16, rerank = 50, iters = 3)
+      .select($"vec_id", $"rank", $"neighbor_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().sorted
+    assert(overBudget === viaIvf)
   }
 
   test("IVF-PQ: cell-pruned, code-scored search still finds exact neighbors") {
@@ -721,6 +727,19 @@ class ExtSpec extends SparkSpec {
     val pairs = graft.ext.Multimodal.nearDupImages(media, maxHamming = 3)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("x53 query path witnesses the planted media near-dups (rows > 0)") {
+    // The declared x53 query unions plantedNearDupImages into the
+    // documents-derived media corpus: the PNG/BMP re-encoded pair (and the
+    // one-pixel perturbation) must come out, so the driver artifact can
+    // never be vacuously empty again.
+    val out = graft.queries.ExtQueries
+      .x53MediaNearDup(spark, "/root/testdata/sf0.001")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val planted = Set((-3L, -2L), (-3L, -1L), (-2L, -1L))
+    assert(planted.subsetOf(out),
+      s"planted pairs missing from x53 output: ${planted.diff(out)}")
   }
 
   test("real image resize: dimensions change, solid colors stay exact") {
