@@ -86,16 +86,22 @@ object LakeDemo {
           println(s"[lake-demo] compacted doc_quality (hive layout kept, ~$n file budget)")
         case "corpus_maintenance" =>
           // policy-driven: fold the delta chain / small files only when a
-          // signal trips, then reclaim unreferenced version dirs
+          // signal trips, then reclaim unreferenced version dirs.
+          // Same writer lock as IncrementalDedup.ingest (the whole corpus
+          // state, not per-table): outside this DAG's serialization a
+          // concurrent ingest must not interleave version allocation with
+          // compact, nor have a just-referenced delta vacuumed.
           import graft.lake.Versioned
-          Seq("survivors", "bands").foreach { t =>
-            val root = s"$corpusState/$t"
-            if (Versioned.needsCompaction(root)) {
-              Versioned.compact(spark, root)
-              val freed = Versioned.vacuum(root)
-              println(s"[lake-demo] corpus $t compacted, $freed dirs vacuumed " +
-                s"(publishes: ${Versioned.history(root).size})")
-            } else println(s"[lake-demo] corpus $t healthy, no compaction")
+          Versioned.withWriterLock(corpusState) {
+            Seq("survivors", "bands").foreach { t =>
+              val root = s"$corpusState/$t"
+              if (Versioned.needsCompaction(root)) {
+                Versioned.compact(spark, root)
+                val freed = Versioned.vacuum(root)
+                println(s"[lake-demo] corpus $t compacted, $freed dirs vacuumed " +
+                  s"(publishes: ${Versioned.history(root).size})")
+              } else println(s"[lake-demo] corpus $t healthy, no compaction")
+            }
           }
       }
     }

@@ -56,10 +56,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
     *
+    * EXACT-BASELINE operator, not the corpus-scale path: the inverted-
+    * index join materializes every co-shingled pair, which is quadratic
+    * in the per-shingle document frequency — a stop-shingle appearing in
+    * 1M docs alone yields ~5·10¹¹ candidate pairs. At corpus scale use
+    * [[minhashPairs]] (banded LSH, O(rows) candidates) and keep this as
+    * the oracle/verification spelling on bounded slices; when running it
+    * wider, set `maxDocFreq` (typically 100–1000) so stop-shingles are
+    * pruned before the join. A candidate-pair budget guard estimates
+    * Σ df·(df−1)/2 from one map-side-combinable aggregation (cheap
+    * relative to the join it protects) and refuses to launch a run that
+    * would explode — raise `maxCandidatePairs` deliberately, or set it
+    * ≤ 0 to disable.
+    *
     * @param maxDocFreq drop shingles appearing in more than this many docs
     *                   (0 = no pruning; pruning makes the result a lower
     *                   bound, use only at scale where stop-shingles
     *                   dominate the join).
+    * @param maxCandidatePairs refuse (require) when the estimated
+    *                   candidate-pair count after pruning exceeds this;
+    *                   ≤ 0 disables the guard.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -67,15 +83,33 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDocFreq: Long = 0L): DataFrame = {
+      maxDocFreq: Long = 0L,
+      maxCandidatePairs: Long = 200000000L): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, n)
+    lazy val freqAll = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sh =
       if (maxDocFreq <= 0) sh0
       else {
-        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val freq = freqAll
           .where(col("df") <= maxDocFreq).select("shingle")
         sh0.join(broadcast(freq), "shingle")
       }
+    if (maxCandidatePairs > 0) {
+      // doubles, not longs: the estimate of a run worth refusing can
+      // overflow 64-bit integer arithmetic (that is the point of it)
+      val kept =
+        if (maxDocFreq <= 0) freqAll else freqAll.where(col("df") <= maxDocFreq)
+      val est = kept
+        .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
+        .head.getAs[Any](0) match {
+          case null => 0.0
+          case d: java.lang.Double => d.doubleValue
+        }
+      require(est <= maxCandidatePairs.toDouble,
+        f"jaccardPairs would generate ~$est%.3g candidate pairs " +
+          f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
+          "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
+    }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))

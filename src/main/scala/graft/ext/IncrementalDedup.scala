@@ -47,6 +47,65 @@ object IncrementalDedup {
   private def bandsRoot(stateRoot: String) =
     stateRoot.stripSuffix("/") + "/bands"
 
+  /** Which survivors version the band tier is synced to. Written AFTER
+    * the bands publish; a crash between the survivors publish and the
+    * bands publish leaves it stale, which is exactly the signal the next
+    * ingest uses to backfill — without it, accepted-but-unindexed
+    * documents would stay invisible to the near tier FOREVER (signatures
+    * are computed at ingest and were never revisited).
+    */
+  private def syncMarker(stateRoot: String) =
+    java.nio.file.Paths.get(stateRoot.stripSuffix("/"), "_BANDS_SYNCED_TO")
+
+  private def readSyncMarker(stateRoot: String): Option[Int] = {
+    val f = syncMarker(stateRoot)
+    if (!java.nio.file.Files.exists(f)) None
+    else
+      scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+      ).toOption // torn write parses as None → reconcile (safe direction)
+  }
+
+  private def writeSyncMarker(stateRoot: String, version: Int): Unit =
+    java.nio.file.Files.write(syncMarker(stateRoot),
+      s"$version\n".getBytes("UTF-8"))
+
+  /** Crash reconciliation, run under the writer lock: band-index any
+    * survivor missing from the bands table (same signature pipeline as
+    * ingest). O(corpus) id anti-join — but it only runs when the sync
+    * marker disagrees with the live survivors version, i.e. after a
+    * crash between the two publishes; the steady state pays one tiny
+    * file read.
+    */
+  private def backfillMissingBands(
+      spark: SparkSession,
+      stateRoot: String,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int): Unit = {
+    val bRoot = bandsRoot(stateRoot)
+    val surv = Versioned.read(spark, survivorsRoot(stateRoot))
+    val indexedIds =
+      if (Versioned.exists(bRoot))
+        Versioned.read(spark, bRoot).select(col(idCol)).distinct()
+      else surv.select(col(idCol)).limit(0)
+    val missing = surv
+      .join(indexedIds, Seq(idCol), "left_anti")
+      .where(size(split(trim(lower(col(textCol))), "\\s+")) >= lit(n))
+    if (missing.limit(1).count() > 0) {
+      val sigs = missing
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col(idCol),
+          graft.functions.MinHashSignature.column(col(textCol), n, numHashes)
+            .as("mh"))
+      val rows = Dedup.lshBands(sigs, idCol, bands, numHashes / bands)
+        .select(col(idCol), col("band"), col("band_hash"))
+      Versioned.publishDelta(rows, bRoot)
+    }
+  }
+
   /** The accepted corpus so far: (idCol, textCol, content_hash), empty
     * (with that schema) if nothing was ever ingested.
     */
@@ -95,6 +154,22 @@ object IncrementalDedup {
       numHashes: Int,
       bands: Int): IngestStats = {
     val spark = delivery.sparkSession
+
+    // 0. crash reconciliation (under the lock we already hold): if the
+    //    sync marker doesn't match the live survivors version, a prior
+    //    writer died between the survivors publish and the bands publish
+    //    — backfill band rows for the unindexed survivors before this
+    //    delivery is judged, then stamp the marker. Near-dups of those
+    //    documents are rejected from this ingest onward instead of
+    //    being silently accepted forever.
+    Versioned.currentVersion(survivorsRoot(stateRoot)).foreach { v =>
+      if (!readSyncMarker(stateRoot).contains(v)) {
+        backfillMissingBands(spark, stateRoot, idCol, textCol, n,
+          numHashes, bands)
+        writeSyncMarker(stateRoot, v)
+      }
+    }
+
     val delivered = delivery.count()
 
     // 1a. within-delivery EXACT dedup on the normalized content hash —
@@ -188,8 +263,10 @@ object IncrementalDedup {
     // 3. publish the delta: documents first, then their index. A writer
     //    crash between the two flips leaves accepted documents missing
     //    from the band index — the exact tier still catches identical
-    //    re-deliveries (hash lives in survivors), and the worst case is
-    //    accepting a NEAR-dup of an unindexed document; never a lost one
+    //    re-deliveries (hash lives in survivors), and step 0's marker
+    //    check backfills the band rows at the start of the NEXT ingest,
+    //    so the exposure is bounded to that single crashed window; never
+    //    a lost document
     val keptCount = keptWithin.count()
     val novelCount = novel.count()
     if (novelCount > 0) {
@@ -198,6 +275,9 @@ object IncrementalDedup {
         .join(novel.select(col(idCol).as("new_id")), Seq("new_id"), "left_semi")
         .select(col("new_id").as(idCol), col("band"), col("band_hash"))
       Versioned.publishDelta(novelBands, bRoot)
+      // marker LAST: stale-on-crash is the reconcile trigger above
+      Versioned.currentVersion(survivorsRoot(stateRoot))
+        .foreach(writeSyncMarker(stateRoot, _))
     }
     IngestStats(
       delivered = delivered,

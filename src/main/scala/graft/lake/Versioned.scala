@@ -133,39 +133,132 @@ object Versioned {
     Files.write(dir.resolve(MetaFile),
       s"rows=${obs.get("rows")}\n".getBytes("UTF-8"))
     if (statsCols.nonEmpty) {
-      // one scan of the just-written files → per-file min/max per column
-      // (numeric columns; values stored as doubles). Written INSIDE the
-      // version dir before the pointer flips, so stats publish atomically
-      // with their data.
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-      val aggs = statsCols.flatMap(c =>
-        Seq(min(col(c)).cast("double").as(s"min_$c"),
-          max(col(c)).cast("double").as(s"max_$c")))
-      val rows = df.sparkSession.read.parquet(dir.toString)
-        .groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      val lines = rows.flatMap { r =>
-        val file = Paths.get(new java.net.URI(r.getString(0))).getFileName.toString
-        statsCols.map(c => s"$file\t$c\t${r.getAs[Double](s"min_$c")}\t${r.getAs[Double](s"max_$c")}")
-      }
+      // Per-file min/max from the parquet FOOTERS of the just-written
+      // files — no second data scan (re-reading the write to compute
+      // stats costs as much as the write itself at 100 TB; footers are
+      // O(files) metadata reads). Written INSIDE the version dir before
+      // the pointer flips, so stats publish atomically with their data.
+      // A column whose footer stats are missing, NaN-tainted, non-plain
+      // (decimal/timestamp/date annotations change the physical-value
+      // scale vs readWhere's double cast), or otherwise unusable records
+      // the "na" sentinel → readWhere treats the file as unprunable.
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val lines = listDir(dir)
+        .filter { p =>
+          val name = p.getFileName.toString
+          name.endsWith(".parquet") && !name.startsWith("_") &&
+            !name.startsWith(".")
+        }
+        .sortBy(_.getFileName.toString)
+        .flatMap { p =>
+          val ranges = footerRanges(conf, p, statsCols)
+          statsCols.map { c =>
+            ranges.getOrElse(c, None) match {
+              case Some((mn, mx)) => s"${p.getFileName}\t$c\t$mn\t$mx"
+              case None => s"${p.getFileName}\t$c\tna\tna"
+            }
+          }
+        }
       Files.write(dir.resolve(StatsFile),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     next
   }
 
-  /** Per-file [min, max] entries of `column` for one version dir, if the
-    * dir was published with stats covering it.
+  /** Footer min/max per requested column for one parquet file, as
+    * doubles comparable with [[readWhere]]'s `cast("double")` filter.
+    * `None` = no usable range (the conservative, never-wrong answer):
+    * non-primitive or annotated logical types (decimal/timestamp/date
+    * physical values are scaled differently than Spark's double cast),
+    * chunks with absent/invalid statistics (parquet drops FP stats on
+    * NaN — exactly the case where a naive min/max would prune wrongly),
+    * or an all-null file (no range at all). All-null CHUNKS inside a
+    * file with other valid chunks contribute nothing — a range filter
+    * never matches null rows, so that stays exact.
     */
-  private def fileStats(dir: Path, column: String): Option[Map[String, (Double, Double)]] = {
+  private def footerRanges(
+      conf: org.apache.hadoop.conf.Configuration, file: Path,
+      cols: Seq[String]): Map[String, Option[(Double, Double)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val plainNumeric = Set[PrimitiveTypeName](
+        PrimitiveTypeName.INT32, PrimitiveTypeName.INT64,
+        PrimitiveTypeName.FLOAT, PrimitiveTypeName.DOUBLE)
+      cols.map { c =>
+        val usable = schema.getFieldCount > 0 &&
+          schema.containsField(c) && {
+            val t = schema.getType(schema.getFieldIndex(c))
+            t.isPrimitive &&
+              t.asPrimitiveType.getLogicalTypeAnnotation == null &&
+              plainNumeric(t.asPrimitiveType.getPrimitiveTypeName)
+          }
+        if (!usable) c -> None
+        else {
+          var lo = Double.PositiveInfinity
+          var hi = Double.NegativeInfinity
+          var valid = true
+          var any = false
+          footer.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == c)
+              .foreach { cc =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) valid = false
+                else if (!st.hasNonNullValue) {
+                  // stats present but no value range: an all-null chunk
+                  // (numNulls == chunk rows) is safely skippable; anything
+                  // else (e.g. NaN-dropped FP stats) poisons the range
+                  if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+                    valid = false
+                } else {
+                  val mn = st.genericGetMin.asInstanceOf[Number].doubleValue
+                  val mx = st.genericGetMax.asInstanceOf[Number].doubleValue
+                  if (java.lang.Double.isFinite(mn) &&
+                    java.lang.Double.isFinite(mx)) {
+                    if (mn < lo) lo = mn
+                    if (mx > hi) hi = mx
+                    any = true
+                  } else valid = false
+                }
+              }
+          }
+          c -> (if (valid && any) Some((lo, hi)) else None)
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Per-file [min, max] entries of `column` for one version dir, if the
+    * dir was published with stats covering it. A file's inner Option is
+    * `None` for the "na" sentinel (no usable range — the file must be
+    * read). Legacy stats written by the pre-footer implementation could
+    * contain textual NaN; those parse to `None` too rather than flowing
+    * into a range test where every NaN comparison is false (a file with
+    * in-range rows would be silently pruned).
+    */
+  private def fileStats(
+      dir: Path, column: String): Option[Map[String, Option[(Double, Double)]]] = {
     val f = dir.resolve(StatsFile)
     if (!Files.exists(f)) None
     else {
       val entries = new String(Files.readAllBytes(f), "UTF-8")
         .linesIterator.filter(_.nonEmpty).map(_.split('\t'))
         .collect { case Array(file, c, lo, hi) if c == column =>
-          file -> (lo.toDouble, hi.toDouble)
+          file -> (
+            if (lo == "na" || hi == "na") None
+            else {
+              val (l, h) = (lo.toDouble, hi.toDouble)
+              if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
+                Some((l, h))
+              else None
+            })
         }
         .toMap
       if (entries.isEmpty) None else Some(entries)
@@ -382,7 +475,9 @@ object Versioned {
       fileStats(dir, column) match {
         case Some(stats) =>
           stats.collect {
-            case (file, (mn, mx)) if mn <= hi && mx >= lo =>
+            // no usable range (na sentinel / legacy NaN) → never prune
+            case (file, None) => dir.resolve(file).toString
+            case (file, Some((mn, mx))) if mn <= hi && mx >= lo =>
               dir.resolve(file).toString
           }
         case None =>

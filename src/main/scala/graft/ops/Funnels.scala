@@ -103,13 +103,28 @@ object Funnels {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = events.sparkSession
     import spark.implicits._
+    // Group on the key's STRING RENDERING, not a numeric cast: casting a
+    // non-numeric id to long nulls every key and collapses all users into
+    // one group. String rendering of an atomic type is injective per
+    // type, so group identity (and therefore every count) matches
+    // funnel()/funnelWithin() for any key type they accept.
+    val keyOk = {
+      import org.apache.spark.sql.types._
+      events.schema(userCol).dataType match {
+        case _: NumericType | _: StringType | _: BooleanType | _: DateType |
+            _: TimestampType | _: TimestampNTZType | _: BinaryType => true
+        case _ => false
+      }
+    }
+    require(keyOk, s"funnelOnePass needs an atomic user key column, got " +
+      events.schema(userCol).dataType.catalogString)
     val stepIdx = steps.zipWithIndex.toMap
     val horizonMicros = horizonHours.map(_ * 3600L * 1000000L)
     val reached: DataFrame = events
       .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol).cast("long").as("u"),
+      .select(col(userCol).cast("string").as("u"),
         col(tsCol).cast("timestamp").as("t"), col(typeCol).as("s"))
-      .as[(Long, java.sql.Timestamp, String)]
+      .as[(String, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .mapGroups { (u, evs) =>
         val sorted = evs.map { case (_, t, s) =>
@@ -130,13 +145,21 @@ object Funnels {
         (u, cur)
       }
       .toDF("u", "reached")
-    steps.zipWithIndex
-      .map { case (step, i) =>
-        reached.where(col("reached") >= lit(i + 1))
-          .agg(count(lit(1)).as("n_users"))
-          .select(lit(i + 1).as("stage"), lit(step).as("step"), col("n_users"))
-      }
-      .reduce(_ unionByName _)
+    // Histogram the reach depth in ONE aggregation: a user at depth r
+    // contributes to stages 1..r (explode of a ≤|steps| sequence), so the
+    // expensive mapGroups pipeline is evaluated once — not once per stage
+    // as a union of per-stage counts would. The stage-name frame is a
+    // |steps|-row literal: broadcast equi-join, zero-filled for stages
+    // nobody reached.
+    val hist = reached
+      .where(col("reached") >= lit(1))
+      .select(explode(sequence(lit(1), col("reached"))).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("reached_users"))
+    steps.zipWithIndex.map { case (step, i) => (i + 1, step) }
+      .toDF("stage", "step")
+      .join(hist, Seq("stage"), "left")
+      .select(col("stage"), col("step"),
+        coalesce(col("reached_users"), lit(0L)).as("n_users"))
       .orderBy(col("stage"))
   }
 

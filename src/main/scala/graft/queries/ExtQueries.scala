@@ -397,6 +397,17 @@ object ExtQueries {
     * A single delivery makes the incremental survivor rules coincide
     * with the batch definition, so the DuckDB oracle is the exact
     * two-tier dedup spelled with a recursive-CTE component closure.
+    *
+    * RECALL DEPENDENCY: the Spark near tier is MinHash+LSH banding
+    * (64 hashes, 16 bands) while the oracle's is exact Jaccard — parity
+    * holds because banding empirically achieves FULL recall on this
+    * corpus at the tested scales (verified against the exact pairs in
+    * ExtSpec and at three scales in IncrementalDedupSpec). A corpus or
+    * parameter change where banding misses a ≥ 0.3 pair would break the
+    * hash match with no code change — that is a property of this
+    * oracle coupling, not a bug in either side; the probabilistic
+    * guarantee is P(miss) = (1−s⁴)¹⁶, negligible for s well above the
+    * threshold but real for borderline pairs.
     */
   def x38IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
@@ -654,12 +665,16 @@ object ExtQueries {
       |QUALIFY row_number() OVER w <= 5
       |ORDER BY a.vec_id, rank""".stripMargin
 
-  /** x82 — ordered funnel ([[graft.ops.Funnels.funnel]]): users reaching
-    * signup → view → click → purchase, each stage strictly after the
-    * previous stage's reach time.
+  /** x82 — ordered funnel, one-pass spelling
+    * ([[graft.ops.Funnels.funnelOnePass]], proven ≡ the staged
+    * [[graft.ops.Funnels.funnel]] in ExtSpec): users reaching signup →
+    * view → click → purchase, each stage strictly after the previous
+    * stage's reach time. One scan of events + one per-user shuffle —
+    * the plan you'd run at 100×; the staged joins remain the oracle
+    * spelling below.
     */
   def x82Funnel(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Funnels.funnel(Tables.events(s, dir),
+    graft.ops.Funnels.funnelOnePass(Tables.events(s, dir),
       "user_id", "event_type", "ts",
       Seq("signup", "view", "click", "purchase"))
 
@@ -726,14 +741,16 @@ object ExtQueries {
       |GROUP BY prev_type, next_type
       |ORDER BY prev_type, next_type""".stripMargin
 
-  /** x86 — conversion-window funnel ([[graft.ops.Funnels.funnelWithin]]):
-    * x82's ordered funnel with every stage bounded to 72 hours of the
-    * user's stage-1 reach — the reported form of funnel metrics.
+  /** x86 — conversion-window funnel, one-pass spelling
+    * ([[graft.ops.Funnels.funnelOnePass]] with horizon, proven ≡ the
+    * staged [[graft.ops.Funnels.funnelWithin]] in ExtSpec): x82's
+    * ordered funnel with every stage bounded to 72 hours of the user's
+    * stage-1 reach — the reported form of funnel metrics.
     */
   def x86FunnelWindow(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Funnels.funnelWithin(Tables.events(s, dir),
+    graft.ops.Funnels.funnelOnePass(Tables.events(s, dir),
       "user_id", "event_type", "ts",
-      Seq("signup", "view", "click", "purchase"), horizonHours = 72)
+      Seq("signup", "view", "click", "purchase"), horizonHours = Some(72))
 
   val x86Sql: String =
     """WITH r1 AS (SELECT user_id u, min(ts) t, min(ts) t0 FROM events

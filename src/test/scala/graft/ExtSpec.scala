@@ -163,6 +163,23 @@ class ExtSpec extends SparkSpec {
     assert(pruned.count() === 0) // every shared shingle has df >= 2
   }
 
+  test("jaccardPairs candidate-pair budget refuses a corpus-wide explosion") {
+    // a 1-pair budget is exceeded by the fixture's shared shingles
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5,
+        maxCandidatePairs = 1L)
+    }
+    assert(e.getMessage.contains("minhashPairs"))
+    // pruning counts toward the budget: maxDocFreq=1 leaves zero
+    // candidate pairs, so even the 1-pair budget passes
+    assert(Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5,
+      maxDocFreq = 1, maxCandidatePairs = 1L).count() === 0)
+    // and the guard is advisory-only when disabled
+    assert(Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5,
+      maxCandidatePairs = 0L).count() ===
+      Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5).count())
+  }
+
   test("langid picks the language with most stopword hits deterministically") {
     val out = docsFixture
       .select($"doc_id", TextAnalysis.langId(TextAnalysis.tokens($"text")).as("lang"))
@@ -322,6 +339,19 @@ class ExtSpec extends SparkSpec {
     assert(onePassH === stagedH)
     // the horizon genuinely constrains on this data (not a vacuous check)
     assert(stagedH.map(_._3).sum < staged.map(_._3).sum)
+    // non-numeric user ids: the key must group as-is (a numeric cast
+    // would null every id and collapse all users into one group)
+    val strEvents = events.withColumn(
+      "user_id", concat(lit("u"), $"user_id"))
+    assert(rows(graft.ops.Funnels.funnelOnePass(
+      strEvents, "user_id", "event_type", "ts", steps)) === staged)
+    // the one-pass plan really is one-pass: a single scan of the events
+    // source (the staged spelling scans it once per stage)
+    val plan = graft.ops.Funnels.funnelOnePass(
+      events, "user_id", "event_type", "ts", steps)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan|Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"one-pass funnel plans $scans parquet scans:\n$plan")
   }
 
   test("stratified sampling is deterministic and tracks target fractions") {

@@ -57,6 +57,31 @@ class IncrementalDedupSpec extends SparkSpec {
       "a document was dropped without a surviving duplicate partner")
   }
 
+  test("crash between survivors and bands publishes is reconciled at next ingest") {
+    val root = freshRoot()
+    IncrementalDedup.ingest(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", root)
+    // simulate a writer that died between the survivors publish and the
+    // bands publish: a document lands in survivors with NO band rows and
+    // the sync marker left stale
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val orphan = Seq((100L, base)).toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        graft.ext.TextAnalysis.fingerprintMd5($"text").as("content_hash"))
+    graft.lake.Versioned.publishDelta(orphan, root + "/survivors")
+    // a near-dup of the unindexed document arrives in the next delivery:
+    // without reconciliation it would be accepted forever after
+    val near = base.replace("tok40", "tokX")
+    val s2 = IncrementalDedup.ingest(
+      Seq((200L, near)).toDF("doc_id", "text"), "doc_id", "text", root)
+    assert(s2.accepted === 0L && s2.dupsVsCorpus === 1L,
+      "reconciliation must index the orphaned survivor before judging the delivery")
+    // and the orphan's band rows exist now — the index is whole again
+    val bands = graft.lake.Versioned.read(spark, root + "/bands")
+    assert(bands.where($"doc_id" === 100L).count() === 16L)
+  }
+
   test("re-delivering already-ingested data is a no-op (corpus-first-wins)") {
     val root = freshRoot()
     val first = IncrementalDedup.ingest(docs, "doc_id", "text", root)

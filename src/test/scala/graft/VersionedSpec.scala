@@ -162,6 +162,51 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, root, "y", 200, 300).count() === 0L)
   }
 
+  test("footer stats: publish computes pruning stats without re-scanning the write") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(600) } // listener bus is async; let it drain
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val grid = spark.range(2000).select(($"id" % 50).as("x"))
+    // stats come from the parquet footers (driver-side metadata), so a
+    // stats publish must launch exactly as many jobs as a stat-less one —
+    // the old implementation re-read every written file in a second job
+    val without = jobsDuring(Versioned.publish(grid, tmpRoot("nostats")))
+    val withStats = jobsDuring(
+      Versioned.publish(grid, tmpRoot("stats"), statsCols = Seq("x")))
+    assert(withStats === without,
+      s"stats publish ran $withStats jobs vs $without without stats — " +
+        "it must not re-scan the written files")
+  }
+
+  test("NaN and all-null stats columns are never wrongly pruned") {
+    val root = tmpRoot("versioned-nan")
+    // delta 1: a NaN in the stats column ALONGSIDE an in-range value —
+    // parquet drops FP min/max for NaN-tainted chunks; the old path
+    // recorded max=NaN and the range test (false for NaN) pruned the file
+    Versioned.publishDelta(Seq(Double.NaN, 15.0).toDF("y"), root,
+      statsCols = Seq("y"))
+    // delta 2: all-null stats column (old path fabricated (0.0, 0.0))
+    Versioned.publishDelta(
+      Seq[Option[Double]](None, None).toDF("y"), root, statsCols = Seq("y"))
+    // delta 3: clean values, one in range
+    Versioned.publishDelta(Seq(1.0, 12.0).toDF("y"), root,
+      statsCols = Seq("y"))
+    val got = Versioned.readWhere(spark, root, "y", 10, 20)
+      .as[Double].collect().sorted
+    assert(got === Array(12.0, 15.0),
+      "NaN-tainted file must stay readable (unprunable), nulls must not match")
+    // an out-of-range probe that would have matched the fabricated (0,0)
+    assert(Versioned.readWhere(spark, root, "y", -1, 0).count() === 0L)
+  }
+
   test("log-table schema evolution: mergeSchema unions added columns") {
     val root = tmpRoot("versioned-evolve")
     Versioned.publishDelta(Seq((1, "a")).toDF("x", "s"), root)
