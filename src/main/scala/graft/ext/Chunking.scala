@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data sequence shaping: sliding-window document chunking and
+  * GPT-style sequence packing — the two operators between a curated
+  * corpus and a token-budgeted training run.
+  *
+  * Both are pure DataFrame compositions (zero UDFs, codegen-friendly):
+  * chunking is a per-row generator (no shuffle at all); packing needs a
+  * global token offset per document, computed as a two-level prefix sum
+  * — per-bucket window cumsum (distributed) plus a bucket-offset cumsum
+  * over the tiny bucket-total frame (broadcast back) — so no stage ever
+  * windows over a single global partition of the full corpus.
+  */
+object Chunking {
+
+  /** Sliding token windows over each document: window `window` tokens,
+    * stride `stride` (overlapping when stride < window). Output one row
+    * per (doc, chunk): (idCol, chunk_idx, chunk_text, n_tokens). Chunks
+    * start at token offsets 0, stride, 2·stride, … and stop once a chunk
+    * reaches the document's end — a window that would only repeat tokens
+    * the previous window already covered is NOT emitted (the
+    * return-overflowing-tokens convention), so chunk count is
+    * 1 + ceil(max(0, n − window) / stride) and every token appears in at
+    * least one chunk. Blank documents produce no chunks. Tokenization is
+    * the engine-wide whitespace spelling `split(trim(text), "\s+")`.
+    *
+    * Scale shape: narrow projection + generator — no shuffle, no state;
+    * output order is pinned only if the caller sorts. The last-start
+    * arithmetic stays on non-negative integers (clamp before divide), so
+    * floor- vs truncate-division engines agree.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val lastStart = floor(
+      (greatest(lit(0), col("__n") - lit(window)) + lit(stride - 1))
+        / lit(stride)) * lit(stride)
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), lastStart, lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("col") + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), col("__n") - col("col")).cast("long").as("n_tokens"))
+  }
+
+  /** GPT-style packing manifest: documents are concatenated in `idCol`
+    * order into one global token stream, which is cut into fixed
+    * `budget`-token training sequences; a document whose span crosses a
+    * cut lands in BOTH sequences (that is the packing-with-straddle
+    * model — nothing is padded or dropped). Returns one row per
+    * (document, sequence) intersection:
+    *
+    *   (idCol, seq_idx, doc_tok_start, doc_tok_end, seq_tok_start)
+    *
+    * where [doc_tok_start, doc_tok_end) is the within-document token
+    * range placed in sequence seq_idx, starting at offset seq_tok_start
+    * inside that sequence. Every sequence except the last is exactly
+    * full by construction.
+    *
+    * `df` must carry a positive token length in `lenCol`; rows with
+    * len <= 0 are ignored. Global offsets come from a two-level prefix
+    * sum bucketed by `floor(id / bucketSize)`: level 1 windows within a
+    * bucket (distributed across the cluster), level 2 windows over one
+    * row per bucket (tiny — safe at any corpus size), broadcast back.
+    */
+  def packManifest(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      bucketSize: Long = 4096L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val lens = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(lenCol).cast("long").as("__len"))
+      .where(col("__len") > 0)
+      .withColumn("__bucket", floor(col("__id") / lit(bucketSize)))
+    val wLocal = Window.partitionBy(col("__bucket")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = lens
+      .withColumn("__local_off", coalesce(sum(col("__len")).over(wLocal), lit(0L)))
+    val bucketTotals = lens.groupBy(col("__bucket"))
+      .agg(sum(col("__len")).as("__btot"))
+    // single-partition window over ONE ROW PER BUCKET — O(corpus/bucketSize)
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffs = bucketTotals
+      .withColumn("__boff", coalesce(sum(col("__btot")).over(wBuckets), lit(0L)))
+      .select(col("__bucket"), col("__boff"))
+    local
+      .join(broadcast(bucketOffs), Seq("__bucket"))
+      .withColumn("__start", col("__boff") + col("__local_off"))
+      .withColumn("__end", col("__start") + col("__len"))
+      .select(col("__id"), col("__start"), col("__end"),
+        explode(sequence(
+          floor(col("__start") / lit(budget)).cast("long"),
+          floor((col("__end") - 1) / lit(budget)).cast("long"))).as("seq_idx"))
+      .select(
+        col("__id").as(idCol),
+        col("seq_idx"),
+        (greatest(col("__start"), col("seq_idx") * lit(budget)) - col("__start"))
+          .as("doc_tok_start"),
+        (least(col("__end"), (col("seq_idx") + 1) * lit(budget)) - col("__start"))
+          .as("doc_tok_end"),
+        (greatest(col("__start"), col("seq_idx") * lit(budget))
+          - col("seq_idx") * lit(budget)).as("seq_tok_start"))
+  }
+}

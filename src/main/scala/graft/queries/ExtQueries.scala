@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Extension-layer query catalog: dedup, similarity search, multimodal,
@@ -1617,7 +1617,71 @@ object ExtQueries {
       maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** x89 — sliding-window document chunking
+    * ([[graft.ext.Chunking.chunk]]): 64-token windows at stride 32 over
+    * every document — the corpus→context-window step of a training-data
+    * pipeline. Pure generator plan: narrow projection + posexplode,
+    * zero shuffles before the oracle's total-order sort.
+    */
+  def x89Chunking(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunk(docs(s, dir), "doc_id", "text", window = 64, stride = 32)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val x89Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |e AS (SELECT doc_id, toks, n,
+      |        unnest(generate_series(0,
+      |          ((greatest(0, n - 64) + 31) // 32) * 32, 32)) AS start
+      |      FROM s)
+      |SELECT doc_id,
+      |  CAST(start // 32 AS INT) AS chunk_idx,
+      |  array_to_string(toks[start + 1 : least(start + 64, n)], ' ') AS chunk_text,
+      |  CAST(least(64, n - start) AS BIGINT) AS n_tokens
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** x90 — GPT-style sequence-packing manifest
+    * ([[graft.ext.Chunking.packManifest]]): documents concatenated in
+    * doc_id order and cut into 256-token training sequences; one row per
+    * (document, sequence) intersection with within-doc and within-seq
+    * token offsets. The global token offset is a two-level prefix sum
+    * (per-bucket window + tiny bucket-offset frame broadcast back), so
+    * nothing windows over a single global partition of the corpus.
+    */
+  def x90Pack(s: SparkSession, dir: String): DataFrame =
+    Chunking.packManifest(
+      docs(s, dir)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_toks")),
+      "doc_id", "n_toks", budget = 256L)
+      .orderBy(col("doc_id"), col("seq_idx"))
+
+  val x90Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |o AS (SELECT doc_id, len,
+      |        CAST(coalesce(sum(len) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS tok_start
+      |      FROM t),
+      |e AS (SELECT doc_id, tok_start, tok_start + len AS tok_end,
+      |        unnest(generate_series(tok_start // 256,
+      |          (tok_start + len - 1) // 256)) AS seq_idx
+      |      FROM o)
+      |SELECT doc_id, seq_idx,
+      |  greatest(tok_start, seq_idx * 256) - tok_start AS doc_tok_start,
+      |  least(tok_end, (seq_idx + 1) * 256) - tok_start AS doc_tok_end,
+      |  greatest(tok_start, seq_idx * 256) - seq_idx * 256 AS seq_tok_start
+      |FROM e ORDER BY doc_id, seq_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x89_chunking" -> (x89Chunking _),
+    "x90_pack" -> (x90Pack _),
     "x53_media_neardup" -> (x53MediaNearDup _),
     "x78_corpus_prep" -> (x78CorpusPrep _),
     "x76_repetition" -> (x76Repetition _),
@@ -1679,6 +1743,8 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x89_chunking" -> x89Sql,
+    "x90_pack" -> x90Sql,
     "x78_corpus_prep" -> x78Sql,
     "x76_repetition" -> x76Sql,
     "x77_decontamination" -> x77Sql,

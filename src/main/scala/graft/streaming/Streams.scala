@@ -41,12 +41,23 @@ object Streams extends Serializable {
     * partition count to just this stream. At production scale raise it
     * with state volume, not core count.
     */
-  private def streamSession(spark: SparkSession, statePartitions: Int = 8): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s
-  }
+  private val childSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
+
+  private def streamSession(spark: SparkSession, statePartitions: Int = 8): SparkSession =
+    // Memoized per (parent, partition count): one warm child session
+    // serves every one-shot stream instead of a cold SessionState +
+    // empty codegen cache per query — repeated streaming runs in the
+    // same JVM (the bench loop, multi-query pipelines) skip that fixed
+    // setup. Conf is written once at creation and never mutated after,
+    // so sharing is race-free; memory-sink names are nanoTime-unique so
+    // catalogs never collide.
+    childSessions.computeIfAbsent((spark, statePartitions), { _ =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s
+    })
 
   /** Hourly tumbling-window aggregation per event type (batch form). */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -759,6 +759,76 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("chunking: windows tile every document with the declared overlap") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "solo"),                                   // single token
+      (3L, "   "),                                    // blank → no chunks
+      (4L, (1 to 4).map(i => s"t$i").mkString(" ")),  // window-sized
+      (5L, "a b c d e"))                              // partial tail
+      .toDF("doc_id", "text")
+    val out = graft.ext.Chunking.chunk(d, "doc_id", "text", window = 4, stride = 2)
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0,2,4,6 → 4 chunks; the would-be start-8 window only
+    // repeats tokens chunk 3 already covered, so it is not emitted
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(d1.head._3 === "w1 w2 w3 w4")
+    assert(d1(1)._3 === "w3 w4 w5 w6") // stride-2 overlap
+    assert(d1.last._3 === "w7 w8 w9 w10" && d1.last._4 === 4L)
+    // every token of doc 1 appears in at least one chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+    // single-token and exactly-window docs chunk once; blank docs never
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "solo", 1L)))
+    assert(out.filter(_._1 == 3L).isEmpty)
+    assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0, "t1 t2 t3 t4", 4L)))
+    // 5 tokens: second chunk is the genuine 3-token tail, not dropped
+    assert(out.filter(_._1 == 5L).toSeq ===
+      Seq((5L, 0, "a b c d", 4L), (5L, 1, "c d e", 3L)))
+  }
+
+  test("packing manifest: sequences fill exactly, spans tile, straddle is bucketing-invariant") {
+    val lens = Seq((1L, 100L), (2L, 200L), (3L, 50L), (4L, 300L), (5L, 6L))
+      .toDF("doc_id", "n_toks") // 656 tokens → seqs of 256: 256|256|144
+    def run(bucketSize: Long) = graft.ext.Chunking
+      .packManifest(lens, "doc_id", "n_toks", budget = 256L, bucketSize = bucketSize)
+      .select($"doc_id", $"seq_idx", $"doc_tok_start", $"doc_tok_end", $"seq_tok_start")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val out = run(4096L)
+    // bucketing is an implementation detail: per-id buckets give the
+    // identical manifest (the two-level prefix sum is exact)
+    assert(run(1L).toSeq === out.toSeq)
+    // every document's spans cover [0, len) without gap or overlap
+    val byDoc = out.groupBy(_._1)
+    val lensMap = Map(1L -> 100L, 2L -> 200L, 3L -> 50L, 4L -> 300L, 5L -> 6L)
+    byDoc.foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      assert(sorted.last._4 === lensMap(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3, s"gap in doc $id")
+        case _ => ()
+      }
+    }
+    // every sequence except the last is exactly full; spans tile it
+    val bySeq = out.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, spans) =>
+      val fill = spans.map(s => s._4 - s._3).sum
+      if (seq != lastSeq) assert(fill === 256L, s"seq $seq fill $fill")
+      val tiles = spans.sortBy(_._5)
+      assert(tiles.head._5 === 0L)
+      tiles.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + (a._4 - a._3) === b._5, s"gap in seq $seq")
+        case _ => ()
+      }
+    }
+    // doc 4 (300 tokens at offset 350) straddles seqs 1→2
+    assert(byDoc(4L).map(_._2).toSeq.sorted === Seq(1L, 2L))
+  }
+
   test("x53 query path witnesses the planted media near-dups (rows > 0)") {
     // The declared x53 query unions plantedNearDupImages into the
     // documents-derived media corpus: the PNG/BMP re-encoded pair (and the
