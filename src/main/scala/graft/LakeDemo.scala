@@ -87,22 +87,15 @@ object LakeDemo {
         case "corpus_maintenance" =>
           // policy-driven: fold the delta chain / small files only when a
           // signal trips, then reclaim unreferenced version dirs.
-          // Same writer lock as IncrementalDedup.ingest (the whole corpus
-          // state, not per-table): outside this DAG's serialization a
-          // concurrent ingest must not interleave version allocation with
-          // compact, nor have a just-referenced delta vacuumed.
-          import graft.lake.Versioned
-          Versioned.withWriterLock(corpusState) {
-            Seq("survivors", "bands").foreach { t =>
-              val root = s"$corpusState/$t"
-              if (Versioned.needsCompaction(root)) {
-                Versioned.compact(spark, root)
-                val freed = Versioned.vacuum(root)
-                println(s"[lake-demo] corpus $t compacted, $freed dirs vacuumed " +
-                  s"(publishes: ${Versioned.history(root).size})")
-              } else println(s"[lake-demo] corpus $t healthy, no compaction")
-            }
-          }
+          // compactState holds the same writer lock as ingest, reconciles
+          // any crashed publish before touching versions, and re-stamps
+          // the bands sync marker so the version bump from compaction is
+          // not mistaken for a crash at the next ingest.
+          val compacted =
+            graft.ext.IncrementalDedup.compactState(spark, corpusState)
+          if (compacted.isEmpty)
+            println("[lake-demo] corpus healthy, no compaction")
+          else println(s"[lake-demo] corpus compacted: ${compacted.mkString(", ")}")
       }
     }
 

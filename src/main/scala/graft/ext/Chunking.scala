@@ -41,6 +41,10 @@ object Chunking {
       stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // stride > window would leave tokens between windows in NO chunk,
+    // breaking the every-token-covered guarantee documented above
+    require(stride <= window,
+      s"stride ($stride) must be <= window ($window) so chunks cover every token")
     val lastStart = floor(
       (greatest(lit(0), col("__n") - lit(window)) + lit(stride - 1))
         / lit(stride)) * lit(stride)
@@ -84,6 +88,13 @@ object Chunking {
       bucketSize: Long = 4096L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    // the global concatenation order AND the bucket arithmetic both live
+    // on the numeric id — a non-numeric id would silently cast to null
+    // and collapse every row into one garbage bucket
+    require(df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packManifest needs a numeric id column, got " +
+        df.schema(idCol).dataType.catalogString)
     val lens = df
       .select(col(idCol).cast("long").as("__id"),
         col(lenCol).cast("long").as("__len"))

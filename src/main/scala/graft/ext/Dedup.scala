@@ -86,20 +86,23 @@ object Dedup {
       maxDocFreq: Long = 0L,
       maxCandidatePairs: Long = 200000000L): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, n)
-    lazy val freqAll = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sh =
+    // Materialize the (pruned) shingle rows ONCE: they are consumed by
+    // the budget estimate, the per-doc sizes, and BOTH sides of the
+    // inverted-index join — without the checkpoint the tokenize+shingle
+    // pipeline re-evaluates per consumer.
+    val sh = (
       if (maxDocFreq <= 0) sh0
       else {
-        val freq = freqAll
+        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDocFreq).select("shingle")
         sh0.join(broadcast(freq), "shingle")
-      }
+      }).localCheckpoint(true)
     if (maxCandidatePairs > 0) {
-      // doubles, not longs: the estimate of a run worth refusing can
+      // estimated from the cached post-prune rows (one map-side-
+      // combinable aggregation — cheap relative to the join it guards).
+      // Doubles, not longs: the estimate of a run worth refusing can
       // overflow 64-bit integer arithmetic (that is the point of it)
-      val kept =
-        if (maxDocFreq <= 0) freqAll else freqAll.where(col("df") <= maxDocFreq)
-      val est = kept
+      val est = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
         .head.getAs[Any](0) match {
           case null => 0.0

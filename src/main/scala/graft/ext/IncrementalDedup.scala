@@ -285,4 +285,43 @@ object IncrementalDedup {
       dupsVsCorpus = keptCount - novelCount,
       accepted = novelCount)
   }
+
+  /** Policy-driven state maintenance: compact + vacuum the survivors and
+    * bands tables when their compaction signals trip, under the SAME
+    * writer lock as [[ingest]] (a concurrent ingest must not interleave
+    * version allocation with compact, nor have a just-referenced delta
+    * vacuumed). Compaction rewrites files without changing CONTENT, but
+    * it bumps the survivors version — re-stamp the sync marker so the
+    * next ingest doesn't mistake the bump for a crashed publish and pay
+    * the O(corpus) backfill scan for nothing. Returns the table names
+    * that were compacted.
+    */
+  def compactState(spark: SparkSession, stateRoot: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Seq[String] =
+    Versioned.withWriterLock(stateRoot) {
+      // reconcile FIRST (same as ingest step 0): if a crashed publish
+      // left survivors unindexed, stamping the post-compaction version
+      // without backfilling would hide them from the band tier forever.
+      // The survivors schema is (idCol, textCol, content_hash) by
+      // construction, so the column names come from the table itself.
+      Versioned.currentVersion(survivorsRoot(stateRoot)).foreach { v =>
+        if (!readSyncMarker(stateRoot).contains(v)) {
+          val cols = Versioned.read(spark, survivorsRoot(stateRoot)).columns
+          backfillMissingBands(spark, stateRoot, cols(0), cols(1), n,
+            numHashes, bands)
+        }
+      }
+      val compacted = Seq("survivors", "bands").filter { t =>
+        val root = stateRoot.stripSuffix("/") + "/" + t
+        val due = Versioned.exists(root) && Versioned.needsCompaction(root)
+        if (due) {
+          Versioned.compact(spark, root)
+          Versioned.vacuum(root)
+        }
+        due
+      }
+      Versioned.currentVersion(survivorsRoot(stateRoot))
+        .foreach(writeSyncMarker(stateRoot, _))
+      compacted
+    }
 }

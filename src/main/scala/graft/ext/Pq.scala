@@ -145,14 +145,20 @@ object Pq {
     *
     * The codes table is collected and broadcast (m ints + an id per
     * vector) — the broadcast-build contract. Indexes beyond
-    * `maxIndexRows` auto-dispatch to [[ivfAdcTopK]], whose cell cogroup
-    * never materializes codes on the driver — at 100× scale over-budget
-    * is the expected case, not an error (mirrors
-    * [[Similarity.bruteForceTopK]]'s degrade to `blockedTopK`).
+    * `maxIndexRows` auto-dispatch to [[ivfAdcTopK]] with this call's
+    * `nCells`/`nprobe`, whose cell cogroup never materializes codes on
+    * the driver — at 100× scale over-budget is the expected case, not an
+    * error. NOTE the dispatch is approximate-to-approximate, not
+    * result-identical (unlike [[Similarity.bruteForceTopK]]'s exact
+    * blocked degrade): the IVF path scores only the probed cells, so
+    * recall across the budget boundary follows the `nprobe`/`nCells`
+    * tuning — raise `nprobe` (or call [[ivfAdcTopK]] explicitly) when
+    * crossing it matters; both paths stay deterministic.
     */
   def adcTopK(embeddings: DataFrame, topK: Int, m: Int = 16, k: Int = 16,
       rerank: Int = 50, iters: Int = 3,
-      maxIndexRows: Long = Similarity.MaxBroadcastIndexRows): DataFrame = {
+      maxIndexRows: Long = Similarity.MaxBroadcastIndexRows,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // Budget probe BEFORE training: code-index rows == corpus rows, so a
@@ -162,8 +168,8 @@ object Pq {
     val idPrefix: Array[Long] = embeddings
       .select(col("vec_id")).limit(budget + 1).as[Long].collect()
     if (idPrefix.length > budget)
-      return ivfAdcTopK(embeddings, topK, m = m, k = k, rerank = rerank,
-        iters = iters)
+      return ivfAdcTopK(embeddings, topK, nCells = nCells, nprobe = nprobe,
+        m = m, k = k, rerank = rerank, iters = iters)
     val model = train(embeddings, m, k, iters)
     val codes: Array[(Long, Array[Int])] = encode(embeddings, model)
       .as[(Long, Array[Int])].collect().sortBy(_._1)

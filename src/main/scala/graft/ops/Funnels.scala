@@ -44,7 +44,11 @@ object Funnels {
     val reaches = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val candidates = events
-          .filter(col(typeCol) === lit(step))
+          // an event with no timestamp cannot be ordered — ignore it
+          // (keeps the staged and one-pass spellings identical on data
+          // with null timestamps, where min() skipping nulls would
+          // otherwise count a null-only user at stage 1)
+          .filter(col(typeCol) === lit(step) && col(tsCol).isNotNull)
           .select(col(userCol).as("u"), col(tsCol).as("t"))
         Some(prev match {
           case None =>
@@ -101,27 +105,34 @@ object Funnels {
       steps: Seq[String],
       horizonHours: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // the greedy walk indexes steps by name, so a repeated step name has
+    // no one-pass representation (the staged spelling handles it — use
+    // funnel()/funnelWithin() for such funnels)
+    require(steps.distinct.size == steps.size,
+      s"funnelOnePass needs distinct step names, got $steps")
     val spark = events.sparkSession
     import spark.implicits._
     // Group on the key's STRING RENDERING, not a numeric cast: casting a
     // non-numeric id to long nulls every key and collapses all users into
-    // one group. String rendering of an atomic type is injective per
-    // type, so group identity (and therefore every count) matches
-    // funnel()/funnelWithin() for any key type they accept.
+    // one group. String rendering of the admitted types is injective
+    // (distinct values render distinctly), so group identity — and
+    // therefore every count — matches funnel()/funnelWithin(). Binary
+    // keys are NOT admitted: invalid-UTF8 byte strings can collide under
+    // the string cast.
     val keyOk = {
       import org.apache.spark.sql.types._
       events.schema(userCol).dataType match {
         case _: NumericType | _: StringType | _: BooleanType | _: DateType |
-            _: TimestampType | _: TimestampNTZType | _: BinaryType => true
+            _: TimestampType | _: TimestampNTZType => true
         case _ => false
       }
     }
-    require(keyOk, s"funnelOnePass needs an atomic user key column, got " +
+    require(keyOk, s"funnelOnePass needs an atomic non-binary user key, got " +
       events.schema(userCol).dataType.catalogString)
     val stepIdx = steps.zipWithIndex.toMap
     val horizonMicros = horizonHours.map(_ * 3600L * 1000000L)
     val reached: DataFrame = events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(typeCol).isin(steps: _*) && col(tsCol).isNotNull)
       .select(col(userCol).cast("string").as("u"),
         col(tsCol).cast("timestamp").as("t"), col(typeCol).as("s"))
       .as[(String, java.sql.Timestamp, String)]
@@ -142,7 +153,11 @@ object Funnels {
             cur += 1
           }
         }
-        (u, cur)
+        // a NULL user key matches the staged spelling's behavior exactly:
+        // groupBy counts the pooled null group at stage 1, but the
+        // stage-2+ equi-joins (and any SQL oracle's joins) drop null
+        // keys — clamp the null group's walk to stage 1
+        (u, if (u == null) math.min(cur, 1) else cur)
       }
       .toDF("u", "reached")
     // Histogram the reach depth in ONE aggregation: a user at depth r

@@ -62,7 +62,11 @@ object Streams extends Serializable {
     */
   private def streamSession(
       spark: SparkSession, statePartitions: Int = 8,
-      noDataBatches: Boolean = true): SparkSession =
+      noDataBatches: Boolean = true): SparkSession = {
+    // entries keyed by a stopped parent are unreachable dead weight
+    // (SessionState, codegen caches, memory-sink tables) — purge them so
+    // JVMs that cycle SparkSessions don't accumulate immortal children
+    childSessions.keySet.removeIf(_._1.sparkContext.isStopped)
     childSessions.computeIfAbsent((spark, statePartitions, noDataBatches), { _ =>
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -71,6 +75,7 @@ object Streams extends Serializable {
         noDataBatches.toString)
       s
     })
+  }
 
   /** Hourly tumbling-window aggregation per event type (batch form). */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -354,6 +354,46 @@ class ExtSpec extends SparkSpec {
     assert(scans === 1, s"one-pass funnel plans $scans parquet scans:\n$plan")
   }
 
+  test("funnel edge semantics: null users stop at stage 1, null timestamps ignored, dup steps refused") {
+    def ts(s: String) = if (s == null) null else java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (java.lang.Long.valueOf(1L), "signup", ts("2024-01-01 00:00:00")),
+      (java.lang.Long.valueOf(1L), "view", ts("2024-01-01 01:00:00")),
+      // null user: SQL-join semantics count the pooled null group at
+      // stage 1 but equi-joins drop it from stage 2 onward
+      (null.asInstanceOf[java.lang.Long], "signup", ts("2024-01-01 00:00:00")),
+      (null.asInstanceOf[java.lang.Long], "view", ts("2024-01-01 01:00:00")),
+      // null timestamp: unorderable, ignored by both spellings
+      (java.lang.Long.valueOf(2L), "signup", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("user_id", "event_type", "ts")
+    val steps2 = Seq("signup", "view")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"stage", $"n_users").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val staged = rows(graft.ops.Funnels.funnel(ev, "user_id", "event_type", "ts", steps2))
+    val onePass = rows(graft.ops.Funnels.funnelOnePass(ev, "user_id", "event_type", "ts", steps2))
+    assert(staged === Seq((1, 2L), (2, 1L))) // user 1 + null group; then user 1
+    assert(onePass === staged)
+    // a repeated step name has no one-pass representation — refuse it
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Funnels.funnelOnePass(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "signup"))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("chunk/pack parameter guards: gap-leaving stride and non-numeric pack ids refused") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.Chunking.chunk(d, "doc_id", "text", window = 4, stride = 6)
+    }
+    assert(e1.getMessage.contains("cover every token"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Chunking.packManifest(
+        Seq(("a", 10L)).toDF("doc_id", "n_toks"), "doc_id", "n_toks", 256L)
+    }
+    assert(e2.getMessage.contains("numeric id"))
+  }
+
   test("stratified sampling is deterministic and tracks target fractions") {
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     def kept() = d.where(graft.ext.Sampling.stratifiedPredicate(

@@ -82,6 +82,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(bands.where($"doc_id" === 100L).count() === 16L)
   }
 
+  test("compactState reconciles a crashed publish before re-stamping the sync marker") {
+    val root = freshRoot()
+    IncrementalDedup.ingest(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", root)
+    // crash window: survivors published, bands not, marker stale
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val orphan = Seq((100L, base)).toDF("doc_id", "text")
+      .select($"doc_id", $"text",
+        graft.ext.TextAnalysis.fingerprintMd5($"text").as("content_hash"))
+    graft.lake.Versioned.publishDelta(orphan, root + "/survivors")
+    // maintenance BEFORE any ingest must backfill (not just stamp over
+    // the crash) — the orphan gets its band rows here
+    IncrementalDedup.compactState(spark, root)
+    val bands = graft.lake.Versioned.read(spark, root + "/bands")
+    assert(bands.where($"doc_id" === 100L).count() === 16L,
+      "compactState must backfill the orphaned survivor before stamping")
+    // and the near-dup is rejected at the next ingest as usual
+    val s2 = IncrementalDedup.ingest(
+      Seq((200L, base.replace("tok40", "tokX"))).toDF("doc_id", "text"),
+      "doc_id", "text", root)
+    assert(s2.accepted === 0L && s2.dupsVsCorpus === 1L)
+  }
+
   test("re-delivering already-ingested data is a no-op (corpus-first-wins)") {
     val root = freshRoot()
     val first = IncrementalDedup.ingest(docs, "doc_id", "text", root)
