@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Deterministic global training-order shuffle.
+  *
+  * Training pipelines need each epoch's document order to be (a) a
+  * uniform-looking permutation, (b) reproducible bit-for-bit across
+  * re-runs, engines, and partitionings, and (c) computable without a
+  * single-node sort. Seeded RNG shuffles fail (b) under repartitioning;
+  * a naive `row_number() OVER (ORDER BY hash)` fails (c) — Spark plans
+  * an unpartitioned window as ONE partition holding the whole corpus.
+  *
+  * Here the permutation key is md5(seed:id) (change `seed` for a fresh
+  * epoch order), and the global position is a two-level rank (same
+  * technique as [[Chunking.packManifest]]'s prefix sum):
+  *
+  *   level 1: rows bucket by their first 2 hash hex chars (256 buckets —
+  *     lexicographically ordered prefix = order of the full hash, so
+  *     bucket order IS global order); row_number within bucket runs
+  *     distributed, 256-way parallel;
+  *   level 2: one count per bucket, cumulated in a single-partition
+  *     window over <= 256 rows, broadcast back as the bucket's offset.
+  *
+  * position = bucket_offset + local_rank (1-based). Ties between equal
+  * hashes (never observed for md5, but determinism must not rest on
+  * that) break by id.
+  *
+  * Also emits `shard` = (position-1) % nShards when nShards > 0, the
+  * round-robin shard assignment a sharded training-data writer wants —
+  * consecutive positions land on different shards, so each shard is
+  * itself an unbiased sample of the epoch order.
+  */
+object Shuffling {
+
+  def permute(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "epoch0",
+      nShards: Int = 0): DataFrame = {
+    require(nShards >= 0, s"nShards must be >= 0, got $nShards")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast(StringType)))
+    val withKey = df.withColumn("__k", key)
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("__k"), col(idCol))
+    val local = withKey.withColumn("__r", row_number().over(wLocal))
+    val counts = withKey.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    // single-partition window over <= 256 rows — bounded at any scale
+    val wBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wBuckets), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val ranked = local
+      .join(broadcast(offs), Seq("__b"))
+      .withColumn("position", col("__off") + col("__r"))
+      .drop("__k", "__b", "__r", "__n", "__off")
+    if (nShards > 0)
+      ranked.withColumn("shard", pmod(col("position") - 1, lit(nShards.toLong)))
+    else ranked
+  }
+}

@@ -172,4 +172,31 @@ object TextAnalysis {
           * log(col("n_docs").cast(DoubleType) / col("doc_freq")))
           .as("tfidf_log"))
   }
+
+  /** Inverted index over the corpus: one row per token with its document
+    * frequency, total term frequency, and the posting list (ascending
+    * distinct doc ids) rendered canonically — joined with "," and
+    * md5-digested, because a posting list at corpus scale is an
+    * arbitrarily wide array and the digest is what an equality check /
+    * cross-engine compare needs (same convention as the flagship
+    * query's array digests).
+    *
+    * Scale shape: one shuffle to distinct (token, doc) + count tf
+    * (map-side combinable), one to collect per-token postings. The
+    * collect_list is bounded by per-token document frequency; for
+    * stop-token-like heads at extreme scale, cap upstream with
+    * [[Dedup]]-style maxDocFreq pruning before indexing.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("doc_freq"),
+        sum(col("tf")).as("total_tf"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string")))).as("postings_md5"))
+  }
 }

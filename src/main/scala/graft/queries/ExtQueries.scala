@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.ext.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Dedup, LmScore, Mixture, Multimodal, Shuffling, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Extension-layer query catalog: dedup, similarity search, multimodal,
@@ -1679,7 +1679,232 @@ object ExtQueries {
       |  greatest(tok_start, seq_idx * 256) - seq_idx * 256 AS seq_tok_start
       |FROM e ORDER BY doc_id, seq_idx""".stripMargin
 
+  /** x91 — domain-mixture resampling ([[Mixture.resample]]): per-source
+    * token totals + relative weights (8/4/1 tiers) + a 15k-token budget
+    * → deterministic keep-set. The predicate is pure integer arithmetic
+    * over md5 buckets (b·W·tokens_s < 65536·B·w_s), so the SAME
+    * documents are kept on any engine; over-allocated sources clamp to
+    * keep-all automatically. Plan = one O(sources) agg broadcast back;
+    * no corpus-sized shuffle.
+    */
+  def x91Mixture(s: SparkSession, dir: String): DataFrame =
+    Mixture.resample(
+      docs(s, dir).withColumn("n_toks",
+        size(TextAnalysis.tokens(col("text"))).cast("long")),
+      "doc_id", "source", "n_toks",
+      weights = Map(
+        "src0" -> 8L, "src1" -> 8L, "src2" -> 8L, "src3" -> 8L, "src4" -> 8L,
+        "src5" -> 4L, "src6" -> 4L, "src7" -> 4L, "src8" -> 4L, "src9" -> 4L),
+      defaultWeight = 1L,
+      budgetTokens = 15000L)
+      .select(col("doc_id"), col("source"), col("src_tokens"), col("weight"))
+      .orderBy(col("doc_id"))
+
+  val x91Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, sum(n_toks) AS src_tokens,
+      |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 8
+      |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 4
+      |         ELSE 1 END AS weight
+      |  FROM d GROUP BY source)
+      |SELECT d.doc_id, d.source,
+      |  CAST(p.src_tokens AS BIGINT) AS src_tokens,
+      |  CAST(p.weight AS BIGINT) AS weight
+      |FROM d JOIN p USING (source)
+      |WHERE ('0x' || substr(md5('graft/v1:' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |        * 70 * p.src_tokens
+      |      < 65536::BIGINT * 15000 * p.weight
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** x92 — deterministic global training-order shuffle
+    * ([[Shuffling.permute]], seed "epoch0", 8 shards): the per-epoch
+    * document permutation, bit-reproducible across engines and
+    * partitionings. Global position via two-level rank (256 hash-prefix
+    * buckets ranked in parallel + a <=256-row offset window broadcast
+    * back) — nothing windows over one global partition.
+    */
+  def x92Shuffle(s: SparkSession, dir: String): DataFrame =
+    Shuffling.permute(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", seed = "epoch0", nShards = 8)
+      .orderBy(col("position"))
+
+  val x92Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (
+      |      ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS position
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(position AS BIGINT) AS position,
+      |  CAST((position - 1) % 8 AS BIGINT) AS shard
+      |FROM r ORDER BY position""".stripMargin
+
+  /** x93 — corpus-trained bigram-LM rarity scoring
+    * ([[LmScore.bigramRarity]], R=50): the CCNet-style quality filter
+    * with the smoothed-probability threshold re-expressed as the integer
+    * inequality R·(c12+1) < c1+V (no transcendentals, no float
+    * accumulation — the only float is the final n_rare/n_bigrams
+    * division). Bigrams extract as a pure projection (slice+zip+
+    * explode); the model is two map-side-combinable aggs.
+    */
+  def x93BigramRarity(s: SparkSession, dir: String): DataFrame =
+    LmScore.bigramRarity(docs(s, dir), "doc_id", "text", rarityFactor = 50L)
+      .orderBy(col("doc_id"))
+
+  val x93Sql: String =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+      |  FROM arr),
+      |big AS (
+      |  SELECT doc_id, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |  FROM tok QUALIFY w2 IS NOT NULL),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN 50 * (c12.c12 + 1) < c1.c1 + v.v THEN 1 ELSE 0 END AS rare
+      |  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id,
+      |  count(*) AS n_bigrams,
+      |  CAST(sum(rare) AS BIGINT) AS n_rare,
+      |  CAST(sum(rare) AS DOUBLE) / count(*) AS rarity
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** x95 — mixture with epoch repeats ([[Mixture.resampleEpochs]]):
+    * the upsampling half of mixture planning — sources whose token
+    * target exceeds their size repeat for floor-quotient full epochs
+    * plus a hash-selected partial epoch (weights 50/20/1, 30k budget,
+    * so the small high-weight sources repeat at small SFs). Integer
+    * arithmetic end to end; single corpus scan + generator explode.
+    */
+  def x95MixtureEpochs(s: SparkSession, dir: String): DataFrame =
+    Mixture.resampleEpochs(
+      docs(s, dir).withColumn("n_toks",
+        size(TextAnalysis.tokens(col("text"))).cast("long")),
+      "doc_id", "source", "n_toks",
+      weights = Map("src19" -> 50L, "src18" -> 20L),
+      defaultWeight = 1L,
+      budgetTokens = 30000L)
+      .select(col("doc_id"), col("source"), col("src_tokens"),
+        col("weight"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  val x95Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |p0 AS (
+      |  SELECT source, sum(n_toks) AS src_tokens,
+      |    CASE WHEN source = 'src19' THEN 50
+      |         WHEN source = 'src18' THEN 20
+      |         ELSE 1 END AS weight
+      |  FROM d GROUP BY source),
+      |p AS (
+      |  SELECT source, src_tokens, weight,
+      |    88::BIGINT * src_tokens AS denom,
+      |    (30000::BIGINT * weight) // (88::BIGINT * src_tokens) AS efull
+      |  FROM p0 WHERE src_tokens > 0),
+      |k AS (
+      |  SELECT d.doc_id, d.source, p.src_tokens, p.weight, p.denom, p.efull,
+      |    30000::BIGINT * p.weight - p.efull * p.denom AS rem,
+      |    ('0x' || substr(md5('graft/v1:' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT AS b
+      |  FROM d JOIN p USING (source)),
+      |e AS (
+      |  SELECT doc_id, source, src_tokens, weight,
+      |    efull + CASE WHEN b * denom < 65536::BIGINT * rem THEN 1 ELSE 0 END
+      |      AS n_epochs
+      |  FROM k)
+      |SELECT doc_id, source,
+      |  CAST(src_tokens AS BIGINT) AS src_tokens,
+      |  CAST(weight AS BIGINT) AS weight,
+      |  CAST(unnest(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS BIGINT) AS epoch
+      |FROM e WHERE n_epochs >= 1
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  /** x94 — corpus inverted index ([[TextAnalysis.invertedIndex]]):
+    * token → (doc_freq, total_tf, md5 digest of the ascending posting
+    * list) — the retrieval-side artifact of a training corpus. Two
+    * map-side-combinable shuffles; postings digest per the array-digest
+    * convention.
+    */
+  def x94InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text")
+      .orderBy(col("token"))
+
+  val x94Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+      |SELECT token,
+      |  count(*) AS doc_freq,
+      |  CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+      |FROM tf GROUP BY token ORDER BY token""".stripMargin
+
+  /** x96 — Unicode NFC canonicalization
+    * ([[graft.functions.NfcNormalize]], custom compiled expression —
+    * Spark has no built-in): corpus hygiene before hashing/dedup, since
+    * the same visible text arrives precomposed in one crawl and
+    * decomposed in another. The synthetic corpus is ASCII (NFC is the
+    * identity there), so the query plants mixed-form rows — decomposed
+    * combining marks, precomposed equivalents — per the x53
+    * witnessed-non-vacuously convention; DuckDB's `nfc_normalize` is
+    * the oracle.
+    */
+  def x96Normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // -1/-3 decomposed (combining marks), -2 precomposed — byte-identical
+    // to the oracle's chr() spellings
+    val planted = Seq(
+      (-1L, "Amélie résumé"),
+      (-2L, "café déjà vu"),
+      (-3L, "Ångström über"))
+      .toDF("doc_id", "text")
+    val norm = graft.functions.NfcNormalize.column(col("text"))
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        length(norm).as("n_chars_norm"),
+        (col("text") =!= norm).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x96Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (-1, 'Ame' || chr(769) || 'lie re' || chr(769) || 'sume' || chr(769)),
+      |    (-2, 'caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) || ' vu'),
+      |    (-3, 'A' || chr(778) || 'ngstro' || chr(776) || 'm u' || chr(776) || 'ber'))
+      |    v(doc_id, text))
+      |SELECT doc_id,
+      |  nfc_normalize(text) AS norm_text,
+      |  CAST(length(nfc_normalize(text)) AS INTEGER) AS n_chars_norm,
+      |  text <> nfc_normalize(text) AS changed
+      |FROM base ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x96_normalize" -> (x96Normalize _),
+    "x91_mixture" -> (x91Mixture _),
+    "x95_mixture_epochs" -> (x95MixtureEpochs _),
+    "x92_shuffle" -> (x92Shuffle _),
+    "x93_bigram_rarity" -> (x93BigramRarity _),
+    "x94_inverted_index" -> (x94InvertedIndex _),
     "x89_chunking" -> (x89Chunking _),
     "x90_pack" -> (x90Pack _),
     "x53_media_neardup" -> (x53MediaNearDup _),
@@ -1743,6 +1968,12 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x91_mixture" -> x91Sql,
+    "x95_mixture_epochs" -> x95Sql,
+    "x96_normalize" -> x96Sql,
+    "x92_shuffle" -> x92Sql,
+    "x93_bigram_rarity" -> x93Sql,
+    "x94_inverted_index" -> x94Sql,
     "x89_chunking" -> x89Sql,
     "x90_pack" -> x90Sql,
     "x78_corpus_prep" -> x78Sql,

@@ -15,7 +15,10 @@ class PlanQualitySpec extends SparkSpec {
   // which no equi-join can express because a constant key folds away).
   // x44 joins a 1-row limited reference vector; x37 joins the corpus-size
   // global aggregate.
-  private val singleRowBroadcast = Set("x44_vector_ops", "x37_tfidf")
+  // x93 joins the 1-row corpus vocabulary-size aggregate (same class as
+  // x37's global aggregate — a scalar no equi-key can express).
+  private val singleRowBroadcast =
+    Set("x44_vector_ops", "x37_tfidf", "x93_bigram_rarity")
 
   test("no catalog query plans a cartesian product or nested-loop join") {
     // Streaming entries execute inside the builder (memory-sink table) —

@@ -1,0 +1,165 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{LmScore, Mixture, Shuffling}
+
+/** Specs for the training-corpus preparation operators: domain-mixture
+  * resampling, deterministic epoch shuffle, bigram-LM rarity scoring,
+  * and the inverted index.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 sources with very different sizes: A 200 docs x 10 tokens = 2000,
+  // B 50 x 10 = 500, C 20 x 10 = 200 tokens.
+  private def corpus = {
+    val rows =
+      (1 to 200).map(i => (i.toLong, "A", Seq.fill(10)(s"a$i").mkString(" "))) ++
+      (201 to 250).map(i => (i.toLong, "B", Seq.fill(10)(s"b$i").mkString(" "))) ++
+      (251 to 270).map(i => (i.toLong, "C", Seq.fill(10)(s"c$i").mkString(" ")))
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("n_toks", lit(10L))
+  }
+
+  test("mixture resample hits per-source token targets within hash tolerance") {
+    // equal weights over unequal sources, budget 900 => target 300 each;
+    // C has only 200 tokens => clamps to keep-all.
+    val kept = Mixture.resample(corpus, "doc_id", "source", "n_toks",
+        weights = Map("A" -> 1L, "B" -> 1L, "C" -> 1L), budgetTokens = 900L)
+      .groupBy($"source").agg(sum($"n_toks").as("kept"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("C") === 200L, "over-allocated source must clamp to keep-all")
+    // A: rate 300/2000=0.15 of 200 docs; B: rate 300/500=0.6 of 50 docs.
+    // md5 buckets are uniform; allow generous small-sample tolerance.
+    assert(kept("A") >= 150 && kept("A") <= 450, s"A kept ${kept("A")}")
+    assert(kept("B") >= 150 && kept("B") <= 450, s"B kept ${kept("B")}")
+  }
+
+  test("mixture resample is deterministic and weight-0 sources drop entirely") {
+    def run() = Mixture.resample(corpus, "doc_id", "source", "n_toks",
+        weights = Map("A" -> 1L, "B" -> 1L), defaultWeight = 0L,
+        budgetTokens = 500L)
+      .select($"doc_id").as[Long].collect().toSet
+    val first = run()
+    assert(run() === first, "same weights+budget+salt must keep the same docs")
+    assert(first.nonEmpty)
+    assert(!first.exists(_ > 250), "weight-0 source C must contribute nothing")
+  }
+
+  test("mixture resample keeps everything when the budget covers the corpus") {
+    val kept = Mixture.resample(corpus, "doc_id", "source", "n_toks",
+        weights = Map.empty, defaultWeight = 1L, budgetTokens = 1000000L)
+      .count()
+    assert(kept === 270L)
+  }
+
+  test("mixture epochs repeat small high-weight sources, degenerate to resample when downsampling") {
+    // W = 3; C: 200 tokens, weight 1, budget 1800 => target 600 = 3
+    // full epochs exactly (rem 0); A: target 600 of 2000 => 0 full
+    // epochs + partial keep, identical to resample's keep-set.
+    val out = Mixture.resampleEpochs(corpus, "doc_id", "source", "n_toks",
+        weights = Map("A" -> 1L, "B" -> 1L, "C" -> 1L), budgetTokens = 1800L)
+      .select($"doc_id", $"source", $"epoch").as[(Long, String, Long)].collect()
+    val cEpochs = out.filter(_._2 == "C").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    assert(cEpochs.values.forall(_ === Seq(0L, 1L, 2L)),
+      "every C doc must appear in exactly 3 full epochs")
+    val aKept = out.filter(_._2 == "A").map(_._1).toSet
+    val aResample = Mixture.resample(corpus, "doc_id", "source", "n_toks",
+        weights = Map("A" -> 1L, "B" -> 1L, "C" -> 1L), budgetTokens = 1800L)
+      .where($"source" === "A").select($"doc_id").as[Long].collect().toSet
+    assert(aKept === aResample,
+      "epoch 0 partial selection must equal resample's downsampling keep-set")
+    assert(out.filter(_._2 == "A").forall(_._3 === 0L))
+    // delivered tokens ~ budget: C exact 600, A+B hash-approximate
+    val delivered = out.length * 10
+    assert(delivered >= 1200 && delivered <= 2400, s"delivered $delivered")
+  }
+
+  test("permute is a 1..n permutation matching the naive global spelling") {
+    val out = Shuffling.permute(corpus, "doc_id", seed = "epoch0", nShards = 8)
+      .select($"doc_id", $"position", $"shard")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq === (1L to 270L))
+    assert(out.forall { case (_, p, s) => s === (p - 1) % 8 })
+    // ground truth: the single-partition window Spark would naively plan
+    val naive = corpus
+      .withColumn("position", row_number().over(
+        Window.orderBy(md5(concat(lit("epoch0:"), $"doc_id".cast("string"))),
+          $"doc_id")).cast("long"))
+      .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+    assert(out.map { case (d, p, _) => d -> p }.toMap === naive)
+  }
+
+  test("permute order changes with the seed but stays a permutation") {
+    def order(seed: String) =
+      Shuffling.permute(corpus, "doc_id", seed = seed)
+        .orderBy($"position").select($"doc_id").as[Long].collect().toSeq
+    val e0 = order("epoch0")
+    val e1 = order("epoch1")
+    assert(e0.sorted === e1.sorted)
+    assert(e0 !== e1, "different seeds must give different epoch orders")
+  }
+
+  test("bigram rarity matches the hand-computed tiny corpus") {
+    // corpus: c12(a,b)=4 c12(b,a)=2 c12(x,y)=1; c1: a=4 b=2 x=1.
+    // V=5 (a,b,x,y,solo — the one-token doc still counts toward vocab).
+    // R=2: rare iff 2*(c12+1) < c1+V -> (b,a): 6<7 and (x,y): 4<6.
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LmScore.bigramRarity(df, "doc_id", "text", rarityFactor = 2L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_bigrams", $"n_rare", $"rarity")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Seq(
+      (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 1L, 1L, 1.0)))
+    // doc 4 has one token -> no transitions -> dropped, not scored 0
+  }
+
+  test("NFC normalize composes decomposed marks, passes NFC text through, is null-safe") {
+    val df = Seq(
+      (1L, "é"),          // decomposed -> U+00E9
+      (2L, "é"),           // already NFC -> unchanged
+      (3L, "Ångström"), // mixed marks -> Å...ö
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        graft.functions.NfcNormalize.column($"text").as("n"))
+      .orderBy($"doc_id").as[(Long, String)].collect()
+    assert(out(0)._2 === "é")
+    assert(out(1)._2 === "é")
+    assert(out(2)._2 === "Ångström")
+    assert(out(3)._2 === "plain ascii")
+    assert(out(4)._2 === null)
+  }
+
+  test("inverted index postings digest and counts are exact") {
+    val df = Seq(
+      (1L, "spark spark scala"), (2L, "spark flink"), (3L, "scala"))
+      .toDF("doc_id", "text")
+    val out = TestHelpers.invertedRows(spark, df)
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out("spark") === (2L, 3L, md5hex("1,2")))
+    assert(out("scala") === (2L, 2L, md5hex("1,3")))
+    assert(out("flink") === (1L, 1L, md5hex("2")))
+  }
+}
+
+private object TestHelpers {
+  def invertedRows(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long, String)] = {
+    import spark.implicits._
+    graft.ext.TextAnalysis.invertedIndex(df, "doc_id", "text")
+      .select($"token", $"doc_freq", $"total_tf", $"postings_md5")
+      .as[(String, Long, Long, String)].collect()
+      .map { case (t, d, tf, m) => t -> ((d, tf, m)) }.toMap
+  }
+}
