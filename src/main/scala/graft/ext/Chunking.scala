@@ -60,6 +60,67 @@ object Chunking {
         least(lit(window), col("__n") - col("col")).cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall where a rolling
+    * hash of the last `gear` tokens hits 0 mod `modulus` — so boundaries
+    * are a function of LOCAL content, not absolute offsets. That is the
+    * property fixed-stride chunking lacks: insert one sentence at the
+    * top of a document and every fixed-stride chunk after it changes,
+    * but content-defined boundaries re-align immediately, so chunk-level
+    * dedup still matches everything downstream of the edit (the
+    * rsync/LBFS/FastCDC trick, applied at token granularity).
+    *
+    * Definitions (all integer arithmetic, engine-portable):
+    *   h_i = ascii(first char of token i) · 131 + len(token i)
+    *   H_i = (h_{i-2}·131² + h_{i-1}·131 + h_i) mod 1000000007 (i >= 2)
+    *   boundary AFTER token i  iff  H_i mod `modulus` == 0
+    *   chunk_idx of token i = count of boundaries strictly before i
+    *
+    * Expected chunk length ~ `modulus` tokens. Output one row per
+    * (doc, chunk): (idCol, chunk_idx, tok_start, n_tokens, chunk_md5)
+    * where chunk_md5 digests the space-joined tokens (chunks are
+    * arbitrary-width → digest convention, like posting lists).
+    *
+    * Scale shape: tokenize + posexplode is a generator projection; the
+    * rolling hash and boundary prefix-count are windows partitioned by
+    * document (ONE shuffle on idCol); the per-chunk rollup re-aggregates
+    * on (idCol, chunk_idx) whose partitioning prefix-aligns with the
+    * window's, so AQE/EnsureRequirements can reuse the exchange.
+    */
+  def contentDefinedChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      modulus: Int = 64): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val P = 131L
+    val M = 1000000007L
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val tok = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")))
+      .select(col(idCol), col("pos").cast("long").as("__i"), col("col").as("__w"))
+      .withColumn("__h",
+        ascii(col("__w")).cast("long") * lit(P) + length(col("__w")).cast("long"))
+    val rolled = tok
+      .withColumn("__H",
+        (lag(col("__h"), 2).over(byDoc) * lit(P * P)
+          + lag(col("__h"), 1).over(byDoc) * lit(P)
+          + col("__h")) % lit(M))
+      .withColumn("__b",
+        when(col("__H").isNotNull && col("__H") % lit(modulus.toLong) === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("__chunk",
+        coalesce(sum(col("__b")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    rolled
+      .groupBy(col(idCol), col("__chunk").as("chunk_idx"))
+      .agg(
+        min(col("__i")).as("tok_start"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("__i"), col("__w")))),
+            s => s.getField("__w")))).as("chunk_md5"))
+  }
+
   /** GPT-style packing manifest: documents are concatenated in `idCol`
     * order into one global token stream, which is cut into fixed
     * `budget`-token training sequences; a document whose span crosses a

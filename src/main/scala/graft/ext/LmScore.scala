@@ -53,7 +53,10 @@ object LmScore {
           slice(col("__t"), lit(2), size(col("__t")) - 1).as("w2"))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
     val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // head counts roll up from the MODEL-sized c12 frame, not the
+    // corpus-sized bigram frame — one fewer corpus scan (at real scale
+    // you'd persist c12 once and score many corpora against it)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = df
       .select(explode(toks).as("w"))
       .agg(countDistinct(col("w")).as("v"))

@@ -1898,7 +1898,53 @@ object ExtQueries {
       |  text <> nfc_normalize(text) AS changed
       |FROM base ORDER BY doc_id""".stripMargin
 
+  /** x97 — content-defined chunking
+    * ([[Chunking.contentDefinedChunks]], modulus 64): boundaries where a
+    * 3-token rolling hash ≡ 0 (mod 64), so chunk edges are a function of
+    * local content and re-align after edits — the rsync/FastCDC property
+    * that makes chunk-level dedup robust to insertions, at token
+    * granularity. One shuffle (window + rollup share the doc_id
+    * partitioning); integer hash arithmetic portable across engines.
+    */
+  def x97ContentChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.contentDefinedChunks(docs(s, dir), "doc_id", "text", modulus = 64)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val x97Sql: String =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tok AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS i, unnest(t) AS w
+      |  FROM arr),
+      |h AS (
+      |  SELECT doc_id, i, w,
+      |    CAST(ascii(w) AS BIGINT) * 131 + length(w) AS h
+      |  FROM tok),
+      |r AS (
+      |  SELECT doc_id, i, w,
+      |    (lag(h, 2) OVER d * 17161 + lag(h, 1) OVER d * 131 + h)
+      |      % 1000000007 AS hh
+      |  FROM h WINDOW d AS (PARTITION BY doc_id ORDER BY i)),
+      |b AS (
+      |  SELECT doc_id, i, w,
+      |    CASE WHEN hh IS NOT NULL AND hh % 64 = 0 THEN 1 ELSE 0 END AS bd
+      |  FROM r),
+      |c AS (
+      |  SELECT doc_id, i, w,
+      |    CAST(coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS chunk_idx
+      |  FROM b)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(min(i) AS BIGINT) AS tok_start,
+      |  count(*) AS n_tokens,
+      |  md5(string_agg(w, ' ' ORDER BY i)) AS chunk_md5
+      |FROM c GROUP BY doc_id, chunk_idx
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x97_content_chunks" -> (x97ContentChunks _),
     "x96_normalize" -> (x96Normalize _),
     "x91_mixture" -> (x91Mixture _),
     "x95_mixture_epochs" -> (x95MixtureEpochs _),
@@ -1971,6 +2017,7 @@ object ExtQueries {
     "x91_mixture" -> x91Sql,
     "x95_mixture_epochs" -> x95Sql,
     "x96_normalize" -> x96Sql,
+    "x97_content_chunks" -> x97Sql,
     "x92_shuffle" -> x92Sql,
     "x93_bigram_rarity" -> x93Sql,
     "x94_inverted_index" -> x94Sql,

@@ -120,6 +120,39 @@ class TrainingPrepSpec extends SparkSpec {
     // doc 4 has one token -> no transitions -> dropped, not scored 0
   }
 
+  test("content-defined chunks partition every token and re-align after a prefix edit") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val body = Seq.fill(400)(words(rnd.nextInt(words.size))).mkString(" ")
+    val df = Seq(
+      (1L, body),
+      (2L, "inserted preamble sentence goes here " + body))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Chunking
+      .contentDefinedChunks(df, "doc_id", "text", modulus = 16)
+      .select($"doc_id", $"chunk_idx", $"tok_start", $"n_tokens", $"chunk_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // chunks tile each document exactly: contiguous starts, counts sum to n
+    for (doc <- Seq(1L, 2L)) {
+      val cs = out.filter(_._1 == doc).sortBy(_._2)
+      val n = if (doc == 1L) 400 else 405
+      assert(cs.map(_._4).sum === n.toLong)
+      assert(cs.head._3 === 0L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4); case _ => ()
+      }
+    }
+    // the CDC property: after the insertion-perturbed prefix, boundaries
+    // re-align, so almost all of doc 1's chunk digests reappear in doc 2
+    val d1 = out.filter(_._1 == 1L).map(_._5).toSet
+    val d2 = out.filter(_._1 == 2L).map(_._5).toSet
+    assert(d1.size >= 10, s"fixture too short: only ${d1.size} chunks")
+    val missing = d1 -- d2
+    assert(missing.size <= 2,
+      s"expected re-alignment; ${missing.size} of ${d1.size} chunks lost")
+  }
+
   test("NFC normalize composes decomposed marks, passes NFC text through, is null-safe") {
     val df = Seq(
       (1L, "é"),          // decomposed -> U+00E9
