@@ -476,4 +476,54 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= lit(maxHamming))
   }
+
+  /** Source-level shingle-overlap matrix — corpus forensics for mixture
+    * and dedup decisions: which sources substantially duplicate each
+    * other (mirror crawls, re-scrapes, shared upstreams). One row per
+    * unordered source pair:
+    *
+    *   (src_a, src_b, n_common, n_a, n_b, jaccard, overlap_coef)
+    *
+    * where n_* are DISTINCT n-gram shingle counts per source, jaccard =
+    * |A∩B|/|A∪B|, and overlap_coef = |A∩B|/min(|A|,|B|) (the asymmetric
+    * containment signal — a small source swallowed by a big one has low
+    * jaccard but overlap_coef ≈ 1).
+    *
+    * Scale shape: UNLIKE doc-level [[jaccardPairs]] (quadratic in
+    * per-shingle doc frequency), the self-join here is on (source,
+    * shingle) distinct rows, so a shingle contributes at most
+    * sources²/2 pairs — bounded by the source count, not the corpus.
+    * Safe to run corpus-wide at any scale; both divisions are single
+    * int/int ops (bit-exact cross-engine).
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val srcSh = spread
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.GraftFunctions.wordShingles(col(textCol), n))
+          .as("shingle"))
+      .distinct()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = srcSh.as("a")
+      .join(srcSh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"))
+          .as("overlap_coef"))
+  }
 }

@@ -89,4 +89,29 @@ object Sampling {
       .when(b < lit(hexThreshold(trainPct + valPct, hexChars)), lit("val"))
       .otherwise(lit("test"))
   }
+
+  /** Deterministic k-per-stratum sample: the k documents per stratum
+    * whose salted md5 ranks lowest — a uniform without-replacement
+    * sample per group that is stable across runs, partitionings, and
+    * engines (the fixed-size counterpart of [[stratifiedPredicate]]'s
+    * fixed-rate sampling; RNG reservoir sampling gives a different
+    * subset every run). Output: input columns + `sample_rank` (1..k).
+    *
+    * One shuffle on the stratum column; per-group state is the window's
+    * top-k frontier. Ties (md5 collisions) break by id, so the result
+    * is total-order deterministic on ANY input.
+    */
+  def kPerStratum(
+      df: org.apache.spark.sql.DataFrame,
+      id: String,
+      stratum: String,
+      k: Int,
+      salt: String = DefaultSalt): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+      .orderBy(md5(concat(lit(salt), lit(":"), col(id).cast(StringType))), col(id))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
 }

@@ -1943,7 +1943,68 @@ object ExtQueries {
       |FROM c GROUP BY doc_id, chunk_idx
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** x98 — source-overlap matrix ([[Dedup.sourceOverlap]], 3-gram
+    * shingles): which sources substantially duplicate each other
+    * (mirror crawls, shared upstreams) — jaccard + containment
+    * (overlap_coef) per source pair. Unlike doc-level pair joins, the
+    * self-join is on distinct (source, shingle) rows, so cost is
+    * bounded by sources² regardless of corpus size.
+    */
+  def x98SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(docs(s, dir), "source", "text", n = 3)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val x98Sql: String =
+    """WITH t AS (
+      |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') tk
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT source, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+      |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_common,
+      |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE AS jaccard,
+      |  n_common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS overlap_coef
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
+  /** x99 — deterministic k-per-stratum sample
+    * ([[graft.ext.Sampling.kPerStratum]], k=5 per source): fixed-size
+    * uniform per-group sample by salted-md5 rank — stable across runs,
+    * partitionings, and engines, unlike RNG reservoir sampling. One
+    * stratum shuffle; per-group window state is the top-k frontier.
+    */
+  def x99KPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.kPerStratum(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", k = 5)
+      .orderBy(col("source"), col("sample_rank"))
+
+  val x99Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('graft/v1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS sample_rank
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+      |FROM r WHERE sample_rank <= 5
+      |ORDER BY source, sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_k_per_source" -> (x99KPerSource _),
+    "x98_source_overlap" -> (x98SourceOverlap _),
     "x97_content_chunks" -> (x97ContentChunks _),
     "x96_normalize" -> (x96Normalize _),
     "x91_mixture" -> (x91Mixture _),
@@ -2018,6 +2079,8 @@ object ExtQueries {
     "x95_mixture_epochs" -> x95Sql,
     "x96_normalize" -> x96Sql,
     "x97_content_chunks" -> x97Sql,
+    "x98_source_overlap" -> x98Sql,
+    "x99_k_per_source" -> x99Sql,
     "x92_shuffle" -> x92Sql,
     "x93_bigram_rarity" -> x93Sql,
     "x94_inverted_index" -> x94Sql,

@@ -153,6 +153,42 @@ class TrainingPrepSpec extends SparkSpec {
       s"expected re-alignment; ${missing.size} of ${d1.size} chunks lost")
   }
 
+  test("k-per-stratum sample is deterministic, sized min(k, group), rank-contiguous") {
+    val out = graft.ext.Sampling.kPerStratum(
+        corpus.select($"doc_id", $"source"), "doc_id", "source", k = 30)
+      .select($"source", $"doc_id", $"sample_rank")
+      .as[(String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("A").length === 30)
+    assert(bySrc("B").length === 30)
+    assert(bySrc("C").length === 20, "undersized group keeps every row")
+    assert(bySrc("C").map(_._3).sorted.toSeq === (1L to 20L))
+    val again = graft.ext.Sampling.kPerStratum(
+        corpus.select($"doc_id", $"source"), "doc_id", "source", k = 30)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === out.map(_._2).toSet)
+  }
+
+  test("source overlap: identical sources have jaccard 1, containment shows swallowed source") {
+    val df = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "mirror", "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "web", "an entirely different second web document goes right here"),
+      (4L, "books", "unrelated text about ships and harbors and long voyages"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.Dedup.sourceOverlap(df, "source", "text", n = 3)
+      .select($"src_a", $"src_b", $"n_common", $"jaccard", $"overlap_coef")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // mirror ⊂ web: full containment, jaccard < 1 (web has an extra doc)
+    val m = out(("mirror", "web"))
+    assert(m._5 === 1.0, "mirror is fully contained in web")
+    assert(m._4 < 1.0 && m._4 > 0.0)
+    assert(m._3 === 8L) // 10 tokens -> 8 distinct 3-gram shingles
+    assert(!out.contains(("books", "mirror")) && !out.contains(("books", "web")),
+      "disjoint sources must produce no pair row")
+  }
+
   test("NFC normalize composes decomposed marks, passes NFC text through, is null-safe") {
     val df = Seq(
       (1L, "é"),          // decomposed -> U+00E9
