@@ -501,12 +501,14 @@ object Dedup {
       sourceCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val srcSh = spread
-      .select(col(sourceCol).as("source"),
-        explode(graft.functions.GraftFunctions.wordShingles(col(textCol), n))
-          .as("shingle"))
+    // reuse the one shingle spelling; materialize the distinct
+    // (source, shingle) rows ONCE — they feed `sizes` and BOTH sides of
+    // the self-join, and without the checkpoint the tokenize+shingle
+    // pipeline re-evaluates per consumer (same fix as jaccardPairs)
+    val srcSh = shingles(df, sourceCol, textCol, n)
+      .withColumnRenamed(sourceCol, "source")
       .distinct()
+      .localCheckpoint(true)
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val inter = srcSh.as("a")
       .join(srcSh.as("b"),

@@ -1,9 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.DecimalType
 
 /** Domain-mixture planning and resampling for training corpora.
   *
@@ -34,12 +34,16 @@ import org.apache.spark.sql.types.StringType
   * that plan onto the corpus plus a per-row projection. No corpus-sized
   * shuffle anywhere.
   *
-  * Overflow bound: the comparison multiplies 65535 * W * tokens_s; keep
-  * W (the sum of relative weights) small (e.g. percentages, W <= 1000)
-  * and the product stays inside Long for corpora up to ~10^11 tokens per
-  * source. `require`d below.
+  * Exactness: the predicate products are evaluated in DECIMAL(38,0) —
+  * exact integer arithmetic to 10^38, so trillion-token budgets times
+  * percent-scale weights (≈10^19-10^23, past Long.MaxValue) neither
+  * overflow under ANSI mode nor wrap silently without it. Weights are
+  * still capped at 100000 each as a sanity bound.
   */
 object Mixture {
+
+  private val D = DecimalType(38, 0)
+  private def dec(c: Column): Column = c.cast(D)
 
   /** Per-source token totals + the integer plan inputs.
     * Output: (source, src_tokens, weight) — O(sources) rows.
@@ -53,7 +57,7 @@ object Mixture {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
       "mixture weights must be non-negative")
     val w = weights.toSeq.sortBy(_._1).foldRight(
-      lit(defaultWeight): org.apache.spark.sql.Column) {
+      lit(defaultWeight): Column) {
       case ((src, wt), elseCol) =>
         when(col(sourceCol) === lit(src), lit(wt)).otherwise(elseCol)
     }
@@ -67,7 +71,9 @@ object Mixture {
     * (original columns) plus the plan columns `src_tokens` and `weight`.
     *
     * The same document set is selected on ANY engine: the predicate is
-    * integer arithmetic over md5 buckets (see object doc).
+    * exact integer arithmetic over md5 buckets (see object doc). `idCol`
+    * must be the unique document key — the bucket is a pure function of
+    * it.
     */
   def resample(
       df: DataFrame,
@@ -80,7 +86,7 @@ object Mixture {
       salt: String = Sampling.DefaultSalt): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     require(weights.values.forall(_ <= 100000L) && defaultWeight <= 100000L,
-      "individual mixture weights must be <= 100000 (overflow bound)")
+      "individual mixture weights must be <= 100000 (sanity bound)")
     // W = sum of weights over the sources actually present, attached to
     // the plan frame itself via an unpartitioned window — the frame is
     // O(sources) rows, so the single-partition window is bounded at any
@@ -90,12 +96,10 @@ object Mixture {
       .withColumn("__w_total",
         sum(col("weight")).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val bucket = conv(
-      substring(md5(concat(lit(salt), lit(":"), col(idCol).cast(StringType))), 1, 4),
-      16, 10).cast("long")
+    val bucket = Sampling.bucketLong(col(idCol), salt)
     df.join(broadcast(p), df(sourceCol) === p("source"))
-      .where(bucket * col("__w_total") * col("src_tokens") <
-        lit(65536L) * lit(budgetTokens) * col("weight"))
+      .where(dec(bucket) * dec(col("__w_total")) * dec(col("src_tokens")) <
+        dec(lit(65536L)) * dec(lit(budgetTokens)) * dec(col("weight")))
       .drop(p("source"))
       .drop("__w_total")
   }
@@ -116,8 +120,9 @@ object Mixture {
     *       bucket · W · tokens_s  <  65536 · r_s
     *
     * Downsampling is the e_s = 0 case, where this degenerates to exactly
-    * [[resample]]'s predicate. Pure integer arithmetic throughout — the
-    * emitted (doc, epoch) multiset is engine-independent.
+    * [[resample]]'s predicate. Exact DECIMAL(38,0) integer arithmetic
+    * throughout (see object doc) — the emitted (doc, epoch) multiset is
+    * engine-independent.
     *
     * Single corpus scan: broadcast-join the O(sources) plan, compute
     * n_epochs = e_s + keep_partial per row, filter n_epochs >= 1, then
@@ -135,27 +140,26 @@ object Mixture {
       salt: String = Sampling.DefaultSalt): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     require(weights.values.forall(_ <= 100000L) && defaultWeight <= 100000L,
-      "individual mixture weights must be <= 100000 (overflow bound)")
+      "individual mixture weights must be <= 100000 (sanity bound)")
     val p = plan(df, sourceCol, tokenLenCol, weights, defaultWeight)
       .withColumn("__w_total",
         sum(col("weight")).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .where(col("src_tokens") > 0)
-      // integer plan columns: full epochs + partial-epoch remainder
-      .withColumn("__denom", col("__w_total") * col("src_tokens"))
-      // `div`, not `/`: Spark's `/` is DOUBLE division, which silently
-      // rounds past 2^53 — integer division keeps the plan exact at any
-      // magnitude
+      // exact decimal plan columns: full epochs + partial-epoch remainder.
+      // `div` (integral division), not `/`: Spark's `/` is DOUBLE
+      // division, which silently rounds past 2^53.
+      .withColumn("__denom", dec(col("__w_total")) * dec(col("src_tokens")))
       .withColumn("__full",
-        expr(s"(${budgetTokens}L * weight) div __denom"))
+        expr(s"(CAST(${budgetTokens} AS DECIMAL(38,0)) * weight) div __denom"))
       .withColumn("__rem",
-        lit(budgetTokens) * col("weight") - col("__full") * col("__denom"))
-    val bucket = conv(
-      substring(md5(concat(lit(salt), lit(":"), col(idCol).cast(StringType))), 1, 4),
-      16, 10).cast("long")
+        dec(lit(budgetTokens)) * dec(col("weight"))
+          - dec(col("__full")) * col("__denom"))
+    val bucket = Sampling.bucketLong(col(idCol), salt)
     df.join(broadcast(p), df(sourceCol) === p("source"))
       .withColumn("__keep",
-        (bucket * col("__denom") < lit(65536L) * col("__rem")).cast("long"))
+        (dec(bucket) * col("__denom") < dec(lit(65536L)) * col("__rem"))
+          .cast("long"))
       .withColumn("__n_epochs", col("__full") + col("__keep"))
       .where(col("__n_epochs") >= 1)
       .select(df("*"), col("src_tokens"), col("weight"),

@@ -24,11 +24,25 @@ object Sampling {
 
   val DefaultSalt = "graft/v1"
 
+  /** The ONE salted-hash spelling every deterministic-selection operator
+    * shares: md5(salt:id). [[hashBucket]], [[kPerStratum]], and
+    * [[Mixture]]'s keep-predicates all derive from this, so their
+    * selections live in the same hash space by construction.
+    */
+  def saltedMd5(id: Column, salt: String = DefaultSalt): Column =
+    md5(concat(lit(salt), lit(":"), id.cast(StringType)))
+
   /** Stable hex bucket (16^hexChars buckets) for an id column. */
   def hashBucket(id: Column, salt: String = DefaultSalt, hexChars: Int = 2): Column = {
     require(hexChars >= 1 && hexChars <= 8, s"hexChars must be in [1,8], got $hexChars")
-    substring(md5(concat(lit(salt), lit(":"), id.cast(StringType))), 1, hexChars)
+    substring(saltedMd5(id, salt), 1, hexChars)
   }
+
+  /** [[hashBucket]] as a numeric column (0 until 16^hexChars) — for
+    * integer keep-predicates ([[Mixture]]).
+    */
+  def bucketLong(id: Column, salt: String = DefaultSalt, hexChars: Int = 4): Column =
+    conv(hashBucket(id, salt, hexChars), 16, 10).cast("long")
 
   /** Lowercase fixed-width hex threshold for fraction p of the bucket
     * space — bucket < threshold selects ~p of ids.
@@ -99,7 +113,10 @@ object Sampling {
     *
     * One shuffle on the stratum column; per-group state is the window's
     * top-k frontier. Ties (md5 collisions) break by id, so the result
-    * is total-order deterministic on ANY input.
+    * is total-order deterministic provided `id` is unique per row — the
+    * document-primary-key contract every operator here assumes; rows
+    * DUPLICATED on id exhaust the tie-break and rank
+    * partition-order-dependently.
     */
   def kPerStratum(
       df: org.apache.spark.sql.DataFrame,
@@ -110,7 +127,7 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratum))
-      .orderBy(md5(concat(lit(salt), lit(":"), col(id).cast(StringType))), col(id))
+      .orderBy(saltedMd5(col(id), salt), col(id))
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
   }

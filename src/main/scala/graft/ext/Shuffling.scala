@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
 
 /** Deterministic global training-order shuffle.
   *
@@ -36,13 +35,18 @@ import org.apache.spark.sql.types.StringType
   */
 object Shuffling {
 
+  /** `idCol` must be unique per row (the document-primary-key contract):
+    * duplicated ids exhaust the (hash, id) tie-break and their relative
+    * positions become partition-order-dependent — the exact
+    * irreproducibility this operator exists to prevent. Dedup first.
+    */
   def permute(
       df: DataFrame,
       idCol: String,
       seed: String = "epoch0",
       nShards: Int = 0): DataFrame = {
     require(nShards >= 0, s"nShards must be >= 0, got $nShards")
-    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast(StringType)))
+    val key = Sampling.saltedMd5(col(idCol), seed)
     val withKey = df.withColumn("__k", key)
       .withColumn("__b", substring(col("__k"), 1, 2))
     val wLocal = Window.partitionBy(col("__b"))
@@ -58,7 +62,7 @@ object Shuffling {
     val ranked = local
       .join(broadcast(offs), Seq("__b"))
       .withColumn("position", col("__off") + col("__r"))
-      .drop("__k", "__b", "__r", "__n", "__off")
+      .drop("__k", "__b", "__r", "__off")
     if (nShards > 0)
       ranked.withColumn("shard", pmod(col("position") - 1, lit(nShards.toLong)))
     else ranked

@@ -188,6 +188,12 @@ object TextAnalysis {
     * [[Dedup]]-style maxDocFreq pruning before indexing.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the posting list sorts (and digests) NUMERICALLY — a silent long
+    // cast would null string ids and collapse the index into one group
+    require(df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"invertedIndex needs a numeric id column, got " +
+        df.schema(idCol).dataType.catalogString)
     val tok = df.select(col(idCol).cast("long").as("doc_id"),
       explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))

@@ -50,6 +50,26 @@ class TrainingPrepSpec extends SparkSpec {
     assert(!first.exists(_ > 250), "weight-0 source C must contribute nothing")
   }
 
+  test("mixture predicates survive trillion-token budgets (decimal, no Long overflow)") {
+    // 65536 * budget * weight blows past Long.MaxValue here; the
+    // DECIMAL(38,0) spelling must neither throw (ANSI) nor wrap
+    // (non-ANSI, which would silently keep nothing)
+    val huge = Long.MaxValue / 2
+    val kept = Mixture.resample(corpus, "doc_id", "source", "n_toks",
+      weights = Map("A" -> 60L, "B" -> 40L), defaultWeight = 1L,
+      budgetTokens = huge).count()
+    assert(kept === 270L, "over-covering budget must clamp to keep-all")
+    // weights proportional to source size (20:5:2 = 2000:500:200) at 3x
+    // the corpus budget => every source's target is exactly 3 epochs,
+    // remainder 0 => no partial epoch anywhere
+    val epochs = Mixture.resampleEpochs(corpus, "doc_id", "source", "n_toks",
+      weights = Map("A" -> 20L, "B" -> 5L, "C" -> 2L), budgetTokens = 8100L)
+      .groupBy($"source").agg(countDistinct($"epoch").as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(epochs === Map("A" -> 3L, "B" -> 3L, "C" -> 3L),
+      s"size-proportional weights at 3x budget must give exactly 3 epochs each, got $epochs")
+  }
+
   test("mixture resample keeps everything when the budget covers the corpus") {
     val kept = Mixture.resample(corpus, "doc_id", "source", "n_toks",
         weights = Map.empty, defaultWeight = 1L, budgetTokens = 1000000L)
