@@ -2002,7 +2002,37 @@ object ExtQueries {
       |FROM r WHERE sample_rank <= 5
       |ORDER BY source, sample_rank""".stripMargin
 
+  /** x100 — signed-random-projection dim reduction
+    * ([[Similarity.randomProjection]], 64→16): fixed-point integers +
+    * an md5-derived ±1 matrix make the projection bit-exact across
+    * engines (float-accumulated projections are association-order-
+    * dependent and can't be oracle-hashed). One map-side-combinable
+    * groupBy; no joins.
+    */
+  def x100RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(embs(s, dir), "vec_id", "embedding", outDims = 16)
+      .orderBy(col("vec_id"))
+
+  val x100Sql: String = {
+    val yCols = (0 until 16).map { j =>
+      s"  CAST(sum(CASE WHEN substr(md5(i || ':' || $j), 1, 1) <= '7'" +
+        s" THEN q ELSE -q END) AS BIGINT) AS y$j"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+       |  FROM e)
+       |SELECT vec_id,
+       |$yCols
+       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x100_random_projection" -> (x100RandomProjection _),
     "x99_k_per_source" -> (x99KPerSource _),
     "x98_source_overlap" -> (x98SourceOverlap _),
     "x97_content_chunks" -> (x97ContentChunks _),
@@ -2081,6 +2111,7 @@ object ExtQueries {
     "x97_content_chunks" -> x97Sql,
     "x98_source_overlap" -> x98Sql,
     "x99_k_per_source" -> x99Sql,
+    "x100_random_projection" -> x100Sql,
     "x92_shuffle" -> x92Sql,
     "x93_bigram_rarity" -> x93Sql,
     "x94_inverted_index" -> x94Sql,

@@ -140,6 +140,28 @@ class TrainingPrepSpec extends SparkSpec {
     // doc 4 has one token -> no transitions -> dropped, not scored 0
   }
 
+  test("random projection matches the md5 sign matrix by hand and is linear") {
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(i: Int, j: Int): Long = if (md5hex(s"$i:$j").head <= '7') 1L else -1L
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f)),
+      (2L, Array(-1.0f, 1.0f)),  // negation of 1
+      (3L, Array(1.0f, -1.0f))) // identical to 1
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.randomProjection(df, "vec_id", "embedding", outDims = 4)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"y0", $"y1", $"y2", $"y3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // q = [floor(1024.5), floor(-1024+0.5)] = [1024, -1024]
+    val expected = (0 until 4).map(j => sign(0, j) * 1024L + sign(1, j) * -1024L)
+    assert(Seq(out(0)._2, out(0)._3, out(0)._4, out(0)._5) === expected)
+    assert(Seq(out(1)._2, out(1)._3, out(1)._4, out(1)._5) === expected.map(-_),
+      "projection must be linear: negated input -> negated output")
+    assert(out(2).productIterator.drop(1).toSeq === out(0).productIterator.drop(1).toSeq,
+      "identical vectors must project identically")
+  }
+
   test("content-defined chunks partition every token and re-align after a prefix edit") {
     val rnd = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
