@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeMergePair
+
+/** Distributed BPE tokenizer training — learn merge rules from corpus
+  * word frequencies (Sennrich et al. 2016, the standard subword-vocab
+  * construction for LLM tokenizers), Spark-first:
+  *
+  *   1. word frequencies: one map-side-combinable groupBy over the
+  *      corpus → a VOCABULARY-sized frame (all later work is on this
+  *      frame, never the corpus again);
+  *   2. each round: adjacent-symbol pair counts weighted by word count
+  *      (slice+zip projection + groupBy), argmax collected as ONE row
+  *      (ties break lexicographically, so training is deterministic);
+  *   3. the winning pair merges in every word via the compiled greedy
+  *      [[BpeMergePair]] walk; `localCheckpoint` truncates the plan
+  *      each round (K rounds would otherwise nest K expression layers —
+  *      the iterative-loop rule from the dedup clustering work).
+  *
+  * Driver-side state is O(numMerges) merge rules — never data. Rounds
+  * are sequential by nature (merge k+1's counts depend on merge k); the
+  * parallelism is within each round, over the vocabulary.
+  *
+  * No DuckDB oracle: the greedy merge's sequential dependence has no
+  * safe SQL spelling (string-replace re-spellings break on
+  * shared-boundary repeats), so correctness is spec-pinned against an
+  * in-memory reference implementation on the classic corpus — the
+  * hash-family precedent (x32/x33).
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Character-split expression for a word column (explicit substring
+    * loop — `split(w, "")` edge behavior differs across Spark versions).
+    */
+  private def chars(wCol: String): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(1, length($wCol)), i -> substring($wCol, i, 1))")
+
+  /** Learn `numMerges` merge rules from the corpus. Returns the rules in
+    * training order; stops early when no pair reaches `minPairCount`.
+    */
+  def learn(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 1 && numMerges <= 4096,
+      s"numMerges must be in [1,4096], got $numMerges")
+    val words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var cur = words.select(col("cnt"), chars("w").as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val top = cur
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(desc("pc"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getAs[Long]("pc") < minPairCount) done = true
+      else {
+        val (l, r, pc) =
+          (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
+            top(0).getAs[Long]("pc"))
+        merges += Merge(k, l, r, pc)
+        cur = cur.withColumn("syms", BpeMergePair.column(col("syms"), l, r))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The learned merge table as a DataFrame (rank, left, right,
+    * pair_count) — the artifact a tokenizer ships.
+    */
+  def learnTable(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    learn(df, textCol, numMerges, minPairCount)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Apply learned merges to a text column: per-token greedy merge in
+    * rank order (the BPE encode step), returning the input plus a
+    * `subword_count` column — the token count a trained tokenizer would
+    * produce. Merge application folds the compiled walk once per rule
+    * over the symbol arrays; rule count is vocabulary policy (bounded),
+    * not data.
+    */
+  def subwordCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .withColumn("syms", chars("w"))
+    val merged = merges.foldLeft(toks) { (acc, m) =>
+      acc.withColumn("syms", BpeMergePair.column(col("syms"), m.left, m.right))
+    }
+    merged
+      .groupBy(col(idCol))
+      .agg(sum(size(col("syms"))).cast("long").as("subword_count"),
+        count(lit(1)).cast("long").as("word_count"))
+  }
+}
