@@ -2070,7 +2070,17 @@ object ExtQueries {
       learnedMerges(s, dir))
       .orderBy(col("doc_id"))
 
+  /** x103 — streaming twin of x89 ([[Streams.chunkingStreaming]]):
+    * document chunking as an incremental append-mode stream (pure
+    * generator — no state, no watermark); shares x89's DuckDB oracle,
+    * proving batch ≡ stream for the corpus→context-window step.
+    */
+  def x103ChunkingStream(s: SparkSession, dir: String): DataFrame =
+    Streams.chunkingStreaming(s, dir)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x103_chunking_stream" -> (x103ChunkingStream _),
     "x101_bpe_learn" -> (x101BpeLearn _),
     "x102_bpe_encode" -> (x102BpeEncode _),
     "x100_random_projection" -> (x100RandomProjection _),
@@ -2153,6 +2163,7 @@ object ExtQueries {
     "x98_source_overlap" -> x98Sql,
     "x99_k_per_source" -> x99Sql,
     "x100_random_projection" -> x100Sql,
+    "x103_chunking_stream" -> x89Sql,
     "x92_shuffle" -> x92Sql,
     "x93_bigram_rarity" -> x93Sql,
     "x94_inverted_index" -> x94Sql,

@@ -311,6 +311,36 @@ object Streams extends Serializable {
     ss.table(sinkName)
   }
 
+  /** Streaming document chunking: the corpus→context-window step run
+    * incrementally — [[graft.ext.Chunking.chunk]] is a pure generator
+    * (no aggregation, no state, no watermark), so it streams in append
+    * mode unchanged and each delivery's documents chunk as they land.
+    * Results ≡ the batch spelling, so x103 shares x89's oracle.
+    */
+  def chunkingStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft-chunk-ckpt").toString
+    val streamDir = Files.createTempDirectory("graft-chunk-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    val sinkName = s"graft_chunks_${System.nanoTime()}"
+    val ss = streamSession(spark, noDataBatches = false)
+    val chunks = graft.ext.Chunking.chunk(
+      ss.readStream
+        .schema(DocumentsRawSchema)
+        .parquet(streamDir.toString),
+      "doc_id", "text", window = 64, stride = 32)
+    val q = chunks.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(sinkName)
+  }
+
   /** Sessionization-style stateful shape: per-user ordered event counts
     * with gaps — expressed batch-side with a window; the streaming
     * equivalent is flatMapGroupsWithState (kept batch here because the
