@@ -2079,7 +2079,62 @@ object ExtQueries {
     Streams.chunkingStreaming(s, dir)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** x104 — fuzzy entity-resolution join ([[graft.ext.Fuzzy.fuzzyJoin]],
+    * char trigrams, gram-share cap 0.2, threshold 0.8): customers
+    * matched against a deterministically perturbed copy of themselves
+    * (char 10 replaced — the planted-witness convention), recovering
+    * ~99.9% of true twins AT EVERY SF via inverted-index candidates +
+    * exact jaccard over the discriminative gram space (the share cap is
+    * relative, so pruning behaves uniformly across scales). Never a
+    * cartesian compare.
+    */
+  def x104FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val left = cust.select(col("c_custkey"), col("c_name"))
+    val right = cust.select(
+      (col("c_custkey") + lit(10000000L)).as("pid"),
+      concat(substring(col("c_name"), 1, 9), lit("x"),
+        substring(col("c_name"), 11, 1000)).as("pname"))
+    graft.ext.Fuzzy.fuzzyJoin(left, "c_custkey", "c_name",
+      right, "pid", "pname", n = 3, threshold = 0.8, maxGramShare = 0.2)
+      .orderBy(col("id_l"), col("id_r"))
+  }
+
+  val x104Sql: String =
+    """WITH l AS (
+      |  SELECT c_custkey AS id_l, lower(trim(c_name)) AS s FROM customer),
+      |r AS (
+      |  SELECT c_custkey + 10000000 AS id_r,
+      |    lower(trim(substr(c_name, 1, 9) || 'x' || substr(c_name, 11))) AS s
+      |  FROM customer),
+      |lg0 AS (SELECT id_l, unnest(CASE WHEN len(s) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(s) - 1), i -> s[i:i+2]))
+      |    ELSE [s] END) AS g FROM l),
+      |rg0 AS (SELECT id_r, unnest(CASE WHEN len(s) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(s) - 1), i -> s[i:i+2]))
+      |    ELSE [s] END) AS g FROM r),
+      |tot AS (SELECT count(*) AS nk FROM (
+      |    SELECT id_l FROM l UNION ALL SELECT id_r FROM r)),
+      |keep AS (SELECT g FROM (
+      |    SELECT g, count(*) AS df FROM
+      |      (SELECT g FROM lg0 UNION ALL SELECT g FROM rg0) GROUP BY g)
+      |  CROSS JOIN tot WHERE df <= 0.2 * nk),
+      |lg AS (SELECT * FROM lg0 JOIN keep USING (g)),
+      |rg AS (SELECT * FROM rg0 JOIN keep USING (g)),
+      |szl AS (SELECT id_l, count(*) AS n_l FROM lg GROUP BY 1),
+      |szr AS (SELECT id_r, count(*) AS n_r FROM rg GROUP BY 1),
+      |inter AS (
+      |  SELECT id_l, id_r, count(*) AS n_common
+      |  FROM lg JOIN rg USING (g) GROUP BY 1, 2)
+      |SELECT id_l, id_r, n_common,
+      |  szl.n_l AS n_l, szr.n_r AS n_r,
+      |  CAST(n_common AS DOUBLE) / (szl.n_l + szr.n_r - n_common) AS jaccard
+      |FROM inter JOIN szl USING (id_l) JOIN szr USING (id_r)
+      |WHERE CAST(n_common AS DOUBLE) / (szl.n_l + szr.n_r - n_common) >= 0.8
+      |ORDER BY id_l, id_r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x104_fuzzy_join" -> (x104FuzzyJoin _),
     "x103_chunking_stream" -> (x103ChunkingStream _),
     "x101_bpe_learn" -> (x101BpeLearn _),
     "x102_bpe_encode" -> (x102BpeEncode _),
@@ -2164,6 +2219,7 @@ object ExtQueries {
     "x99_k_per_source" -> x99Sql,
     "x100_random_projection" -> x100Sql,
     "x103_chunking_stream" -> x89Sql,
+    "x104_fuzzy_join" -> x104Sql,
     "x92_shuffle" -> x92Sql,
     "x93_bigram_rarity" -> x93Sql,
     "x94_inverted_index" -> x94Sql,

@@ -211,6 +211,37 @@ class TrainingPrepSpec extends SparkSpec {
     assert(again === out.map(_._2).toSet)
   }
 
+  test("fuzzy join matches typo'd keys, prunes stop-grams as the gram space, guards blowups") {
+    val left = Seq((1L, "acme corp"), (2L, "globex inc"), (3L, "zzz"))
+      .toDF("id", "name")
+    val right = Seq((10L, "acme corp."), (20L, "g1obex inc"), (30L, "unrelated"))
+      .toDF("id", "name")
+    val out = graft.ext.Fuzzy.fuzzyJoin(left, "id", "name", right, "id", "name",
+        n = 3, threshold = 0.5)
+      .select($"id_l", $"id_r", $"n_common", $"n_l", $"n_r", $"jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // "acme corp" (7 grams) vs "acme corp." (8 grams): 7 shared
+    assert(out((1L, 10L))._6 === 7.0 / 8)
+    // "globex inc" vs "g1obex inc": 8 vs 8 grams, 6 shared (the two
+    // grams covering the swapped char differ) -> 6/10
+    assert(out((2L, 20L))._6 === 6.0 / 10)
+    assert(!out.contains((3L, 30L)), "dissimilar keys must not pair")
+    // pruning defines the gram space: cap 1 kills the shared grams of an
+    // identical-key pair -> no match survives
+    val pruned = graft.ext.Fuzzy.fuzzyJoin(
+      Seq((1L, "same same"), (2L, "same same")).toDF("id", "name"), "id", "name",
+      Seq((9L, "same same")).toDF("id", "name"), "id", "name",
+      n = 3, threshold = 0.1, maxGramFreq = 1L).count()
+    assert(pruned === 0L)
+    // candidate budget guard refuses a blowup instead of launching it
+    val boom = intercept[IllegalArgumentException] {
+      graft.ext.Fuzzy.fuzzyJoin(left, "id", "name", right, "id", "name",
+        n = 3, threshold = 0.5, maxCandidatePairs = 1L).count()
+    }
+    assert(boom.getMessage.contains("candidate pairs"))
+  }
+
   test("source overlap: identical sources have jaccard 1, containment shows swallowed source") {
     val df = Seq(
       (1L, "web", "the quick brown fox jumps over the lazy dog tonight"),
