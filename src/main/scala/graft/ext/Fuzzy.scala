@@ -72,38 +72,71 @@ object Fuzzy {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     require(maxGramShare >= 0 && maxGramShare <= 1,
       s"maxGramShare in [0,1], got $maxGramShare")
-    // materialize each side's exploded grams once: consumed by sizes,
-    // the freq prune, and the join (the jaccardPairs discipline)
+    // exploded grams are a narrow projection — cheap to recompute, so no
+    // eager materialization; the multiply-consumed DERIVED frames below
+    // (freq, pruned sides, prefixes) cache lazily instead. x104 profiling
+    // showed the operator overhead-bound: five eager localCheckpoint jobs
+    // cost more than the data path at every tested SF.
     val l0 = left.select(col(leftId).as("id_l"),
-      explode(charGrams(col(leftKey), n)).as("g")).localCheckpoint(true)
+      explode(charGrams(col(leftKey), n)).as("g"))
     val r0 = right.select(col(rightId).as("id_r"),
-      explode(charGrams(col(rightKey), n)).as("g")).localCheckpoint(true)
+      explode(charGrams(col(rightKey), n)).as("g"))
     val shareCap: Option[Double] =
       if (maxGramShare <= 0) None
-      else Some(maxGramShare * (left.count() + right.count()).toDouble)
+      else Some(maxGramShare * left.select(lit(1).as("one"))
+        .unionAll(right.select(lit(1).as("one"))).count().toDouble)
     val cap: Option[Column] = (maxGramFreq, shareCap) match {
       case (f, Some(s)) if f > 0 => Some(least(lit(f.toDouble), lit(s)))
       case (f, None) if f > 0 => Some(lit(f.toDouble))
       case (_, Some(s)) => Some(lit(s))
       case _ => None
     }
+    // one combined-count freq frame serves the stop-gram prune AND the
+    // prefix-filter global order below
+    val freq = l0.select(col("g")).unionAll(r0.select(col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
+      .cache()
     val (lp, rp) = cap match {
       case None => (l0, r0)
       case Some(c) =>
         // combined-count rule: one freq frame over both sides, so the
         // prune is symmetric and engine-independent
-        val keep = l0.select(col("g")).unionAll(r0.select(col("g")))
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .where(col("df").cast(DoubleType) <= c).select(col("g"))
-        (l0.join(broadcast(keep), "g").localCheckpoint(true),
-          r0.join(broadcast(keep), "g").localCheckpoint(true))
+        val keep = freq.where(col("df_g").cast(DoubleType) <= c).select(col("g"))
+        (l0.join(broadcast(keep), "g").cache(),
+          r0.join(broadcast(keep), "g").cache())
     }
     // sizes in the SAME gram space as the intersections (object doc)
     val sizesL = lp.groupBy(col("id_l")).agg(count(lit(1)).as("n_l"))
     val sizesR = rp.groupBy(col("id_r")).agg(count(lit(1)).as("n_r"))
+    // ── PPJoin-style prefix filtering (candidate PRUNING only — the
+    // result set is identical with or without it). For jaccard >= t,
+    // any qualifying pair needs overlap o >= ceil(t·n) on BOTH sides
+    // (min/max >= t forces it), so under one global total order on
+    // grams — ascending combined df, then gram — the two keys' prefixes
+    // of length n − ceil(t·n) + 1 must intersect (Bayardo et al. 2007;
+    // Xiao et al. PPJoin). Templated key spaces (shared "Customer#000"
+    // scaffolding) put thousands of keys on each mid-frequency gram;
+    // joining only the rarest-prefix grams collapses that candidate
+    // blowup from Σ df² toward the true-pair count. The 1e-9 slack
+    // lengthens a prefix by at most one gram when t·n sits on an IEEE
+    // representation boundary — conservative by construction (a longer
+    // prefix only ever ADDS candidates).
+    def prefixed(grams: DataFrame, idCol: String, sizes: DataFrame,
+        sizeCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("df_g"), col("g"))
+      grams.join(broadcast(freq), "g")
+        .join(sizes, idCol)
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <=
+          col(sizeCol) - ceil(col(sizeCol) * lit(threshold) - lit(1e-9)) + 1)
+        .select(col("g"), col(idCol), col(sizeCol))
+    }
+    val prefL = prefixed(lp, "id_l", sizesL, "n_l").cache()
+    val prefR = prefixed(rp, "id_r", sizesR, "n_r").cache()
     if (maxCandidatePairs > 0) {
-      val fl = lp.groupBy("g").agg(count(lit(1)).as("dl"))
-      val fr = rp.groupBy("g").agg(count(lit(1)).as("dr"))
+      val fl = prefL.groupBy("g").agg(count(lit(1)).as("dl"))
+      val fr = prefR.groupBy("g").agg(count(lit(1)).as("dr"))
       val est = fl.join(fr, "g")
         .agg(sum(col("dl").cast(DoubleType) * col("dr").cast(DoubleType)))
         .head.getAs[Any](0) match {
@@ -115,7 +148,15 @@ object Fuzzy {
           f"(budget $maxCandidatePairs); tighten maxGramFreq or raise " +
           "maxCandidatePairs deliberately")
     }
-    lp.join(rp, Seq("g"))
+    // length filter (same conservative slack), then distinct pairs
+    val cand = prefL.join(prefR, Seq("g"))
+      .where(col("n_l").cast(DoubleType) >= lit(threshold) * col("n_r") - lit(1e-9) &&
+        col("n_r").cast(DoubleType) >= lit(threshold) * col("n_l") - lit(1e-9))
+      .select(col("id_l"), col("id_r")).distinct()
+    // verification: exact intersection counts over the FULL pruned gram
+    // sets, restricted to the surviving candidates
+    cand.join(lp, Seq("id_l"))
+      .join(rp, Seq("g", "id_r"))
       .groupBy(col("id_l"), col("id_r"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizesL, Seq("id_l"))

@@ -529,4 +529,73 @@ object Similarity {
     }
     e.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    * Spark-first: semantic near-duplicate pruning over an embedding
+    * column. Coarse partitioner = the [[randomProjection]] SRP sign
+    * bucket (bit-exact cross-engine); within each bucket, pairwise
+    * fixed-point cosine; a vector is pruned when an EARLIER in-bucket
+    * vector is within the threshold — the keep-lowest-id variant of
+    * SemDeDup's keep-one-per-ε-ball rule, deterministic on any engine.
+    *
+    * Exactness: q_i = floor(x_i·1024 + 0.5) fixed-point;
+    * cos(a,b) ≥ n/d  ⟺  dot(qa,qb) > 0 ∧ d²·dot² ≥ n²·|qa|²·|qb|² —
+    * pure long arithmetic, so Spark and DuckDB prune EXACTLY the same
+    * rows (float cosine accumulates in association order and cannot be
+    * oracle-hashed). Bounds: dim ≤ 128 with max|x| ≤ 1 and n,d ≤ 16
+    * keep every product under 2^62 (dot ≤ dim·2^20; d²·dot² and
+    * n²·|qa|²·|qb|² ≤ 2^8·dim²·2^40 ≤ 2^62).
+    *
+    * Scale shape: ONE equi-join on the bucket id (never cartesian) plus
+    * a groupBy for the earliest witness and a left join back — cost is
+    * Σ_b size(b)², the knob being `bits`: more bits → smaller buckets →
+    * cheaper join and lower ε-ball recall, the standard SemDeDup trade.
+    * At 100 TB run [[randomProjection]] first (1024→64 dims), raise
+    * `bits` to keep E[bucket size] bounded, and salt giant buckets.
+    *
+    * Output: one row per vector — (idCol, bucket, witness, removed);
+    * `witness` is the smallest earlier in-bucket id within τ (null ⇒
+    * kept), so the result both lists the pruned set and certifies why.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int = 4,
+      tauNum: Int = 2,
+      tauDen: Int = 5): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen && tauDen <= 16,
+      s"threshold must be a rational in (0,1] with denominator <= 16, got $tauNum/$tauDen")
+    val bucketExpr = (0 until bits)
+      .map(j => when(col(s"y$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val bkt = randomProjection(df, idCol, vecCol, outDims = bits)
+      .select(col(idCol).as("__id"), bucketExpr.as("bucket"))
+    val qv = df.select(
+      col(idCol).as("__id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1024d) + lit(0.5)).cast("long")).as("__qv"))
+    val base = qv
+      .withColumn("__n2",
+        aggregate(col("__qv"), lit(0L), (acc, q) => acc + q * q))
+      .join(bkt, "__id")
+    val a = base.select(col("__id").as("__ia"), col("__qv").as("__qa"),
+      col("__n2").as("__na2"), col("bucket"))
+    val b = base.select(col("__id").as("__ib"), col("__qv").as("__qb"),
+      col("__n2").as("__nb2"), col("bucket"))
+    val dot = aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val witnesses = a.join(b, Seq("bucket")) // equi-join: never cartesian
+      .filter(col("__ia") < col("__ib"))
+      .withColumn("__dot", dot)
+      .filter(col("__na2") > 0 && col("__nb2") > 0 && col("__dot") > 0 &&
+        col("__dot") * col("__dot") * lit(tauDen.toLong * tauDen) >=
+          lit(tauNum.toLong * tauNum) * col("__na2") * col("__nb2"))
+      .groupBy(col("__ib").as("__id"))
+      .agg(min(col("__ia")).as("witness"))
+    base.join(witnesses, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("bucket"), col("witness"),
+        col("witness").isNotNull.as("removed"))
+  }
 }

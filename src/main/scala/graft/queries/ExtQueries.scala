@@ -2133,7 +2133,103 @@ object ExtQueries {
       |WHERE CAST(n_common AS DOUBLE) / (szl.n_l + szr.n_r - n_common) >= 0.8
       |ORDER BY id_l, id_r""".stripMargin
 
+  /** x105 — SemDeDup semantic near-dup pruning
+    * ([[Similarity.semDedup]], SRP bucket + fixed-point within-bucket
+    * cosine, keep-lowest-id): the embedding-space layer of the curation
+    * stack — exact/MinHash dedup catches copies, SemDeDup catches
+    * paraphrases. Integer arithmetic end-to-end so the pruned set is
+    * bit-identical cross-engine; bits=4 keeps the ε-ball witnessed at
+    * every test SF (τ = 2/5 matches x42's near-dup band).
+    */
+  def x105SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
+      bits = 4, tauNum = 2, tauDen = 5)
+      .orderBy(col("vec_id"))
+
+  val x105Sql: String = {
+    val yCols = (0 until 4).map { j =>
+      s"  CAST(sum(CASE WHEN substr(md5(i || ':' || $j), 1, 1) <= '7'" +
+        s" THEN q ELSE -q END) AS BIGINT) AS y$j"
+    }.mkString(",\n")
+    val bucket = (0 until 4)
+      .map(j => s"(CASE WHEN y$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |fp AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+       |  FROM e),
+       |proj AS (
+       |  SELECT vec_id,
+       |$yCols
+       |  FROM fp GROUP BY vec_id),
+       |bkt AS (
+       |  SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM proj),
+       |qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n2 AS (
+       |  SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+       |  FROM qv),
+       |cand AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(list_sum(list_transform(generate_series(1, len(qa.qv)),
+       |      i -> qa.qv[i] * qb.qv[i])) AS BIGINT) AS dot,
+       |    qa.n2 AS na2, qb.n2 AS nb2
+       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN n2 qa ON qa.vec_id = a.vec_id
+       |  JOIN n2 qb ON qb.vec_id = b.vec_id),
+       |wit AS (
+       |  SELECT ib AS vec_id, min(ia) AS witness FROM cand
+       |  WHERE na2 > 0 AND nb2 > 0 AND dot > 0
+       |    AND dot * dot * 25 >= 4 * na2 * nb2
+       |  GROUP BY ib)
+       |SELECT b.vec_id, b.bucket, w.witness,
+       |  w.witness IS NOT NULL AS removed
+       |FROM bkt b LEFT JOIN wit w ON w.vec_id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
+  /** x106 — robust per-source outlier gate (median + MAD over document
+    * length): the distribution-free curation filter that survives the
+    * heavy-tailed length distributions mean/stddev gates die on. Exact
+    * cross-engine: `percentile` / `quantile_cont` interpolate
+    * identically and integer-valued halves are exact doubles (the x29
+    * precedent). Scale shape: two tiny per-source aggregates joined
+    * back (auto-broadcast — sources ≪ documents); the doc-side scan
+    * stays narrow (3 columns).
+    */
+  def x106MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Robust.madOutliers(docs(s, dir), "doc_id", "source", "n_chars")
+      .orderBy(col("doc_id"))
+
+  val x106Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars FROM documents),
+      |med AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med
+      |  FROM d GROUP BY source),
+      |dev AS (
+      |  SELECT doc_id, d.source, n_chars, med,
+      |    abs(n_chars - med) AS absdev
+      |  FROM d JOIN med USING (source)),
+      |mad AS (
+      |  SELECT source, quantile_cont(absdev, 0.5) AS mad
+      |  FROM dev GROUP BY source)
+      |SELECT doc_id, dev.source, n_chars, dev.med, mad.mad,
+      |  (absdev > 3 * mad.mad) AS outlier
+      |FROM dev JOIN mad USING (source)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x106_mad_outliers" -> (x106MadOutliers _),
+    "x105_semdedup" -> (x105SemDedup _),
     "x104_fuzzy_join" -> (x104FuzzyJoin _),
     "x103_chunking_stream" -> (x103ChunkingStream _),
     "x101_bpe_learn" -> (x101BpeLearn _),
@@ -2211,6 +2307,8 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x106_mad_outliers" -> x106Sql,
+    "x105_semdedup" -> x105Sql,
     "x91_mixture" -> x91Sql,
     "x95_mixture_epochs" -> x95Sql,
     "x96_normalize" -> x96Sql,

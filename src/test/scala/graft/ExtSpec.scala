@@ -434,6 +434,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("MAD outlier gate flags the planted tail; zero-MAD group flags nothing") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 102L),
+      (4L, "a", 98L), (5L, "a", 1000L),          // the planted tail
+      (6L, "b", 50L), (7L, "b", 50L), (8L, "b", 50L)) // constant group: MAD 0
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.ext.Robust.madOutliers(df, "doc_id", "source", "n_chars")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"med", $"mad", $"outlier")
+      .as[(Long, Double, Double, Boolean)].collect()
+    // Group a sorted: 98,100,100,102,1000 -> med 100; absdev 2,0,0,2,900 -> MAD 2.
+    assert(out.take(5).map(_._2).forall(_ === 100.0))
+    assert(out.take(5).map(_._3).forall(_ === 2.0))
+    assert(out.filter(_._4).map(_._1).toSeq === Seq(5L),
+      "exactly the planted tail row exceeds med ± 3·MAD")
+    assert(out.drop(5).forall(r => r._2 === 50.0 && r._3 === 0.0 && !r._4),
+      "a constant group (MAD 0) must not flag its own members")
+    intercept[IllegalArgumentException] {
+      graft.ext.Robust.madOutliers(df, "doc_id", "source", "n_chars", k = 0.0)
+    }
+  }
+
   test("tfIdf: rational and log idf agree with hand-computed values") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfIdf(docs, "doc_id", "text")

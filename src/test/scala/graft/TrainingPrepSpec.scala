@@ -162,6 +162,42 @@ class TrainingPrepSpec extends SparkSpec {
       "identical vectors must project identically")
   }
 
+  test("semDedup prunes the planted ε-ball, keeps negations/zeros, earliest witness wins") {
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(i: Int, j: Int): Long = if (md5hex(s"$i:$j").head <= '7') 1L else -1L
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),    // keeper (lowest id in its ball)
+      (2L, Array(1.0f, 0.0f)),    // identical -> removed, witness 1
+      (3L, Array(0.99f, 0.1f)),   // cos≈0.995 with 1 -> removed, witness 1 (not 2)
+      (4L, Array(-1.0f, 0.0f)),   // negation: complementary bucket -> kept
+      (5L, Array(0.0f, 0.0f)))    // zero vector: undefined cosine -> kept
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity
+      .semDedup(df, "vec_id", "embedding", bits = 4, tauNum = 2, tauDen = 5)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"bucket", $"witness", $"removed")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.filter(_._4).map(_._1).toSeq === Seq(2L, 3L),
+      "exactly the planted ε-ball members with an earlier neighbor are removed")
+    assert(out.filter(_._4).flatMap(_._3).toSet === Set(1L),
+      "the EARLIEST in-bucket neighbor is the witness (1, never 2)")
+    // Bucket arithmetic by hand: q(id1)=(1024,0), y_j = s(0,j)*1024, so
+    // bit_j = [s(0,j)==1]; id4 is the negation -> complementary bucket.
+    val expectBucket1 =
+      (0 until 4).map(j => if (sign(0, j) == 1L) 1L << j else 0L).sum
+    assert(out(0)._2 === expectBucket1)
+    assert(out(3)._2 === (~expectBucket1 & 15L),
+      "negated vector lands in the complementary SRP bucket")
+    // id3 shares id1's bucket: |1014| > |102| so s(0,j) decides every bit.
+    assert(out(2)._2 === expectBucket1)
+    assert(out(4)._3.isEmpty && !out(4)._4, "zero-norm vectors are never pruned")
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.semDedup(df, "vec_id", "embedding", tauNum = 1, tauDen = 32)
+    }
+  }
+
   test("content-defined chunks partition every token and re-align after a prefix edit") {
     val rnd = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
