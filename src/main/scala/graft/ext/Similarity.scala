@@ -504,12 +504,15 @@ object Similarity {
     * Output: (idCol, y0..y{outDims-1}) as longs (unnormalized — ranking
     * and bucketing only need relative magnitudes).
     *
-    * Scale shape: posexplode + projection + ONE map-side-combinable
-    * groupBy on the id; no joins. The md5-per-element sign derivation is
-    * the portable spelling — a production variant would precompute the
-    * sign matrix as a broadcast literal and fold in one compiled pass
-    * (the [[graft.functions.MinHashSignature]] pattern) at ~10× less
-    * per-element cost; semantics are pinned by this spelling either way.
+    * Scale shape: SHUFFLE-FREE. The ±1 matrix depends only on (i, j) —
+    * a dim×outDims constant — so it is derived once driver-side (same
+    * md5 rule the oracle spells per-element) and folded into the rows
+    * as literal arrays via `zip_with`/`aggregate`: a pure projection,
+    * no posexplode, no groupBy. Integer addition is associativity-free,
+    * so the fold equals the oracle's SUM exactly. Vectors are assumed
+    * fixed-dim (the embedding-table contract); a longer row would
+    * surface as a NULL projection (zip_with pads), never a silent
+    * partial sum.
     */
   def randomProjection(
       df: DataFrame,
@@ -517,17 +520,26 @@ object Similarity {
       vecCol: String,
       outDims: Int = 16): DataFrame = {
     require(outDims >= 1 && outDims <= 64, s"outDims must be in [1,64], got $outDims")
-    val e = df
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__i", "__x")))
-      .withColumn("__q",
-        floor(col("__x").cast("double") * lit(1024d) + lit(0.5)).cast("long"))
-    val sums = (0 until outDims).map { j =>
-      val pos = substring(
-        md5(concat(col("__i").cast("string"), lit(":"), lit(j.toString))),
-        1, 1) <= lit("7")
-      sum(when(pos, col("__q")).otherwise(-col("__q"))).as(s"y$j")
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
     }
-    e.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (hex.head <= '7') 1L else -1L
+    }
+    val signs: IndexedSeq[Array[Long]] =
+      (0 until outDims).map(j => Array.tabulate(dim)(i => sign(i, j)))
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1024d) + lit(0.5)).cast("long"))
+    val ys = (0 until outDims).map { j =>
+      aggregate(zip_with(col("__qv"), typedLit(signs(j)), (qq, ss) => qq * ss),
+        lit(0L), (acc, v) => acc + v).as(s"y$j")
+    }
+    df.select(col(idCol), q.as("__qv"))
+      .select(col(idCol) +: ys: _*)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
