@@ -84,7 +84,59 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFreq: Long = 0L,
-      maxCandidatePairs: Long = 200000000L): DataFrame = {
+      maxCandidatePairs: Long = 200000000L): DataFrame =
+    coShingledPairs(df, idCol, textCol, n, maxDocFreq, maxCandidatePairs,
+      "jaccardPairs")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType)
+          / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("jaccard"))
+
+  /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|)
+    * over distinct n-gram shingles — the quote/snippet detector. Jaccard
+    * misses a short document wholly embedded in a long one (the union
+    * term dilutes it to ~|A|/|B|); containment is 1.0 there. The usual
+    * curation rule: drop the SMALLER side of a high-containment pair
+    * (it adds no novel n-grams the larger side lacks).
+    *
+    * Same inverted-index candidate machinery, budget guard, and
+    * 100 TB posture as [[jaccardPairs]] (this is the exact-baseline
+    * spelling; use [[minhashPairs]]-style banding to pre-filter at
+    * corpus scale — MinHash estimates jaccard, so re-verify candidates
+    * with THIS score before acting on containment).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Long = 0L,
+      maxCandidatePairs: Long = 200000000L): DataFrame =
+    coShingledPairs(df, idCol, textCol, n, maxDocFreq, maxCandidatePairs,
+      "containmentPairs")
+      .withColumn("containment",
+        col("n_common").cast(DoubleType)
+          / least(col("n_a"), col("n_b")).cast(DoubleType))
+      .where(col("containment") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("containment"))
+
+  /** Shared inverted-index core of [[jaccardPairs]]/[[containmentPairs]]:
+    * (id_a, id_b, n_common, n_a, n_b) for every co-shingled pair in the
+    * (optionally df-pruned) shingle space, with the candidate-pair
+    * budget guard.
+    */
+  private def coShingledPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDocFreq: Long,
+      maxCandidatePairs: Long,
+      opName: String): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, n)
     // Materialize the (pruned) shingle rows ONCE: they are consumed by
     // the budget estimate, the per-doc sizes, and BOTH sides of the
@@ -109,7 +161,7 @@ object Dedup {
           case d: java.lang.Double => d.doubleValue
         }
       require(est <= maxCandidatePairs.toDouble,
-        f"jaccardPairs would generate ~$est%.3g candidate pairs " +
+        f"$opName would generate ~$est%.3g candidate pairs " +
           f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
           "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
     }
@@ -123,11 +175,6 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType)
-          / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
-      .where(col("jaccard") >= lit(threshold))
-      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
   /** MinHash signatures from pre-exploded (idCol, shingle) rows: ONE

@@ -2227,7 +2227,49 @@ object ExtQueries {
       |FROM dev JOIN mad USING (source)
       |ORDER BY doc_id""".stripMargin
 
+  /** x107 — containment near-dup pairs ([[Dedup.containmentPairs]]):
+    * snippet/quote detection — |A∩B|/min(|A|,|B|) over trigram
+    * shingles, the asymmetric score jaccard dilutes away when a short
+    * document sits wholly inside a long one. Planted witnesses: every
+    * 7th document contributes a half-length snippet twin (ids offset
+    * by 10M, text = leading half by chars — a `substr` both engines
+    * spell identically), so high-containment pairs exist at every SF
+    * and the planted (parent, snippet) pairs score ≈ 1.
+    */
+  def x107Containment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val snippets = d.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        substring(col("text"), lit(1),
+          (col("n_chars") / lit(2)).cast("int")).as("text"))
+    Dedup.containmentPairs(
+      d.select(col("doc_id"), col("text")).unionAll(snippets),
+      "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val x107Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, substr(text, 1, CAST(n_chars//2 AS INT))
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM base),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  n_common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS containment
+      |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE n_common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x107_containment" -> (x107Containment _),
     "x106_mad_outliers" -> (x106MadOutliers _),
     "x105_semdedup" -> (x105SemDedup _),
     "x104_fuzzy_join" -> (x104FuzzyJoin _),
@@ -2307,6 +2349,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x107_containment" -> x107Sql,
     "x106_mad_outliers" -> x106Sql,
     "x105_semdedup" -> x105Sql,
     "x91_mixture" -> x91Sql,

@@ -158,6 +158,22 @@ class ExtSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 8))
   }
 
+  test("containment finds the embedded snippet jaccard misses") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val snippet = (1 to 10).map(i => s"w$i").mkString(" ") // wholly inside
+    val df = Seq((1L, long), (2L, snippet), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val cont = graft.ext.Dedup
+      .containmentPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect()
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)),
+      "snippet's shingles are all in the parent -> containment exactly 1")
+    val jac = graft.ext.Dedup
+      .jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.9)
+      .count()
+    assert(jac === 0, "jaccard dilutes the embedded snippet below 0.9")
+  }
+
   test("df-pruned Jaccard drops stop-shingle-only pairs") {
     val pruned = Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5, maxDocFreq = 1)
     assert(pruned.count() === 0) // every shared shingle has df >= 2
