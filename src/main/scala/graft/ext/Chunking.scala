@@ -191,4 +191,57 @@ object Chunking {
         (greatest(col("__start"), col("seq_idx") * lit(budget))
           - col("seq_idx") * lit(budget)).as("seq_tok_start"))
   }
+
+  /** Length-bucketed dynamic batching manifest — the `group_by_length`
+    * batching of variable-length training (HF Trainer / fairseq): bucket
+    * documents by token-length band, then cut each bucket (in id order)
+    * into batches of ~`maxTokensPerBatch`, so same-batch sequences have
+    * similar length and the pad-to-max waste stays small. Output is one
+    * row PER BATCH: (bucket, batch, n_docs, batch_tokens, max_len,
+    * padding) where padding = n_docs·max_len − batch_tokens, the exact
+    * wasted-token bill the bucketing exists to minimize.
+    *
+    * Batch capacity is the streaming-pack convention: a document whose
+    * cumulative START offset crosses a budget boundary opens the next
+    * batch, so a batch can overrun by at most one document (documents
+    * longer than the budget overflow alone — [[chunk]] first if that
+    * matters). All arithmetic is integer (div floors identically on
+    * both engines), so the manifest oracle-hashes.
+    *
+    * Scale shape: one window per length-bucket (parallel across
+    * buckets, each partition-local after ONE hash exchange) + a
+    * map-side-combinable groupBy. A skew-heavy bucket at 100 TB takes
+    * the [[packManifest]] two-level prefix-sum treatment — same
+    * arithmetic, salted inner level.
+    */
+  def lengthBatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketWidth: Int = 16,
+      maxTokensPerBatch: Int = 256): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxTokensPerBatch >= 1,
+      s"maxTokensPerBatch must be >= 1, got $maxTokensPerBatch")
+    val base = df
+      // blank docs are dropped explicitly: the whitespace tokenizer
+      // renders "" as one empty token on every engine, so a size filter
+      // alone would batch them as 1-token sequences
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"(n_tokens - 1) div $bucketWidth"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("batch", expr(s"__start div $maxTokensPerBatch"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        max(col("n_tokens")).as("max_len"))
+      .withColumn("padding",
+        col("n_docs") * col("max_len") - col("batch_tokens"))
+  }
 }

@@ -2268,7 +2268,41 @@ object ExtQueries {
       |WHERE n_common::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** x108 — length-bucketed dynamic batching
+    * ([[graft.ext.Chunking.lengthBatches]]): the `group_by_length`
+    * manifest — one row per training batch with its exact pad-to-max
+    * waste. Integer arithmetic end-to-end (div floors identically on
+    * both engines), windows parallel across length buckets.
+    */
+  def x108LengthBatches(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Chunking.lengthBatches(docs(s, dir), "doc_id", "text",
+      bucketWidth = 16, maxTokensPerBatch = 256)
+      .orderBy(col("bucket"), col("batch"))
+
+  val x108Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |b AS (
+      |  SELECT doc_id, n_tokens, (n_tokens - 1) // 16 AS bucket
+      |  FROM t),
+      |s AS (
+      |  SELECT bucket, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+      |  FROM b),
+      |a AS (SELECT bucket, strt // 256 AS batch, n_tokens FROM s)
+      |SELECT bucket, batch,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS batch_tokens,
+      |  max(n_tokens) AS max_len,
+      |  CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS padding
+      |FROM a GROUP BY bucket, batch
+      |ORDER BY bucket, batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x108_length_batches" -> (x108LengthBatches _),
     "x107_containment" -> (x107Containment _),
     "x106_mad_outliers" -> (x106MadOutliers _),
     "x105_semdedup" -> (x105SemDedup _),
@@ -2349,6 +2383,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x108_length_batches" -> x108Sql,
     "x107_containment" -> x107Sql,
     "x106_mad_outliers" -> x106Sql,
     "x105_semdedup" -> x105Sql,

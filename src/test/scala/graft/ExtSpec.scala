@@ -867,6 +867,29 @@ class ExtSpec extends SparkSpec {
       Seq((5L, 0, "a b c d", 4L), (5L, 1, "c d e", 3L)))
   }
 
+  test("length batches: similar lengths batch together, budget cuts, padding exact") {
+    // bucketWidth=4: lengths 1-4 -> bucket 0, 5-8 -> bucket 1.
+    // budget=8 in bucket 0: docs of 3+3 tokens start at 0,3 (batch 0);
+    // the 4-token doc starts at 6 < 8 so it OVERRUNS batch 0 (streaming
+    // convention); doc 7 starts at 10 -> batch 1.
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i j"), (7L, "k l m"),
+      (4L, "p q r s t u v w"), // 8 tokens -> bucket 1
+      (5L, ""))                // empty -> dropped
+      .toDF("doc_id", "text")
+    val out = graft.ext.Chunking
+      .lengthBatches(df, "doc_id", "text", bucketWidth = 4, maxTokensPerBatch = 8)
+      .orderBy($"bucket", $"batch")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (0L, 0L, 3L, 10L, 4L, 2L),  // docs 1,2,3: 3+3+4 tokens, pad 2·4-? = 12-10
+      (0L, 1L, 1L, 3L, 3L, 0L),   // doc 7 alone
+      (1L, 0L, 1L, 8L, 8L, 0L)))  // the 8-token doc
+    intercept[IllegalArgumentException] {
+      graft.ext.Chunking.lengthBatches(df, "doc_id", "text", bucketWidth = 0)
+    }
+  }
+
   test("packing manifest: sequences fill exactly, spans tile, straddle is bucketing-invariant") {
     val lens = Seq((1L, 100L), (2L, 200L), (3L, 50L), (4L, 300L), (5L, 6L))
       .toDF("doc_id", "n_toks") // 656 tokens → seqs of 256: 256|256|144
