@@ -213,4 +213,38 @@ object Temporal {
       .where(abs(col(leftValueCol) - col(rightValueCol)) <= lit(width))
       .drop("__bucket")
   }
+
+  /** Idempotency-window event dedup: within each
+    * (key..., floor(epoch(ts)/windowSec)) bucket keep the FIRST event
+    * (earliest ts, then lowest id — a total order), and report how many
+    * duplicates were suppressed. The standard at-least-once ingestion
+    * guard: retried webhooks / double-fired trackers collapse to one
+    * row per window while legitimately repeated events in later windows
+    * survive. Bucketed (not sliding) windows keep it one shuffle and
+    * engine-exact; a retry straddling a bucket boundary survives as two
+    * rows — the usual trade for a deterministic, join-free plan.
+    *
+    * Output: one row per kept event — (idCol, key..., bucket,
+    * n_suppressed). Scale shape: ONE hash exchange on (key, bucket);
+    * both window functions share it.
+    */
+  def idempotentEvents(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      windowSec: Int,
+      keyCols: String*): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    require(keyCols.nonEmpty, "at least one key column is required")
+    val bucket = floor(unix_timestamp(col(tsCol)) / lit(windowSec)).cast("long")
+    val parts = keyCols.map(col) :+ col("__bucket")
+    val w = Window.partitionBy(parts: _*).orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(parts: _*)
+    df.withColumn("__bucket", bucket)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_suppressed", count(lit(1)).over(wAll) - lit(1L))
+      .where(col("__rk") === 1)
+      .select((col(idCol) +: keyCols.map(col)) ++
+        Seq(col("__bucket").as("bucket"), col("n_suppressed")): _*)
+  }
 }

@@ -2301,7 +2301,37 @@ object ExtQueries {
       |FROM a GROUP BY bucket, batch
       |ORDER BY bucket, batch""".stripMargin
 
+  /** x109 — idempotency-window event dedup
+    * ([[graft.ops.Temporal.idempotentEvents]]): collapse at-least-once
+    * retries to one event per (user, type, 1-hour bucket), keeping the
+    * earliest and counting the suppressed. ONE hash exchange; both
+    * windows share it. Witnessed: the synthetic event stream fires the
+    * same (user, type) repeatedly inside hour spans at every SF.
+    */
+  def x109EventDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.idempotentEvents(
+      Tables.events(s, dir).select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type")),
+      "event_id", "ts", windowSec = 3600, "user_id", "event_type")
+      .orderBy(col("event_id"))
+
+  val x109Sql: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, event_type,  ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket
+      |  FROM events),
+      |r AS (
+      |  SELECT event_id, user_id, event_type, bucket,
+      |    row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |      ORDER BY ts, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY user_id, event_type, bucket) AS n
+      |  FROM b)
+      |SELECT event_id, user_id, event_type, bucket,
+      |  CAST(n - 1 AS BIGINT) AS n_suppressed
+      |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x109_event_dedup" -> (x109EventDedup _),
     "x108_length_batches" -> (x108LengthBatches _),
     "x107_containment" -> (x107Containment _),
     "x106_mad_outliers" -> (x106MadOutliers _),
@@ -2383,6 +2413,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x109_event_dedup" -> x109Sql,
     "x108_length_batches" -> x108Sql,
     "x107_containment" -> x107Sql,
     "x106_mad_outliers" -> x106Sql,

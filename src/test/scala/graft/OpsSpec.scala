@@ -229,6 +229,32 @@ class OpsSpec extends SparkSpec {
     assert(out("no-right") === None)
   }
 
+  test("idempotentEvents keeps the earliest per window, counts suppressed, tie-breaks by id") {
+    import graft.ops.Temporal
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1, click: two retries inside the 300s window of the first
+      (10L, ts("2024-01-01 00:00:01"), 1L, "click"),
+      (11L, ts("2024-01-01 00:02:00"), 1L, "click"),
+      (12L, ts("2024-01-01 00:04:59"), 1L, "click"),
+      // same user+type in the NEXT window: legitimately kept
+      (13L, ts("2024-01-01 00:05:01"), 1L, "click"),
+      // identical ts as id 10 but higher id: suppressed by the id tie-break
+      (14L, ts("2024-01-01 00:00:01"), 1L, "click"),
+      // different type: untouched
+      (20L, ts("2024-01-01 00:00:30"), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Temporal.idempotentEvents(df, "event_id", "ts", 300,
+      "user_id", "event_type")
+      .orderBy($"event_id")
+      .select($"event_id", $"n_suppressed").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((10L, 3L), (13L, 0L), (20L, 0L)))
+    intercept[IllegalArgumentException] {
+      Temporal.idempotentEvents(df, "event_id", "ts", 300)
+    }
+  }
+
   test("bandedRangeJoin ≡ naive range predicate, without duplicates") {
     import graft.ops.Temporal
     val a = Seq((1L, 10.0), (2L, 15.0), (3L, 30.0)).toDF("ka", "va")
