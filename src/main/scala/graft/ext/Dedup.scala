@@ -138,17 +138,19 @@ object Dedup {
       maxCandidatePairs: Long,
       opName: String): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, n)
-    // Materialize the (pruned) shingle rows ONCE: they are consumed by
-    // the budget estimate, the per-doc sizes, and BOTH sides of the
-    // inverted-index join — without the checkpoint the tokenize+shingle
-    // pipeline re-evaluates per consumer.
+    // Cache the (pruned) shingle rows ONCE: they are consumed by the
+    // budget estimate, the per-doc sizes, and BOTH sides of the
+    // inverted-index join — without it the tokenize+shingle pipeline
+    // re-evaluates per consumer. Lazy cache, not an eager checkpoint:
+    // the plan is shallow (no iteration) and the eager job costs more
+    // than it saves (the fuzzyJoin profiling precedent).
     val sh = (
       if (maxDocFreq <= 0) sh0
       else {
         val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDocFreq).select("shingle")
         sh0.join(broadcast(freq), "shingle")
-      }).localCheckpoint(true)
+      }).cache()
     if (maxCandidatePairs > 0) {
       // estimated from the cached post-prune rows (one map-side-
       // combinable aggregation — cheap relative to the join it guards).

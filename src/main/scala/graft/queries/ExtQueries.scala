@@ -2330,7 +2330,17 @@ object ExtQueries {
       |  CAST(n - 1 AS BIGINT) AS n_suppressed
       |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin
 
+  /** x110 — streaming twin of x109
+    * ([[Streams.idempotentEventsStreaming]]): the retry collapse as an
+    * incremental stream with per-(user, type, bucket) running-minimum
+    * state; shares x109's oracle — the tenth batch ≡ stream pair.
+    */
+  def x110EventDedupStream(s: SparkSession, dir: String): DataFrame =
+    Streams.idempotentEventsStreaming(s, dir)
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x110_event_dedup_stream" -> (x110EventDedupStream _),
     "x109_event_dedup" -> (x109EventDedup _),
     "x108_length_batches" -> (x108LengthBatches _),
     "x107_containment" -> (x107Containment _),
@@ -2413,6 +2423,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x110_event_dedup_stream" -> x109Sql,
     "x109_event_dedup" -> x109Sql,
     "x108_length_batches" -> x108Sql,
     "x107_containment" -> x107Sql,

@@ -272,6 +272,51 @@ object Streams extends Serializable {
     ss.table(sinkName)
   }
 
+  /** Streaming idempotency-window event dedup: the at-least-once retry
+    * collapse run incrementally — per (user, type, hour-bucket) state
+    * folds each arrival into a running (earliest (ts, id), count), so
+    * after Trigger.AvailableNow the table equals the batch
+    * [[graft.ops.Temporal.idempotentEvents]] exactly (they share x109's
+    * oracle). The struct-min is the same total order the batch window
+    * sorts by.
+    *
+    * Scale note: state is one row per ACTIVE (user, type, bucket) —
+    * production adds a watermark on the bucket time to expire closed
+    * windows; complete-mode memory sink is the test harness.
+    */
+  def idempotentEventsStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft-idem-ckpt").toString
+    val streamDir = Files.createTempDirectory("graft-idem-src")
+    Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val sinkName = s"graft_idem_${System.nanoTime()}"
+    val ss = streamSession(spark, noDataBatches = false)
+    val agg = ss.readStream
+      .schema(EventsRawSchema)
+      .parquet(streamDir.toString)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"))
+      .withColumn("bucket",
+        floor(unix_timestamp(col("ts")) / lit(3600)).cast("long"))
+      .groupBy(col("user_id"), col("event_type"), col("bucket"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        count(lit(1)).as("n"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("bucket"),
+        (col("n") - lit(1L)).as("n_suppressed"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(sinkName)
+  }
+
   /** Stream-static enrichment join: the event stream joined per
     * micro-batch against a static dimension (per-user lifetime aggregates
     * computed batch-side). The static side is planned fresh each

@@ -94,6 +94,24 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming idempotent-event dedup ≡ batch Temporal.idempotentEvents") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streams.idempotentEventsStreaming(spark, dir)
+      .orderBy("event_id")
+      .collect().toSeq
+    val batch = graft.ops.Temporal.idempotentEvents(
+      graft.core.Tables.events(spark, dir).select(
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type")),
+      "event_id", "ts", 3600, "user_id", "event_type")
+      .orderBy("event_id")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(_.getLong(4) > 0), "suppressions must be witnessed")
+  }
+
   test("foreachBatch SCD2 ingestion: lake open state ≡ batch latest-per-user") {
     import java.nio.file.{Files => JFiles}
     import org.apache.spark.sql.expressions.Window
