@@ -2339,7 +2339,57 @@ object ExtQueries {
     Streams.idempotentEventsStreaming(s, dir)
       .orderBy(col("event_id"))
 
+  /** x111 — cross-split leakage audit: near-dup pairs whose members
+    * landed in DIFFERENT train/val/test splits ([[Dedup.jaccardPairs]]
+    * ∘ [[graft.ext.Sampling.splitAssign]]) — the eval-contamination
+    * auditor. Random (hash) splits leak near-duplicates across the
+    * boundary by construction; this is the report that quantifies it
+    * (the reason dedup must run BEFORE splitting). Witnessed wherever
+    * x31 finds pairs — a 0.68/0.18/0.14 split puts most near-dup pairs
+    * across boundaries.
+    */
+  def x111SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.3)
+    val splits = docs(s, dir).select(col("doc_id"),
+      graft.ext.Sampling.splitAssign(col("doc_id")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val x111Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE AS jaccard
+      |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.3),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5('graft/v1:' || doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT id_a, id_b, a.split AS split_a, b.split AS split_b, jaccard
+      |FROM pairs JOIN sp a ON a.doc_id = id_a JOIN sp b ON b.doc_id = id_b
+      |WHERE a.split <> b.split
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_split_leakage" -> (x111SplitLeakage _),
     "x110_event_dedup_stream" -> (x110EventDedupStream _),
     "x109_event_dedup" -> (x109EventDedup _),
     "x108_length_batches" -> (x108LengthBatches _),
@@ -2423,6 +2473,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x111_split_leakage" -> x111Sql,
     "x110_event_dedup_stream" -> x109Sql,
     "x109_event_dedup" -> x109Sql,
     "x108_length_batches" -> x108Sql,
