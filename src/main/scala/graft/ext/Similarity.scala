@@ -579,19 +579,36 @@ object Similarity {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen && tauDen <= 16,
       s"threshold must be a rational in (0,1] with denominator <= 16, got $tauNum/$tauDen")
-    val bucketExpr = (0 until bits)
-      .map(j => when(col(s"y$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val bkt = randomProjection(df, idCol, vecCol, outDims = bits)
-      .select(col(idCol).as("__id"), bucketExpr.as("bucket"))
-    val qv = df.select(
-      col(idCol).as("__id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * lit(1024d) + lit(0.5)).cast("long")).as("__qv"))
-    val base = qv
-      .withColumn("__n2",
-        aggregate(col("__qv"), lit(0L), (acc, q) => acc + q * q))
-      .join(bkt, "__id")
+    // qv, n2, AND the SRP bucket are all row-local projections (the sign
+    // matrix folds as literals, the [[randomProjection]] spelling), so
+    // the whole per-vector frame is ONE shuffle-free select — no join
+    // between a projection frame and a quantization frame.
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (hex.head <= '7') 1L else -1L
+    }
+    val bucketExpr = (0 until bits).map { j =>
+      val signs = Array.tabulate(dim)(i => sign(i, j))
+      val yj = aggregate(
+        zip_with(col("__qv"), typedLit(signs), (qq, ss) => qq * ss),
+        lit(0L), (acc, v) => acc + v)
+      when(yj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val base = df
+      .select(
+        col(idCol).as("__id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1024d) + lit(0.5)).cast("long"))
+          .as("__qv"))
+      .select(col("__id"), col("__qv"),
+        aggregate(col("__qv"), lit(0L), (acc, q) => acc + q * q).as("__n2"),
+        bucketExpr.as("bucket"))
     val a = base.select(col("__id").as("__ia"), col("__qv").as("__qa"),
       col("__n2").as("__na2"), col("bucket"))
     val b = base.select(col("__id").as("__ib"), col("__qv").as("__qb"),
