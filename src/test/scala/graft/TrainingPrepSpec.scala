@@ -247,6 +247,39 @@ class TrainingPrepSpec extends SparkSpec {
     assert(again === out.map(_._2).toSet)
   }
 
+  test("prefix filtering loses NOTHING: fuzzyJoin ≡ brute-force jaccard on random corpora") {
+    // The PPJoin prefix filter + length filter are candidate PRUNING only;
+    // this pins the theorem (and the IEEE ceil-slack) against an
+    // independent in-memory reference across random key sets and
+    // thresholds, including threshold values where t·n lands on exact
+    // integers (the boundary the 1e-9 slack exists for).
+    def grams(s: String, n: Int): Set[String] = {
+      val t = s.toLowerCase.trim
+      if (t.length >= n) t.sliding(n).toSet else Set(t)
+    }
+    val alphabet = "abcde "
+    for ((seed, threshold) <- Seq((1, 0.5), (2, 0.75), (3, 1.0 / 3), (4, 0.6))) {
+      val rnd = new scala.util.Random(seed)
+      def randKey() = Seq.fill(3 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val ls = (1L to 25L).map(i => (i, randKey()))
+      val rs = (101L to 125L).map(i => (i, randKey()))
+      val expected = (for {
+        (il, kl) <- ls; (ir, kr) <- rs
+        gl = grams(kl, 3); gr = grams(kr, 3)
+        common = (gl & gr).size
+        j = common.toDouble / (gl.size + gr.size - common)
+        if common > 0 && j >= threshold
+      } yield (il, ir, j)).toSet
+      val got = graft.ext.Fuzzy.fuzzyJoin(
+        ls.toDF("id", "k"), "id", "k", rs.toDF("id", "k"), "id", "k",
+        n = 3, threshold = threshold)
+        .select($"id_l", $"id_r", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"seed=$seed threshold=$threshold")
+    }
+  }
+
   test("fuzzy join matches typo'd keys, prunes stop-grams as the gram space, guards blowups") {
     val left = Seq((1L, "acme corp"), (2L, "globex inc"), (3L, "zzz"))
       .toDF("id", "name")
