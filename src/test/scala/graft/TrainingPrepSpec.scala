@@ -198,6 +198,48 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("semDedup ≡ brute-force reference on random vectors (buckets, pruning, witnesses)") {
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(i: Int, j: Int): Long = if (md5hex(s"$i:$j").head <= '7') 1L else -1L
+    val (bits, dim, tauNum, tauDen) = (3, 8, 1, 2)
+    for (seed <- Seq(11, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (1L to 40L).map(id =>
+        (id, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      def q(v: Array[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * 1024 + 0.5).toLong)
+      def bucket(v: Array[Float]): Long = {
+        val qv = q(v)
+        (0 until bits).map { j =>
+          val y = qv.indices.map(i => sign(i, j) * qv(i)).sum
+          if (y >= 0) 1L << j else 0L
+        }.sum
+      }
+      def cosOk(a: Array[Float], b: Array[Float]): Boolean = {
+        val (qa, qb) = (q(a), q(b))
+        val dot = qa.indices.map(i => qa(i) * qb(i)).sum
+        val na2 = qa.map(x => x * x).sum; val nb2 = qb.map(x => x * x).sum
+        na2 > 0 && nb2 > 0 && dot > 0 &&
+          dot * dot * tauDen * tauDen >= tauNum.toLong * tauNum * na2 * nb2
+      }
+      val expected = vecs.map { case (id, v) =>
+        val witness = vecs
+          .filter { case (i2, v2) =>
+            i2 < id && bucket(v2) == bucket(v) && cosOk(v2, v) }
+          .map(_._1).sorted.headOption
+        (id, bucket(v), witness, witness.isDefined)
+      }
+      val got = graft.ext.Similarity
+        .semDedup(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          bits = bits, tauNum = tauNum, tauDen = tauDen)
+        .orderBy($"vec_id")
+        .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+      assert(got === expected, s"seed=$seed")
+      assert(got.exists(_._4), s"seed=$seed: pruning must be witnessed")
+    }
+  }
+
   test("content-defined chunks partition every token and re-align after a prefix edit") {
     val rnd = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
