@@ -46,4 +46,37 @@ object Robust {
       .select(col(idCol), col(keyCol), col(valCol), col("med"), col("mad"),
         (col("__absdev") > lit(k) * col("mad")).as("outlier"))
   }
+
+  /** Per-group modified z-score (Iglewicz-Hoaglin):
+    * z = 0.6745·(val − med) / MAD — the robust calibration that makes a
+    * score threshold comparable ACROSS groups (each source's quality
+    * distribution is centered and scaled by its own robust moments, so
+    * one global cut like |z| > 3.5 means the same thing everywhere).
+    * Zero-MAD groups (over half identical) yield null z — no rescaling
+    * is meaningful there.
+    *
+    * Determinism: multiply-then-divide in one fixed association order —
+    * IEEE ops on identical operands are identical on any engine, and the
+    * operands (val, interpolated med/MAD) are cross-engine exact
+    * already. Same two-aggregate scale shape as [[madOutliers]].
+    */
+  def robustZ(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      valCol: String): DataFrame = {
+    val v: Column = col(valCol).cast("double")
+    val d = df.select(col(idCol), col(keyCol), col(valCol))
+    val med = d.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5D)").as("med"))
+    val dev = d.join(med, keyCol)
+    val mad = dev
+      .withColumn("__absdev", abs(v - col("med")))
+      .groupBy(col(keyCol))
+      .agg(expr("percentile(__absdev, 0.5D)").as("mad"))
+    dev.join(mad, keyCol)
+      .select(col(idCol), col(keyCol), col(valCol), col("med"), col("mad"),
+        when(col("mad") === 0, lit(null).cast("double"))
+          .otherwise(lit(0.6745) * (v - col("med")) / col("mad")).as("z"))
+  }
 }

@@ -2388,7 +2388,52 @@ object ExtQueries {
       |WHERE a.split <> b.split
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** x112 — cross-source quality calibration
+    * ([[graft.ext.Robust.robustZ]] over x21's composite quality score):
+    * per-source modified z-scores make ONE global quality threshold
+    * mean the same thing in every source — the step between per-doc
+    * scoring (x21) and corpus-wide filtering. Null z for zero-MAD
+    * sources; IEEE-deterministic double math over cross-engine-exact
+    * operands.
+    */
+  def x112QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(docs(s, dir), "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    graft.ext.Robust.robustZ(scored, "doc_id", "source", "quality_score")
+      .orderBy(col("doc_id"))
+  }
+
+  val x112Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    greatest(0.0, least(1.0,
+      |      0.25 * least((length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+      |          / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) / 5.0, 1.0)
+      |      + 0.25 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))::DOUBLE
+      |          / length(text)::DOUBLE)
+      |      + 0.25 * least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 200.0, 1.0)
+      |      + 0.25 * least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |          t -> t IN ('the','a','of','and','to','is')))::DOUBLE
+      |          / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE) * 5.0, 1.0)))
+      |      AS quality_score
+      |  FROM documents),
+      |med AS (
+      |  SELECT source, quantile_cont(quality_score, 0.5) AS med
+      |  FROM scored GROUP BY source),
+      |dev AS (
+      |  SELECT doc_id, scored.source, quality_score, med
+      |  FROM scored JOIN med USING (source)),
+      |mad AS (
+      |  SELECT source, quantile_cont(abs(quality_score - med), 0.5) AS mad
+      |  FROM dev GROUP BY source)
+      |SELECT doc_id, dev.source, quality_score, dev.med, mad.mad,
+      |  CASE WHEN mad.mad = 0 THEN NULL
+      |       ELSE 0.6745 * (quality_score - dev.med) / mad.mad END AS z
+      |FROM dev JOIN mad USING (source)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x112_quality_calibration" -> (x112QualityCalibration _),
     "x111_split_leakage" -> (x111SplitLeakage _),
     "x110_event_dedup_stream" -> (x110EventDedupStream _),
     "x109_event_dedup" -> (x109EventDedup _),
@@ -2473,6 +2518,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x112_quality_calibration" -> x112Sql,
     "x111_split_leakage" -> x111Sql,
     "x110_event_dedup_stream" -> x109Sql,
     "x109_event_dedup" -> x109Sql,

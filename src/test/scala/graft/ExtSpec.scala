@@ -472,6 +472,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("robustZ centers and scales per group; zero-MAD group yields null z") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 102L),
+      (4L, "a", 98L), (5L, "a", 1000L),
+      (6L, "b", 50L), (7L, "b", 50L), (8L, "b", 50L))
+      .toDF("doc_id", "source", "score")
+    val out = graft.ext.Robust.robustZ(df, "doc_id", "source", "score")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"z").as[(Long, Option[Double])].collect()
+    // Group a: med 100, MAD 2 -> z = 0.6745*(x-100)/2.
+    assert(out(0)._2.get === 0.0)
+    assert(out(2)._2.get === 0.6745 * 2 / 2)
+    assert(out(4)._2.get === 0.6745 * 900 / 2)
+    assert(out.drop(5).forall(_._2.isEmpty),
+      "constant group (MAD 0): z must be null, not infinity")
+  }
+
   test("tfIdf: rational and log idf agree with hand-computed values") {
     val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfIdf(docs, "doc_id", "text")
