@@ -2432,7 +2432,52 @@ object ExtQueries {
       |FROM dev JOIN mad USING (source)
       |ORDER BY doc_id""".stripMargin
 
+  /** x113 — token co-occurrence matrix over the top-32 vocabulary:
+    * doc-level co-occurrence counts + per-token doc frequencies + the
+    * jaccard association — the exact precursor to PMI weighting and
+    * count-based word embeddings. Deterministic top-K (count desc,
+    * token asc — the x25 total order); restricting both sides to the
+    * top-K bounds the self-join at ≤ K²/2 pairs per document at ANY
+    * corpus size, with the tiny vocabulary frame broadcast.
+    */
+  def x113Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val docTok = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+    val top = docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(32)
+    val t = docTok.join(broadcast(top), "token")
+    val a = t.select(col("doc_id"), col("token").as("tok_a"), col("df").as("df_a"))
+    val b = t.select(col("doc_id"), col("token").as("tok_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id"))
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_together"))
+      .select(col("tok_a"), col("tok_b"), col("n_together"),
+        col("df_a"), col("df_b"),
+        (col("n_together").cast(DoubleType)
+          / (col("df_a") + col("df_b") - col("n_together")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  val x113Sql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |    FROM documents)),
+      |top AS (
+      |  SELECT token, count(*) AS df FROM dt
+      |  GROUP BY token ORDER BY df DESC, token LIMIT 32),
+      |t AS (SELECT doc_id, dt.token, df FROM dt JOIN top USING (token))
+      |SELECT a.token AS tok_a, b.token AS tok_b,
+      |  count(*) AS n_together, a.df AS df_a, b.df AS df_b,
+      |  count(*)::DOUBLE / (a.df + b.df - count(*))::DOUBLE AS jaccard
+      |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+      |GROUP BY a.token, b.token, a.df, b.df
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x113_cooccurrence" -> (x113Cooccurrence _),
     "x112_quality_calibration" -> (x112QualityCalibration _),
     "x111_split_leakage" -> (x111SplitLeakage _),
     "x110_event_dedup_stream" -> (x110EventDedupStream _),
@@ -2518,6 +2563,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x113_cooccurrence" -> x113Sql,
     "x112_quality_calibration" -> x112Sql,
     "x111_split_leakage" -> x111Sql,
     "x110_event_dedup_stream" -> x109Sql,
