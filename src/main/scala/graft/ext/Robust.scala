@@ -37,11 +37,11 @@ object Robust {
     val v: Column = col(valCol).cast("double")
     val d = df.select(col(idCol), col(keyCol), col(valCol))
     val med = d.groupBy(col(keyCol))
-      .agg(expr(s"percentile($valCol, 0.5D)").as("med"))
+      .agg(percentile(col(valCol).cast("double"), lit(0.5)).as("med"))
     val dev = d.join(med, keyCol)
       .withColumn("__absdev", abs(v - col("med")))
     val mad = dev.groupBy(col(keyCol))
-      .agg(expr("percentile(__absdev, 0.5D)").as("mad"))
+      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
     dev.join(mad, keyCol)
       .select(col(idCol), col(keyCol), col(valCol), col("med"), col("mad"),
         (col("__absdev") > lit(k) * col("mad")).as("outlier"))
@@ -68,12 +68,12 @@ object Robust {
     val v: Column = col(valCol).cast("double")
     val d = df.select(col(idCol), col(keyCol), col(valCol))
     val med = d.groupBy(col(keyCol))
-      .agg(expr(s"percentile($valCol, 0.5D)").as("med"))
+      .agg(percentile(col(valCol).cast("double"), lit(0.5)).as("med"))
     val dev = d.join(med, keyCol)
     val mad = dev
       .withColumn("__absdev", abs(v - col("med")))
       .groupBy(col(keyCol))
-      .agg(expr("percentile(__absdev, 0.5D)").as("mad"))
+      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
     dev.join(mad, keyCol)
       .select(col(idCol), col(keyCol), col(valCol), col("med"), col("mad"),
         when(col("mad") === 0, lit(null).cast("double"))
