@@ -37,13 +37,34 @@ object Bench {
     // round-over-round deltas unattributable.
     val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq
+    // Residue gauge: the max number of persistent RDDs observed right
+    // after a query returns, BEFORE cleanup. Operators that leak caches
+    // push this up (round-5 measured 7 after six queries); with scoped
+    // caches only a query's own just-checkpointed result (0-2 entries,
+    // released by cleanup) should ever appear.
+    var maxRdds = 0
+    val canaries = Seq.newBuilder[(Double, Double)]
     val samples: Seq[Map[String, Double]] = (1 to n).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      val cStart = canarySec(spark)
+      val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        maxRdds = math.max(maxRdds, spark.sparkContext.getPersistentRDDs.size)
+        // Isolation between timed queries: drop any cached plans and any
+        // persistent RDDs (e.g. a returned localCheckpoint whose frame is
+        // now unreferenced), then let the ContextCleaner reap broadcasts.
+        // Medians must measure the ENGINE, not the accumulated session
+        // state of whatever ran before (the round-5 artifact lesson).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        name -> sec
       }
+      val cEnd = canarySec(spark)
+      canaries += ((cStart, cEnd))
+      m
     }
     val median: Map[String, Double] = names.map { name =>
       val xs = samples.map(_(name)).sorted
@@ -52,10 +73,23 @@ object Bench {
         else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
       name -> m
     }.toMap
-    val line = renderLine(median, n, sfDir)
+    val line = renderLine(median, n, sfDir, canaries.result(), maxRdds)
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
+  }
+
+  /** Contention canary: a fixed CPU-bound reduction timed at the start
+    * and end of every round. The work never changes, so any drift between
+    * the eight numbers is HOST/SESSION drift (co-tenant load, heap
+    * pressure, accumulated state) — it makes the artifact self-diagnosing
+    * the way the round-5 capture (rows inflated up to 7.7× by capture-time
+    * contention) was not.
+    */
+  private def canarySec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(100000000L).selectExpr("sum(id)").collect()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** The ONE JSON line the harness parses — from only the LAST ~2000
@@ -69,6 +103,8 @@ object Bench {
       median: Map[String, Double],
       n: Int,
       sfDir: String,
+      canaries: Seq[(Double, Double)] = Nil,
+      maxRdds: Int = -1,
       budget: Int = 1800): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
@@ -76,6 +112,11 @@ object Bench {
     // comma-decimal locale would render 1,234 — invalid JSON
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val canaryPart =
+      if (canaries.isEmpty) ""
+      else canaries.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
+        .mkString(""","canary_sec":[""", ",", "]")
+    val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     def render(keep: Seq[String]): String = {
       val qs = keep.map(k => "\"" + k + "\":" + fmt(median(k)))
         .mkString("{", ",", "}")
@@ -87,7 +128,7 @@ object Bench {
           s""","omitted":{"n_queries":$omitted,"sec":${fmt(omSec)}}"""
         }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
-        s""""n_queries":${names.size},"queries":$qs$omittedPart,"sf":"$sfDir"}"""
+        s""""n_queries":${names.size},"queries":$qs$omittedPart$canaryPart$rddPart,"sf":"$sfDir"}"""
     }
     val bySlowest = names.sortBy(n => (-median(n), n))
     Iterator.range(names.size, 0, -1)

@@ -86,13 +86,13 @@ object Dedup {
       maxDocFreq: Long = 0L,
       maxCandidatePairs: Long = 200000000L): DataFrame =
     coShingledPairs(df, idCol, textCol, n, maxDocFreq, maxCandidatePairs,
-      "jaccardPairs")
-      .withColumn("jaccard",
+      "jaccardPairs")(
+      _.withColumn("jaccard",
         col("n_common").cast(DoubleType)
           / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
-      .where(col("jaccard") >= lit(threshold))
-      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
-        col("n_b"), col("jaccard"))
+        .where(col("jaccard") >= lit(threshold))
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), col("jaccard")))
 
   /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|)
     * over distinct n-gram shingles — the quote/snippet detector. Jaccard
@@ -116,18 +116,27 @@ object Dedup {
       maxDocFreq: Long = 0L,
       maxCandidatePairs: Long = 200000000L): DataFrame =
     coShingledPairs(df, idCol, textCol, n, maxDocFreq, maxCandidatePairs,
-      "containmentPairs")
-      .withColumn("containment",
+      "containmentPairs")(
+      _.withColumn("containment",
         col("n_common").cast(DoubleType)
           / least(col("n_a"), col("n_b")).cast(DoubleType))
-      .where(col("containment") >= lit(threshold))
-      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
-        col("n_b"), col("containment"))
+        .where(col("containment") >= lit(threshold))
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), col("containment")))
 
   /** Shared inverted-index core of [[jaccardPairs]]/[[containmentPairs]]:
     * (id_a, id_b, n_common, n_a, n_b) for every co-shingled pair in the
     * (optionally df-pruned) shingle space, with the candidate-pair
-    * budget guard.
+    * budget guard. `finish` is the caller's score+threshold projection,
+    * applied BEFORE materialization so only the (small) post-threshold
+    * pair set is ever stored.
+    *
+    * Cache lifecycle: the shingle cache is scoped to this call — the
+    * result is eagerly materialized (`localCheckpoint` truncates the
+    * lineage so the returned frame no longer references the cache) and
+    * the cache unpersisted before returning. Repeated calls in a
+    * long-lived session (orchestrator, bench, notebook) therefore leave
+    * ZERO entries in the session CacheManager.
     */
   private def coShingledPairs(
       df: DataFrame,
@@ -136,14 +145,16 @@ object Dedup {
       n: Int,
       maxDocFreq: Long,
       maxCandidatePairs: Long,
-      opName: String): DataFrame = {
+      opName: String)(finish: DataFrame => DataFrame): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, n)
     // Cache the (pruned) shingle rows ONCE: they are consumed by the
     // budget estimate, the per-doc sizes, and BOTH sides of the
     // inverted-index join — without it the tokenize+shingle pipeline
-    // re-evaluates per consumer. Lazy cache, not an eager checkpoint:
-    // the plan is shallow (no iteration) and the eager job costs more
-    // than it saves (the fuzzyJoin profiling precedent).
+    // re-evaluates per consumer. Lazy cache, not an eager checkpoint of
+    // the INTERMEDIATE: the plan is shallow (no iteration) and an eager
+    // job per intermediate costs more than it saves (the fuzzyJoin
+    // profiling precedent). Only the final thresholded result is
+    // materialized.
     val sh = (
       if (maxDocFreq <= 0) sh0
       else {
@@ -151,32 +162,35 @@ object Dedup {
           .where(col("df") <= maxDocFreq).select("shingle")
         sh0.join(broadcast(freq), "shingle")
       }).cache()
-    if (maxCandidatePairs > 0) {
-      // estimated from the cached post-prune rows (one map-side-
-      // combinable aggregation — cheap relative to the join it guards).
-      // Doubles, not longs: the estimate of a run worth refusing can
-      // overflow 64-bit integer arithmetic (that is the point of it)
-      val est = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
-        .head.getAs[Any](0) match {
-          case null => 0.0
-          case d: java.lang.Double => d.doubleValue
-        }
-      require(est <= maxCandidatePairs.toDouble,
-        f"$opName would generate ~$est%.3g candidate pairs " +
-          f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
-          "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
-    }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    try {
+      if (maxCandidatePairs > 0) {
+        // estimated from the cached post-prune rows (one map-side-
+        // combinable aggregation — cheap relative to the join it guards).
+        // Doubles, not longs: the estimate of a run worth refusing can
+        // overflow 64-bit integer arithmetic (that is the point of it)
+        val est = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
+          .head.getAs[Any](0) match {
+            case null => 0.0
+            case d: java.lang.Double => d.doubleValue
+          }
+        require(est <= maxCandidatePairs.toDouble,
+          f"$opName would generate ~$est%.3g candidate pairs " +
+            f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
+            "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
+      }
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+      val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val raw = inter
+        .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      finish(raw).localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** MinHash signatures from pre-exploded (idCol, shingle) rows: ONE

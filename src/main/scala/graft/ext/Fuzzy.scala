@@ -77,6 +77,31 @@ object Fuzzy {
     // (freq, pruned sides, prefixes) cache lazily instead. x104 profiling
     // showed the operator overhead-bound: five eager localCheckpoint jobs
     // cost more than the data path at every tested SF.
+    //
+    // Cache lifecycle: every cache is BORROWED for this call only. The
+    // final (post-threshold, small) pair set is materialized eagerly —
+    // localCheckpoint truncates the lineage, so the returned frame
+    // references none of the caches — and the `finally` unpersists them
+    // all, success or failure. A long-lived session (orchestrator, bench,
+    // notebook) calling this repeatedly accumulates NO CacheManager
+    // entries and loses no execution memory to leaked storage.
+    val borrowed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // sameResult dedup: in a self-join-shaped call (left == right) the two
+    // sides' plans differ only in output aliases, which canonicalization
+    // erases — caching the second would hit the CacheManager's "already
+    // cached" path (a warning + a redundant entry). Skipping it is free:
+    // the skipped frame's execution still reads the first cache via the
+    // CacheManager's sameResult plan replacement.
+    def borrow(df: DataFrame): DataFrame = {
+      val plan = df.queryExecution.analyzed
+      if (!borrowed.exists(_.queryExecution.analyzed.sameResult(plan))) {
+        borrowed += df
+        df.cache()
+      }
+      df
+    }
+
+    try {
     val l0 = left.select(col(leftId).as("id_l"),
       explode(charGrams(col(leftKey), n)).as("g"))
     val r0 = right.select(col(rightId).as("id_r"),
@@ -93,17 +118,16 @@ object Fuzzy {
     }
     // one combined-count freq frame serves the stop-gram prune AND the
     // prefix-filter global order below
-    val freq = l0.select(col("g")).unionAll(r0.select(col("g")))
-      .groupBy(col("g")).agg(count(lit(1)).as("df_g"))
-      .cache()
+    val freq = borrow(l0.select(col("g")).unionAll(r0.select(col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("df_g")))
     val (lp, rp) = cap match {
       case None => (l0, r0)
       case Some(c) =>
         // combined-count rule: one freq frame over both sides, so the
         // prune is symmetric and engine-independent
         val keep = freq.where(col("df_g").cast(DoubleType) <= c).select(col("g"))
-        (l0.join(broadcast(keep), "g").cache(),
-          r0.join(broadcast(keep), "g").cache())
+        (borrow(l0.join(broadcast(keep), "g")),
+          borrow(r0.join(broadcast(keep), "g")))
     }
     // sizes in the SAME gram space as the intersections (object doc)
     val sizesL = lp.groupBy(col("id_l")).agg(count(lit(1)).as("n_l"))
@@ -132,8 +156,8 @@ object Fuzzy {
           col(sizeCol) - ceil(col(sizeCol) * lit(threshold) - lit(1e-9)) + 1)
         .select(col("g"), col(idCol), col(sizeCol))
     }
-    val prefL = prefixed(lp, "id_l", sizesL, "n_l").cache()
-    val prefR = prefixed(rp, "id_r", sizesR, "n_r").cache()
+    val prefL = borrow(prefixed(lp, "id_l", sizesL, "n_l"))
+    val prefR = borrow(prefixed(rp, "id_r", sizesR, "n_r"))
     if (maxCandidatePairs > 0) {
       val fl = prefL.groupBy("g").agg(count(lit(1)).as("dl"))
       val fr = prefR.groupBy("g").agg(count(lit(1)).as("dr"))
@@ -167,5 +191,7 @@ object Fuzzy {
       .where(col("jaccard") >= lit(threshold))
       .select(col("id_l"), col("id_r"), col("n_common"),
         col("n_l"), col("n_r"), col("jaccard"))
+      .localCheckpoint(true)
+    } finally borrowed.foreach(_.unpersist(false))
   }
 }

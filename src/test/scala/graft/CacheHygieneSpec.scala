@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.{Dedup, Fuzzy}
+
+/** Round-6 cache-lifecycle contract: operators that borrow caches for
+  * their own multi-consumed subtrees must unpersist them before
+  * returning — a long-lived session (orchestrator, bench loop, user
+  * notebook) calling them repeatedly must not accumulate CacheManager
+  * entries (the round-5 +15% cross-round bench regression was exactly
+  * this accumulation). The only persistent entry an operator may leave
+  * is its own eagerly-materialized result (one localCheckpoint RDD,
+  * released when the caller drops the frame).
+  */
+class CacheHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def docsFixture = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "the quick brown fox jumps over the sleepy dog"),
+    (4L, "completely different content about spark engines here"),
+    (5L, "yet another unrelated document body with words")).toDF("doc_id", "text")
+
+  private def custFixture = Seq(
+    (1L, "Customer#000000001"), (2L, "Customer#000000002"),
+    (3L, "Custmer#000000001"), (4L, "Customer#000000042"))
+    .toDF("id", "name")
+
+  test("fuzzyJoin leaves no borrowed caches behind (≤1 result checkpoint)") {
+    val before = persistedIds
+    val out = Fuzzy.fuzzyJoin(custFixture, "id", "name", custFixture, "id", "name",
+      n = 3, threshold = 0.5, maxGramShare = 0.9)
+    assert(out.count() > 0)
+    val leaked = persistedIds -- before
+    assert(leaked.size <= 1,
+      s"fuzzyJoin left ${leaked.size} persistent RDDs (expected ≤1 result checkpoint)")
+  }
+
+  test("jaccardPairs leaves no borrowed caches behind") {
+    val before = persistedIds
+    val out = Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5, maxDocFreq = 100)
+    assert(out.count() > 0)
+    val leaked = persistedIds -- before
+    assert(leaked.size <= 1,
+      s"jaccardPairs left ${leaked.size} persistent RDDs (expected ≤1 result checkpoint)")
+  }
+
+  test("containmentPairs leaves no borrowed caches behind") {
+    val before = persistedIds
+    val out = Dedup.containmentPairs(docsFixture, "doc_id", "text", 2, 0.5)
+    assert(out.count() > 0)
+    val leaked = persistedIds -- before
+    assert(leaked.size <= 1,
+      s"containmentPairs left ${leaked.size} persistent RDDs (expected ≤1 result checkpoint)")
+  }
+
+  test("repeated fuzzyJoin calls do not accumulate persistent RDDs") {
+    // Warm one call so any one-off session state (broadcast cleanup lag)
+    // is excluded, then measure growth over 3 further calls with results
+    // dropped: growth must stay bounded by the per-call checkpoint count,
+    // not the per-call borrow count (6 borrows/call before the fix).
+    Fuzzy.fuzzyJoin(custFixture, "id", "name", custFixture, "id", "name",
+      n = 3, threshold = 0.5, maxGramShare = 0.9).count()
+    val before = persistedIds
+    (1 to 3).foreach { _ =>
+      Fuzzy.fuzzyJoin(custFixture, "id", "name", custFixture, "id", "name",
+        n = 3, threshold = 0.5, maxGramShare = 0.9).count()
+    }
+    val leaked = persistedIds -- before
+    assert(leaked.size <= 3,
+      s"3 fuzzyJoin calls grew persistent RDDs by ${leaked.size} (caches are leaking)")
+  }
+}
