@@ -101,6 +101,23 @@ object Similarity {
         (col("maxabs") / lit(127.0)).as("scale"),
         quantizeCol(col("embedding"), col("maxabs")).as("q"))
 
+  /** Dimensionality of `vecCol`, derived from one bounded probe row, with
+    * explicit failures on the silent paths: an empty frame and a
+    * null/empty first vector raise with a clear message (the previous
+    * spelling NPE'd on null and yielded dim=0 on empty). Fixed-dim
+    * vectors are the embedding-table contract; a ragged longer row
+    * downstream surfaces as a NULL projection (`zip_with` pads), never a
+    * silent partial sum.
+    */
+  private[ext] def vecDim(df: DataFrame, vecCol: String): Int = {
+    val probe = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(probe.nonEmpty,
+      s"cannot derive vector dim from $vecCol: the frame is empty")
+    require(!probe(0).isNullAt(0) && probe(0).getInt(0) > 0,
+      s"cannot derive vector dim from $vecCol: first row is null or empty")
+    probe(0).getInt(0)
+  }
+
   private[ext] def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -243,10 +260,22 @@ object Similarity {
       embeddings: DataFrame,
       tables: Int,
       planesPerTable: Int,
-      seed: Long = 42L): Dataset[Bucketed] = {
+      seed: Long = 42L): Dataset[Bucketed] =
+    lshBucketsDim(embeddings, tables, planesPerTable, seed,
+      vecDim(embeddings, "embedding"))
+
+  /** [[lshBuckets]] with the vector dim supplied by the caller — skips
+    * the one-row probe job when the dim is already known (the persisted
+    * index path probes the query frame once and reuses the value).
+    */
+  private[ext] def lshBucketsDim(
+      embeddings: DataFrame,
+      tables: Int,
+      planesPerTable: Int,
+      seed: Long,
+      dim: Int): Dataset[Bucketed] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val planes = hyperplanes(tables * planesPerTable, dim, seed)
     val bc = spark.sparkContext.broadcast(planes)
     embeddings
@@ -276,37 +305,89 @@ object Similarity {
   /** ANN top-k via LSH candidate generation + exact re-rank. Recall < 1 by
     * construction; increase `tables` (or decrease `planesPerTable`) to
     * trade shuffle volume for recall.
+    *
+    * `planesPerTable = 0` (the default) auto-scales resolution to corpus
+    * size: planes ≈ log2(n / targetBucketRows), so expected bucket
+    * occupancy stays ~targetBucketRows at ANY corpus size — a fixed plane
+    * count is a different regime at every SF (6 planes = 64 buckets/table
+    * is fine at 10⁴ vectors and quadratic death at 10⁹).
+    *
+    * Candidate budget guard (the [[Fuzzy.fuzzyJoin]] discipline): the
+    * bucket self-join generates Σ_buckets c·(c−1) ordered candidate pairs
+    * — degenerate embeddings (all-identical signs) collapse every vector
+    * into one bucket per table and the join goes quadratic. The guard
+    * estimates that sum from the bucket frame (one map-side-combinable
+    * aggregation, cheap relative to the join it protects) and refuses to
+    * launch an exploding run; raise `maxCandidatePairs` deliberately or
+    * set ≤ 0 to disable.
+    *
+    * Cache lifecycle: the bucket frame is borrowed for this call (it
+    * feeds the guard and both join sides), the (rows·k-bounded) result is
+    * materialized eagerly — localCheckpoint truncates lineage — and the
+    * cache is unpersisted before returning, so repeated calls leave no
+    * CacheManager entries.
     */
   def lshTopK(
       embeddings: DataFrame,
       k: Int,
       tables: Int = 16,
-      planesPerTable: Int = 6,
-      seed: Long = 42L): DataFrame = {
+      planesPerTable: Int = 0,
+      seed: Long = 42L,
+      targetBucketRows: Long = 64L,
+      maxCandidatePairs: Long = 200000000L): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val buckets = lshBuckets(embeddings, tables, planesPerTable, seed).toDF()
-    val candidates = buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket")
-          && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
-      .distinct()
-    val embA = embeddings.select(col("vec_id"), col("embedding").as("emb_a"))
-    val embB = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
-    val scored = candidates
-      .join(embA, Seq("vec_id"))
-      .join(embB, Seq("neighbor_id"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (nid, qid, a, b) => (qid, nid, cosine(a, b)) }
-      .toDF("vec_id", "neighbor_id", "score")
-    import org.apache.spark.sql.expressions.Window
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+    require(planesPerTable >= 0, s"planesPerTable must be >= 0 (0 = auto), got $planesPerTable")
+    require(targetBucketRows >= 1, s"targetBucketRows must be >= 1, got $targetBucketRows")
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else {
+        val n = embeddings.count()
+        // bucket space 2^planes per table; E[occupancy] = n / 2^planes.
+        // 62-bit cap: the bucket id is a long bitmask.
+        math.min(62, math.max(1,
+          math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
+            / math.log(2.0)).toInt))
+      }
+    val buckets = lshBuckets(embeddings, tables, planes, seed).toDF().cache()
+    try {
+      if (maxCandidatePairs > 0) {
+        val est = buckets.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double")))
+          .head.getAs[Any](0) match {
+            case null => 0.0
+            case d: java.lang.Double => d.doubleValue
+          }
+        require(est <= maxCandidatePairs.toDouble,
+          f"lshTopK would generate ~$est%.3g candidate pairs " +
+            f"(budget $maxCandidatePairs); raise planesPerTable (smaller " +
+            "buckets), deduplicate degenerate embeddings, or raise " +
+            "maxCandidatePairs deliberately")
+      }
+      val candidates = buckets.as("x")
+        .join(buckets.as("y"),
+          col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket")
+            && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
+        .distinct()
+      val embA = embeddings.select(col("vec_id"), col("embedding").as("emb_a"))
+      val embB = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
+      val scored = candidates
+        .join(embA, Seq("vec_id"))
+        .join(embB, Seq("neighbor_id"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (nid, qid, a, b) => (qid, nid, cosine(a, b)) }
+        .toDF("vec_id", "neighbor_id", "score")
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("score").desc, col("neighbor_id"))))
+        .where(col("rank") <= k)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+        .localCheckpoint(true)
+    } finally buckets.unpersist(false)
   }
 
   /** Deterministic IVF coarse quantizer: `nCells` centroids seeded from
@@ -520,10 +601,7 @@ object Similarity {
       vecCol: String,
       outDims: Int = 16): DataFrame = {
     require(outDims >= 1 && outDims <= 64, s"outDims must be in [1,64], got $outDims")
-    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect() match {
-      case Array(r) => r.getInt(0)
-      case _ => 0
-    }
+    val dim = vecDim(df, vecCol)
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Long = {
       val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
@@ -583,10 +661,14 @@ object Similarity {
     // matrix folds as literals, the [[randomProjection]] spelling), so
     // the whole per-vector frame is ONE shuffle-free select — no join
     // between a projection frame and a quantization frame.
-    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect() match {
-      case Array(r) => r.getInt(0)
-      case _ => 0
-    }
+    val dim = vecDim(df, vecCol)
+    // The scaladoc's long-arithmetic overflow bound is dim ≤ 128 with
+    // max|x| ≤ 1: beyond it d²·dot² / n²·|qa|²·|qb|² silently overflow
+    // 2^62 and FLIP prune decisions. Fail fast — 1024-dim inputs must run
+    // [[randomProjection]] first, as documented, not corrupt silently.
+    require(dim <= 128,
+      s"semDedup's exact long-arithmetic cosine is only safe for dim <= 128 " +
+        s"(got $dim); reduce with randomProjection first")
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Long = {
       val hex = md.digest(s"$i:$j".getBytes("UTF-8"))

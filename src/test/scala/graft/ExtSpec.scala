@@ -583,6 +583,33 @@ class ExtSpec extends SparkSpec {
     assert(recall > 0.7, s"nearest-neighbor recall $recall too low")
   }
 
+  test("lshTopK candidate budget refuses degenerate (single-bucket) embeddings") {
+    // All-identical vectors sign-hash into ONE bucket per table: the
+    // bucket self-join would go quadratic. The guard must estimate that
+    // from the bucket frame and refuse before launching the join.
+    val degenerate = spark.range(0, 200)
+      .select($"id".as("vec_id"),
+        typedLit(Array.fill(8)(1.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(degenerate, k = 1, tables = 4, planesPerTable = 6,
+        maxCandidatePairs = 10000L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
+
+  test("lshTopK auto-scales planes to corpus size and leaves no caches") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // planesPerTable = 0 (auto): occupancy-scaled resolution; result is
+    // still a valid per-vector top-k frame.
+    val out = Similarity.lshTopK(embs, k = 1, tables = 8)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.size <= 1,
+      s"lshTopK left ${leaked.size} persistent RDDs (expected ≤1 result checkpoint)")
+  }
+
   test("blocked distributed exact top-k equals the broadcast path bit-for-bit") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val viaBroadcast = Similarity.bruteForceTopK(embs, k = 3).collect()
