@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
   * epoch order), and the global position is a two-level rank (same
   * technique as [[Chunking.packManifest]]'s prefix sum):
   *
-  *   level 1: rows bucket by their first 2 hash hex chars (256 buckets —
-  *     lexicographically ordered prefix = order of the full hash, so
-  *     bucket order IS global order); row_number within bucket runs
-  *     distributed, 256-way parallel;
+  *   level 1: rows bucket by their first `hexChars` hash hex chars
+  *     (16^hexChars buckets — lexicographically ordered prefix = order of
+  *     the full hash, so bucket order IS global order); row_number within
+  *     bucket runs distributed, 16^hexChars-way parallel;
   *   level 2: one count per bucket, cumulated in a single-partition
-  *     window over <= 256 rows, broadcast back as the bucket's offset.
+  *     window over <= 16^hexChars rows, broadcast back as the bucket's
+  *     offset.
+  *
+  * `position` is provably INVARIANT to `hexChars`: the global order key
+  * is always the full (hash, id) pair — the bucket prefix only decides
+  * how that total order is chunked for parallelism. Default 4 (65,536
+  * buckets): at 100 TB the per-bucket sort task holds corpus/65,536 rows
+  * (~1.5 GB at 10¹⁰ docs) where 2 hex chars would hold a ~400 GB
+  * single-task sort; the level-2 window stays trivially bounded
+  * (65,536 count rows on one partition).
   *
   * position = bucket_offset + local_rank (1-based). Ties between equal
   * hashes (never observed for md5, but determinism must not rest on
@@ -44,16 +53,20 @@ object Shuffling {
       df: DataFrame,
       idCol: String,
       seed: String = "epoch0",
-      nShards: Int = 0): DataFrame = {
+      nShards: Int = 0,
+      hexChars: Int = 4): DataFrame = {
     require(nShards >= 0, s"nShards must be >= 0, got $nShards")
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1,8] (16^hexChars level-1 buckets), got $hexChars")
     val key = Sampling.saltedMd5(col(idCol), seed)
     val withKey = df.withColumn("__k", key)
-      .withColumn("__b", substring(col("__k"), 1, 2))
+      .withColumn("__b", substring(col("__k"), 1, hexChars))
     val wLocal = Window.partitionBy(col("__b"))
       .orderBy(col("__k"), col(idCol))
     val local = withKey.withColumn("__r", row_number().over(wLocal))
     val counts = withKey.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-    // single-partition window over <= 256 rows — bounded at any scale
+    // single-partition window over <= 16^hexChars count rows — bounded at
+    // any scale (65,536 rows at the default)
     val wBuckets = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts

@@ -114,6 +114,18 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.map { case (d, p, _) => d -> p }.toMap === naive)
   }
 
+  test("permute position is invariant to hexChars (bucket width = parallelism only)") {
+    // The global order key is the full (hash, id) pair; the hex-prefix
+    // bucket only chunks that total order for parallelism — so ANY
+    // bucket width must yield bit-identical positions.
+    val byWidth = Seq(1, 2, 4).map { w =>
+      Shuffling.permute(corpus, "doc_id", seed = "epoch0", hexChars = w)
+        .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+    }
+    assert(byWidth.tail.forall(_ === byWidth.head),
+      "position must not depend on the level-1 bucket width")
+  }
+
   test("permute order changes with the seed but stays a permutation") {
     def order(seed: String) =
       Shuffling.permute(corpus, "doc_id", seed = seed)
