@@ -1,0 +1,295 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.Versioned
+
+/** Persisted ANN index — the embeddings analogue of
+  * [[IncrementalDedup]]'s Versioned band index: build ONCE as published
+  * parquet state, query MANY times with no training stage in the query
+  * plan.
+  *
+  * Why this exists: the inline [[Similarity.lshTopK]]/[[Similarity.ivfTopK]]
+  * re-derive buckets/centroids on every call. At 100 TB, index
+  * construction (a full corpus scan + for IVF a Lloyd iteration) dwarfs
+  * any single query; the deployed shape is a build-side pipeline that
+  * publishes the index to the lake and a query side that only reads it —
+  * FAISS's train/add vs search split, expressed as Versioned tables.
+  *
+  * Layout (all [[Versioned]] snapshot tables under one state root):
+  *  - LSH:  `vectors`  (vec_id, embedding) — the re-rank source;
+  *          `buckets`  (vec_id, table, bucket), min/max stats on
+  *                     (table, bucket) so probe reads can skip row groups;
+  *          `meta`     1 row (tables, planes, seed, dim, n) — everything
+  *                     a query needs to hash itself into the same space.
+  *  - IVF:  `cells`     (vec_id, cell, embedding), stats on cell;
+  *          `centroids` (cell, pos, v) — nCells × dim doubles;
+  *          `ivf_meta`  1 row (n_cells, iters, dim, n).
+  *
+  * Build publishes the meta table LAST: `exists` keys on it, so a crash
+  * mid-build is invisible (next build re-publishes; snapshot semantics
+  * make each publish atomic).
+  *
+  * Scale posture: query cost is (query rows × tables) bucket hashes +
+  * an equi-join against the published bucket table + re-rank over the
+  * matched cells/buckets only — no corpus-wide training scan. The same
+  * candidate-pair budget guard as [[Similarity.lshTopK]] protects the
+  * probe join from degenerate (single-bucket) skew.
+  */
+object AnnIndex {
+
+  final case class LshMeta(tables: Int, planes: Int, seed: Long, dim: Int, n: Long)
+  final case class IvfMeta(nCells: Int, iters: Int, dim: Int, n: Long)
+
+  // Query-side model memoization, keyed by (table root, published
+  // version): the build-once/query-many contract makes the small driver-
+  // side models (LSH meta: 5 scalars; IVF: nCells × dim doubles) safe to
+  // cache per JVM — a republish bumps the version and naturally
+  // invalidates. Saves 1-2 small Spark jobs per query call, which at
+  // bench scale is most of the query's fixed cost.
+  private val lshMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), LshMeta]()
+  private val ivfModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, Int, Array[Array[Double]])]()
+
+  private def vectorsRoot(stateRoot: String) = s"$stateRoot/vectors"
+  private def bucketsRoot(stateRoot: String) = s"$stateRoot/buckets"
+  private def metaRoot(stateRoot: String) = s"$stateRoot/meta"
+  private def cellsRoot(stateRoot: String) = s"$stateRoot/cells"
+  private def centroidsRoot(stateRoot: String) = s"$stateRoot/centroids"
+  private def ivfMetaRoot(stateRoot: String) = s"$stateRoot/ivf_meta"
+
+  /** True once a complete LSH index is published under `stateRoot`. */
+  def lshExists(stateRoot: String): Boolean = Versioned.exists(metaRoot(stateRoot))
+
+  /** True once a complete IVF index is published under `stateRoot`. */
+  def ivfExists(stateRoot: String): Boolean = Versioned.exists(ivfMetaRoot(stateRoot))
+
+  /** Build + publish the SRP-LSH index. `planesPerTable = 0` auto-scales
+    * to corpus size exactly like [[Similarity.lshTopK]] (occupancy ≈
+    * `targetBucketRows` at any scale). Returns the resolved meta.
+    */
+  def buildLshIndex(
+      embeddings: DataFrame,
+      stateRoot: String,
+      tables: Int = 16,
+      planesPerTable: Int = 0,
+      seed: Long = 42L,
+      targetBucketRows: Long = 64L): LshMeta = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val dim = Similarity.vecDim(base, "embedding")
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else math.min(62, math.max(1,
+        math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
+          / math.log(2.0)).toInt))
+    val buckets = Similarity.lshBuckets(base, tables, planes, seed).toDF()
+    Versioned.publish(base, vectorsRoot(stateRoot))
+    Versioned.publish(buckets, bucketsRoot(stateRoot),
+      statsCols = Seq("table", "bucket"))
+    val meta = LshMeta(tables, planes, seed, dim, n)
+    Versioned.publish(
+      Seq((meta.tables, meta.planes, meta.seed, meta.dim, meta.n))
+        .toDF("tables", "planes", "seed", "dim", "n"),
+      metaRoot(stateRoot))
+    meta
+  }
+
+  def readLshMeta(spark: SparkSession, stateRoot: String): LshMeta = {
+    val v = Versioned.currentVersion(metaRoot(stateRoot)).getOrElse(
+      throw new IllegalStateException(s"no LSH index published under $stateRoot"))
+    lshMetaCache.computeIfAbsent((stateRoot, v), { _ =>
+      val r = Versioned.read(spark, metaRoot(stateRoot)).head
+      LshMeta(r.getAs[Int]("tables"), r.getAs[Int]("planes"),
+        r.getAs[Long]("seed"), r.getAs[Int]("dim"), r.getAs[Long]("n"))
+    })
+  }
+
+  /** ANN top-k for `queries` (vec_id, embedding) against the PUBLISHED
+    * LSH index — no training stage in this plan: the query side hashes
+    * itself with the meta's (tables, planes, seed), equi-joins the
+    * published bucket table, and exact-ranks against the published
+    * vectors. Self-matches (same vec_id) are excluded, so querying the
+    * indexed corpus with itself reproduces the inline
+    * [[Similarity.lshTopK]] semantics.
+    */
+  def lshTopKIndexed(
+      spark: SparkSession,
+      queries: DataFrame,
+      stateRoot: String,
+      k: Int,
+      maxCandidatePairs: Long = 200000000L): DataFrame = {
+    import spark.implicits._
+    val meta = readLshMeta(spark, stateRoot)
+    val qdim = Similarity.vecDim(queries, "embedding")
+    require(qdim == meta.dim,
+      s"query dim $qdim != indexed dim ${meta.dim} — wrong index for this frame")
+    // reuse the probe's dim — lshBucketsDim skips a second one-row job
+    val qBuckets = Similarity
+      .lshBucketsDim(queries.select(col("vec_id"), col("embedding")),
+        meta.tables, meta.planes, meta.seed, meta.dim)
+      .toDF().cache()
+    try {
+      val idxBuckets = Versioned.read(spark, bucketsRoot(stateRoot))
+      // The estimate job is skippable by driver arithmetic when even the
+      // fully-degenerate worst case (every index vector in ONE bucket per
+      // table: per query row ≤ tables·n candidates, total ≤ tables·n²
+      // for a self-search) cannot exceed the budget — a small index
+      // cannot produce a quadratic surprise, only work linear in the
+      // query count.
+      if (maxCandidatePairs > 0 &&
+        meta.tables.toDouble * meta.n.toDouble * meta.n.toDouble
+          > maxCandidatePairs.toDouble) {
+        // same Σ q(b)·i(b) estimate as fuzzyJoin/lshTopK: refuse the probe
+        // join when bucket skew (degenerate embeddings) would explode it
+        val qc = qBuckets.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("qc"))
+        val ic = idxBuckets.groupBy(col("table"), col("bucket"))
+          .agg(count(lit(1)).as("ic"))
+        val est = qc.join(ic, Seq("table", "bucket"))
+          .agg(sum(col("qc").cast("double") * col("ic").cast("double")))
+          .head.getAs[Any](0) match {
+            case null => 0.0
+            case d: java.lang.Double => d.doubleValue
+          }
+        require(est <= maxCandidatePairs.toDouble,
+          f"lshTopKIndexed would probe ~$est%.3g candidate pairs " +
+            f"(budget $maxCandidatePairs); rebuild with more planes or raise " +
+            "maxCandidatePairs deliberately")
+      }
+      val candidates = qBuckets.as("x")
+        .join(idxBuckets.as("y"),
+          col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket")
+            && col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
+        .distinct()
+      val vecs = Versioned.read(spark, vectorsRoot(stateRoot))
+      val scored = candidates
+        .join(queries.select(col("vec_id"), col("embedding").as("emb_a")), Seq("vec_id"))
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("emb_b")), Seq("neighbor_id"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (nid, qid, a, b) => (qid, nid, Similarity.cosine(a, b)) }
+        .toDF("vec_id", "neighbor_id", "score")
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("score").desc, col("neighbor_id"))))
+        .where(col("rank") <= k)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+        .localCheckpoint(true)
+    } finally qBuckets.unpersist(false)
+  }
+
+  /** Build + publish the IVF index: deterministic centroids
+    * ([[Similarity.ivfCentroids]] — hash-seeded, Lloyd-refined, no RNG)
+    * plus every vector assigned to its best cell. Returns the meta.
+    */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      stateRoot: String,
+      nCells: Int = 16,
+      iters: Int = 2): IvfMeta = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    val dim = Similarity.vecDim(base, "embedding")
+    val centroids = Similarity.ivfCentroids(base, nCells, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = base.as[(Long, Array[Float])].map { case (id, v) =>
+      val cs = bc.value
+      var best = 0; var bestScore = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        val s = Similarity.cosineVs(v, cs(c))
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      (id, best, v)
+    }.toDF("vec_id", "cell", "embedding")
+    Versioned.publish(assigned, cellsRoot(stateRoot), statsCols = Seq("cell"))
+    val centroidRows = centroids.zipWithIndex.flatMap { case (cv, c) =>
+      cv.zipWithIndex.map { case (v, pos) => (c, pos, v) }
+    }.toSeq
+    Versioned.publish(centroidRows.toDF("cell", "pos", "v"),
+      centroidsRoot(stateRoot))
+    val meta = IvfMeta(nCells, iters, dim, n)
+    Versioned.publish(
+      Seq((meta.nCells, meta.iters, meta.dim, meta.n))
+        .toDF("n_cells", "iters", "dim", "n"),
+      ivfMetaRoot(stateRoot))
+    meta
+  }
+
+  /** ANN top-k against the PUBLISHED IVF index: the (nCells × dim)
+    * centroid model is read back to the driver (small by contract),
+    * queries probe their `nprobe` best cells, and only those cells'
+    * published members are re-ranked — partition-pruned search with no
+    * Lloyd iteration anywhere in the plan.
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      queries: DataFrame,
+      stateRoot: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val v = Versioned.currentVersion(ivfMetaRoot(stateRoot)).getOrElse(
+      throw new IllegalStateException(s"no IVF index published under $stateRoot"))
+    val (nCells, dim, centroids) =
+      ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
+        val metaRow = Versioned.read(spark, ivfMetaRoot(stateRoot)).head
+        val nc = metaRow.getAs[Int]("n_cells")
+        val d = metaRow.getAs[Int]("dim")
+        val cs: Array[Array[Double]] = Versioned
+          .read(spark, centroidsRoot(stateRoot))
+          .select(col("cell"), col("pos"), col("v"))
+          .as[(Int, Int, Double)].collect()
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3)).toArray
+        require(cs.length == nc,
+          s"published centroid table has ${cs.length} cells, meta says $nc")
+        (nc, d, cs)
+      })
+    require(nCells >= 1, s"published IVF index has no cells")
+    val qdim = Similarity.vecDim(queries, "embedding")
+    require(qdim == dim,
+      s"query dim $qdim != indexed dim $dim — wrong index for this frame")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        cs.indices
+          .map(c => (c, Similarity.cosineVs(v, cs(c))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(nprobe)
+          .iterator
+          .map { case (c, _) => (id, v, c) }
+      }.toDF("vec_id", "emb_a", "cell")
+    val cells = Versioned.read(spark, cellsRoot(stateRoot))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("emb_b"))
+    import org.apache.spark.sql.expressions.Window
+    probes
+      .join(cells, Seq("cell"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (qid, nid, a, b) => (qid, nid, Similarity.cosine(a, b)) }
+      .toDF("vec_id", "neighbor_id", "score")
+      .distinct() // a pair may meet in several probed cells
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+}
