@@ -22,7 +22,10 @@ import graft.functions.BpeMergePair
   *
   * Driver-side state is O(numMerges) merge rules — never data. Rounds
   * are sequential by nature (merge k+1's counts depend on merge k); the
-  * parallelism is within each round, over the vocabulary.
+  * parallelism is within each round, over the vocabulary — and each
+  * round BATCHES up to `maxMergesPerRound` provably-independent merges
+  * (see [[learn]]), so a 32k vocabulary costs ~vocab/batch rounds, not
+  * 32k driver round-trips.
   *
   * No DuckDB oracle: the greedy merge's sequential dependence has no
   * safe SQL spelling (string-replace re-spellings break on
@@ -42,14 +45,40 @@ object Bpe {
 
   /** Learn `numMerges` merge rules from the corpus. Returns the rules in
     * training order; stops early when no pair reaches `minPairCount`.
+    *
+    * MERGE BATCHING (the 32k-vocab lever): each round costs 2 Spark jobs
+    * (pair-count aggregate + checkpoint of the merged vocabulary), so
+    * 1 merge/round makes the driver loop the bottleneck by design. A
+    * round therefore applies up to `maxMergesPerRound` merges chosen so
+    * the batch is PROVABLY identical to running them sequentially:
+    * walking the (count desc, left, right)-sorted pair list, a pair is
+    * batched only while (a) its symbols — left, right, AND the produced
+    * left+right — are disjoint from every earlier selection's, and (b)
+    * its count is STRICTLY below the previous selection's; the batch is
+    * cut at the first violating entry, and the last selection is dropped
+    * if that cut entry ties its count.
+    *
+    * Why that is exact: merging a pair only creates/destroys adjacencies
+    * that touch its symbols, so a fully-disjoint pair's count is
+    * invariant under the earlier merges, and every NEW pair's count is
+    * bounded by the old count of a parent pair that SHARES a symbol with
+    * a merged one. All such touching pairs rank at or after the cut
+    * (else the walk would have cut sooner), whose count is strictly
+    * below every surviving selection — so at each sequential step the
+    * batched pair is the unique argmax, ties included. Worst case
+    * (adjacent equal counts at the head) degrades to 1 merge/round —
+    * never wrong, just slower.
     */
   def learn(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minPairCount: Long = 2L): Seq[Merge] = {
-    require(numMerges >= 1 && numMerges <= 4096,
-      s"numMerges must be in [1,4096], got $numMerges")
+      minPairCount: Long = 2L,
+      maxMergesPerRound: Int = 64): Seq[Merge] = {
+    require(numMerges >= 1 && numMerges <= 32768,
+      s"numMerges must be in [1,32768], got $numMerges")
+    require(maxMergesPerRound >= 1,
+      s"maxMergesPerRound must be >= 1, got $maxMergesPerRound")
     val words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
@@ -60,6 +89,9 @@ object Bpe {
     var k = 0
     var done = false
     while (k < numMerges && !done) {
+      val want = math.min(maxMergesPerRound, numMerges - k)
+      // want+1 rows: the (want+1)-th entry is the tie-checker for a batch
+      // that fills without meeting a violating entry
       val top = cur
         .select(col("cnt"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
@@ -67,17 +99,41 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(desc("pc"), col("l"), col("r"))
-        .limit(1)
+        .limit(want + 1)
         .collect()
       if (top.isEmpty || top(0).getAs[Long]("pc") < minPairCount) done = true
       else {
-        val (l, r, pc) =
-          (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
-            top(0).getAs[Long]("pc"))
-        merges += Merge(k, l, r, pc)
-        cur = cur.withColumn("syms", BpeMergePair.column(col("syms"), l, r))
-          .localCheckpoint(true)
-        k += 1
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var cutPc: Option[Long] = None
+        var i = 0
+        var stop = false
+        while (i < top.length && !stop && sel.size < want) {
+          val (l, r, pc) = (top(i).getAs[String]("l"), top(i).getAs[String]("r"),
+            top(i).getAs[Long]("pc"))
+          if (pc < minPairCount) stop = true // below-threshold tail can't spoil
+          else if (sel.isEmpty ||
+            (pc < sel.last._3 && !used(l) && !used(r) && !used(l + r))) {
+            sel += ((l, r, pc))
+            used += l; used += r; used += (l + r)
+          } else { cutPc = Some(pc); stop = true }
+          i += 1
+        }
+        if (sel.size == want && i < top.length && cutPc.isEmpty)
+          cutPc = Some(top(i).getAs[Long]("pc"))
+        // a cut entry tying the last selection could seed an equal-count
+        // new pair that lex-sorts earlier — drop the tied selection (the
+        // head selection is always the old-table argmax and always safe)
+        cutPc.foreach { c =>
+          while (sel.size >= 2 && sel.last._3 <= c) sel.remove(sel.size - 1)
+        }
+        sel.foreach { case (l, r, pc) =>
+          merges += Merge(k, l, r, pc)
+          k += 1
+        }
+        cur = sel.foldLeft(cur) { case (acc, (l, r, _)) =>
+          acc.withColumn("syms", BpeMergePair.column(col("syms"), l, r))
+        }.localCheckpoint(true)
       }
     }
     merges.result()

@@ -63,6 +63,56 @@ class BpeSpec extends SparkSpec {
     assert(got(1) === (("es", "t", 9L)))
   }
 
+  test("batched rounds reproduce the sequential reference exactly (classic corpus)") {
+    // maxMergesPerRound > 1 engages the disjoint-batch selection; the
+    // result must be bit-identical to the 1-merge/round sequential
+    // semantics (proof in Bpe.learn's scaladoc, pinned here).
+    val want = refBpe(classicCounts, 8)
+    Seq(2, 4, 8, 64).foreach { batch =>
+      val got = Bpe.learn(classicDf, "text", numMerges = 8, minPairCount = 1L,
+        maxMergesPerRound = batch)
+        .map(m => (m.left, m.right, m.pairCount))
+      assert(got === want, s"batch=$batch diverged from sequential")
+    }
+  }
+
+  test("batched rounds reproduce sequential merges on an adversarial tied corpus") {
+    // Equal head counts + chained symbols (the batch-cut paths): merges
+    // must still match the sequential reference exactly.
+    val words = Map("abab" -> 4L, "abcd" -> 4L, "cdcd" -> 4L, "xyxy" -> 3L,
+      "pq" -> 4L, "pqr" -> 2L)
+    val text = words.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val want = refBpe(words, 10)
+    Seq(1, 2, 3, 64).foreach { batch =>
+      val got = Bpe.learn(df, "text", numMerges = 10, minPairCount = 1L,
+        maxMergesPerRound = batch)
+        .map(m => (m.left, m.right, m.pairCount))
+      assert(got === want, s"batch=$batch diverged from sequential on ties")
+    }
+  }
+
+  test("batched rounds match sequential on random corpora (property check)") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 4).foreach { trial =>
+      val alphabet = "abcde"
+      val words = (1 to 12).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1L + rnd.nextInt(6))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val text = words.toSeq.sortBy(_._1)
+        .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val want = refBpe(words, 12)
+      val got = Bpe.learn(df, "text", numMerges = 12, minPairCount = 1L,
+        maxMergesPerRound = 64)
+        .map(m => (m.left, m.right, m.pairCount))
+      assert(got === want, s"trial $trial: batched diverged on corpus $words")
+    }
+  }
+
   test("greedy merge is left-to-right on overlapping repeats") {
     val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
     // first merge must be (a,a); "aaa" -> [aa, a], "aaaa" -> [aa, aa]
