@@ -25,7 +25,7 @@ object ProfileFuzzy {
     val right = cust.select((col("c_custkey") + 10000000L).as("c_custkey"),
       concat(substring(col("c_name"), 1, 9), lit("x"),
         substring(col("c_name"), 11, 999)).as("c_name"))
-    t("warm")(left.count())
+    t("warmup")(left.count())
     def run(tag: String): Unit = {
       val out = graft.ext.Fuzzy.fuzzyJoin(left, "c_custkey", "c_name",
         right, "c_custkey", "c_name", n = 3, threshold = 0.8,
