@@ -104,7 +104,7 @@ object AnnIndex {
     val v = Versioned.currentVersion(metaRoot(stateRoot)).getOrElse(
       throw new IllegalStateException(s"no LSH index published under $stateRoot"))
     lshMetaCache.computeIfAbsent((stateRoot, v), { _ =>
-      val r = Versioned.read(spark, metaRoot(stateRoot)).head
+      val r = Versioned.read(spark, metaRoot(stateRoot)).head()
       LshMeta(r.getAs[Int]("tables"), r.getAs[Int]("planes"),
         r.getAs[Long]("seed"), r.getAs[Int]("dim"), r.getAs[Long]("n"))
     })
@@ -153,7 +153,7 @@ object AnnIndex {
           .agg(count(lit(1)).as("ic"))
         val est = qc.join(ic, Seq("table", "bucket"))
           .agg(sum(col("qc").cast("double") * col("ic").cast("double")))
-          .head.getAs[Any](0) match {
+          .head().getAs[Any](0) match {
             case null => 0.0
             case d: java.lang.Double => d.doubleValue
           }
@@ -245,7 +245,7 @@ object AnnIndex {
       throw new IllegalStateException(s"no IVF index published under $stateRoot"))
     val (nCells, dim, centroids) =
       ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
-        val metaRow = Versioned.read(spark, ivfMetaRoot(stateRoot)).head
+        val metaRow = Versioned.read(spark, ivfMetaRoot(stateRoot)).head()
         val nc = metaRow.getAs[Int]("n_cells")
         val d = metaRow.getAs[Int]("dim")
         val cs: Array[Array[Double]] = Versioned

@@ -170,7 +170,7 @@ object Dedup {
         // overflow 64-bit integer arithmetic (that is the point of it)
         val est = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
           .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
-          .head.getAs[Any](0) match {
+          .head().getAs[Any](0) match {
             case null => 0.0
             case d: java.lang.Double => d.doubleValue
           }

@@ -163,7 +163,7 @@ object Fuzzy {
       val fr = prefR.groupBy("g").agg(count(lit(1)).as("dr"))
       val est = fl.join(fr, "g")
         .agg(sum(col("dl").cast(DoubleType) * col("dr").cast(DoubleType)))
-        .head.getAs[Any](0) match {
+        .head().getAs[Any](0) match {
           case null => 0.0
           case d: java.lang.Double => d.doubleValue
         }

@@ -355,7 +355,7 @@ object Similarity {
         val est = buckets.groupBy(col("table"), col("bucket"))
           .agg(count(lit(1)).as("c"))
           .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double")))
-          .head.getAs[Any](0) match {
+          .head().getAs[Any](0) match {
             case null => 0.0
             case d: java.lang.Double => d.doubleValue
           }
