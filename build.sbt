@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits thousands of JIT-compiled classes over a
+  // 100+ query catalog; the JVM's default 240 MB code cache fills, the
+  // JIT disables itself, and later queries run interpreted (observed as
+  // a progressive 3-10x slowdown across bench rounds, canary included).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -43,23 +43,32 @@ object Bench {
     // caches only a query's own just-checkpointed result (0-2 entries,
     // released by cleanup) should ever appear.
     var maxRdds = 0
+    var cleanupCounter = 0
     val canaries = Seq.newBuilder[(Double, Double)]
-    val samples: Seq[Map[String, Double]] = (1 to n).map { _ =>
+    val samples: Seq[Map[String, Double]] = (1 to n).map { round =>
       val cStart = canarySec(spark)
       val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
+        // per-round diagnostics on stderr (the harness parses only the
+        // final stdout JSON line): makes cross-round degradation — the
+        // round-5/6 failure mode — attributable to specific queries
+        System.err.println(f"[bench] round=$round $name $sec%.3f")
         maxRdds = math.max(maxRdds, spark.sparkContext.getPersistentRDDs.size)
         // Isolation between timed queries: drop any cached plans and any
         // persistent RDDs (e.g. a returned localCheckpoint whose frame is
-        // now unreferenced), then let the ContextCleaner reap broadcasts.
-        // Medians must measure the ENGINE, not the accumulated session
-        // state of whatever ran before (the round-5 artifact lesson).
+        // now unreferenced). Medians must measure the ENGINE, not the
+        // accumulated session state of whatever ran before (the round-5
+        // artifact lesson). GC runs PERIODICALLY, not per query: its only
+        // job is driving the ContextCleaner (shuffle files, broadcasts) —
+        // 300+ forced full collections both waste wall-clock and sweep
+        // warm JIT state the next query would reuse.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        System.gc()
+        cleanupCounter += 1
+        if (cleanupCounter % 16 == 0) System.gc()
         name -> sec
       }
       val cEnd = canarySec(spark)
