@@ -48,6 +48,18 @@ class BenchLineSpec extends AnyFunSuite {
       + keptSec - median.values.sum) < 0.05)
   }
 
+  test("canary, max_rdds, and total_min fields render as valid JSON") {
+    val median = Map("q01" -> 1.5, "q02" -> 0.5)
+    val line = Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      canaries = Seq((0.1, 0.2), (0.15, 0.25)), maxRdds = 2, minTotal = 1.8)
+    val j = parse(line)
+    assert(j.get("canary_sec").size === 2)
+    assert(j.get("canary_sec").get(0).get(0).asDouble === 0.1)
+    assert(j.get("max_rdds").asInt === 2)
+    assert(math.abs(j.get("total_min").asDouble - 1.8) < 0.001)
+    assert(math.abs(j.get("value").asDouble - 2.0) < 0.001)
+  }
+
   test("degenerate budget still yields parseable JSON") {
     val median = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val line = Bench.renderLine(median, n = 1, sfDir = "/tmp", budget = 10)
