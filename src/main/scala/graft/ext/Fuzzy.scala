@@ -129,9 +129,11 @@ object Fuzzy {
         (borrow(l0.join(broadcast(keep), "g")),
           borrow(r0.join(broadcast(keep), "g")))
     }
-    // sizes in the SAME gram space as the intersections (object doc)
-    val sizesL = lp.groupBy(col("id_l")).agg(count(lit(1)).as("n_l"))
-    val sizesR = rp.groupBy(col("id_r")).agg(count(lit(1)).as("n_r"))
+    // sizes in the SAME gram space as the intersections (object doc) —
+    // computed INSIDE the prefix window pass (count over the same id
+    // partition the ranking sorts), not as separate groupBy+join stages:
+    // the freq join is 1:1 on g, so the per-id row count there equals
+    // |pruned gram set| exactly.
     // ── PPJoin-style prefix filtering (candidate PRUNING only — the
     // result set is identical with or without it). For jaccard >= t,
     // any qualifying pair needs overlap o >= ceil(t·n) on BOTH sides
@@ -145,19 +147,22 @@ object Fuzzy {
     // lengthens a prefix by at most one gram when t·n sits on an IEEE
     // representation boundary — conservative by construction (a longer
     // prefix only ever ADDS candidates).
-    def prefixed(grams: DataFrame, idCol: String, sizes: DataFrame,
-        sizeCol: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("df_g"), col("g"))
+    def prefixed(grams: DataFrame, idCol: String, sizeCol: String): DataFrame = {
+      val wPart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+      val wOrd = wPart.orderBy(col("df_g"), col("g"))
+      // one exchange serves both window functions (same partitioning):
+      // the unordered full-partition count IS the key's pruned-gram-set
+      // size, the ordered row_number is the prefix rank
       grams.join(broadcast(freq), "g")
-        .join(sizes, idCol)
-        .withColumn("__rk", row_number().over(w))
+        .withColumn(sizeCol, count(lit(1)).over(wPart))
+        .withColumn("__rk", row_number().over(wOrd))
         .where(col("__rk") <=
           col(sizeCol) - ceil(col(sizeCol) * lit(threshold) - lit(1e-9)) + 1)
         .select(col("g"), col(idCol), col(sizeCol))
     }
-    val prefL = borrow(prefixed(lp, "id_l", sizesL, "n_l"))
-    val prefR = borrow(prefixed(rp, "id_r", sizesR, "n_r"))
+    val prefL = borrow(prefixed(lp, "id_l", "n_l"))
+    val prefR = borrow(prefixed(rp, "id_r", "n_r"))
     if (maxCandidatePairs > 0) {
       val fl = prefL.groupBy("g").agg(count(lit(1)).as("dl"))
       val fr = prefR.groupBy("g").agg(count(lit(1)).as("dr"))
@@ -172,19 +177,20 @@ object Fuzzy {
           f"(budget $maxCandidatePairs); tighten maxGramFreq or raise " +
           "maxCandidatePairs deliberately")
     }
-    // length filter (same conservative slack), then distinct pairs
+    // length filter (same conservative slack), then distinct pairs.
+    // n_l/n_r are functionally dependent on their ids, so carrying them
+    // through the distinct (and later the groupBy keys) changes no
+    // cardinality — and eliminates the two post-aggregation size joins.
     val cand = prefL.join(prefR, Seq("g"))
       .where(col("n_l").cast(DoubleType) >= lit(threshold) * col("n_r") - lit(1e-9) &&
         col("n_r").cast(DoubleType) >= lit(threshold) * col("n_l") - lit(1e-9))
-      .select(col("id_l"), col("id_r")).distinct()
+      .select(col("id_l"), col("id_r"), col("n_l"), col("n_r")).distinct()
     // verification: exact intersection counts over the FULL pruned gram
     // sets, restricted to the surviving candidates
     cand.join(lp, Seq("id_l"))
       .join(rp, Seq("g", "id_r"))
-      .groupBy(col("id_l"), col("id_r"))
+      .groupBy(col("id_l"), col("id_r"), col("n_l"), col("n_r"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizesL, Seq("id_l"))
-      .join(sizesR, Seq("id_r"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType)
           / (col("n_l") + col("n_r") - col("n_common")).cast(DoubleType))
