@@ -862,12 +862,12 @@ object ExtQueries {
     */
   def x88CdcApplyStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val streamDir = Files.createTempDirectory("graft-cdc-src")
+    val streamDir = graft.streaming.Streams.scratchDir("graft-cdc-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val lake = Files.createTempDirectory("graft-cdc-lake").toString + "/state"
-    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft-cdc-ckpt").toString
     graft.streaming.Streams
       .cdcApplyStreamingFrom(s, streamDir.toString, lake, ckpt)
       .select(col("user_id"), col("event_id"),

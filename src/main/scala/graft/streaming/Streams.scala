@@ -44,6 +44,20 @@ object Streams extends Serializable {
   private val childSessions =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Boolean), SparkSession]()
 
+  /** Ephemeral scratch dir for one-shot stream plumbing — RAM-backed
+    * (/dev/shm) when the host offers it: the offset WAL, commit log, and
+    * state-store files of a Trigger.AvailableNow run are pure scratch
+    * (results are read from the sink, the checkpoint is never resumed),
+    * so their per-micro-batch fsyncs need not touch disk. Durable state
+    * (Versioned tables, lake paths) stays wherever the caller puts it.
+    */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
   /** Memoized per (parent, partition count, no-data policy): one warm
     * child session serves every one-shot stream instead of a cold
     * SessionState + empty codegen cache per query — repeated streaming
@@ -101,11 +115,11 @@ object Streams extends Serializable {
     */
   def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.requireNanosConf(spark)
-    val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
+    val checkpoint = Streams.scratchDir("graft-stream-ckpt").toString
     val sinkName = s"graft_events_hourly_${System.nanoTime()}"
     // The file-stream source requires a directory; expose the single
     // events.parquet through a temp dir of symlinks (testdata is read-only).
-    val streamDir = Files.createTempDirectory("graft-stream-src")
+    val streamDir = Streams.scratchDir("graft-stream-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -246,8 +260,8 @@ object Streams extends Serializable {
     * at production scale emit Update mode into an upserting sink.
     */
   def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val checkpoint = Files.createTempDirectory("graft-dedup-ckpt").toString
-    val streamDir = Files.createTempDirectory("graft-dedup-src")
+    val checkpoint = Streams.scratchDir("graft-dedup-ckpt").toString
+    val streamDir = Streams.scratchDir("graft-dedup-src")
     Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
@@ -285,8 +299,8 @@ object Streams extends Serializable {
     * windows; complete-mode memory sink is the test harness.
     */
   def idempotentEventsStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val checkpoint = Files.createTempDirectory("graft-idem-ckpt").toString
-    val streamDir = Files.createTempDirectory("graft-idem-src")
+    val checkpoint = Streams.scratchDir("graft-idem-ckpt").toString
+    val streamDir = Streams.scratchDir("graft-idem-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -326,8 +340,8 @@ object Streams extends Serializable {
     */
   def enrichedStreaming(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.requireNanosConf(spark)
-    val checkpoint = Files.createTempDirectory("graft-enrich-ckpt").toString
-    val streamDir = Files.createTempDirectory("graft-enrich-src")
+    val checkpoint = Streams.scratchDir("graft-enrich-ckpt").toString
+    val streamDir = Streams.scratchDir("graft-enrich-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -363,8 +377,8 @@ object Streams extends Serializable {
     * Results ≡ the batch spelling, so x103 shares x89's oracle.
     */
   def chunkingStreaming(spark: SparkSession, dir: String): DataFrame = {
-    val checkpoint = Files.createTempDirectory("graft-chunk-ckpt").toString
-    val streamDir = Files.createTempDirectory("graft-chunk-src")
+    val checkpoint = Streams.scratchDir("graft-chunk-ckpt").toString
+    val streamDir = Streams.scratchDir("graft-chunk-src")
     Files.createSymbolicLink(
       streamDir.resolve("documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
@@ -427,12 +441,12 @@ object Streams extends Serializable {
     */
   def scd2IngestStreaming(
       spark: SparkSession, dir: String, lakePath: String): DataFrame = {
-    val streamDir = Files.createTempDirectory("graft-scd2-src")
+    val streamDir = Streams.scratchDir("graft-scd2-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     scd2IngestStreamingFrom(spark, streamDir.toString, lakePath,
-      Files.createTempDirectory("graft-scd2-ckpt").toString)
+      Streams.scratchDir("graft-scd2-ckpt").toString)
   }
 
   /** Caller-managed variant: `sourceDir` is a live ingestion directory the
@@ -531,8 +545,8 @@ object Streams extends Serializable {
       spark: SparkSession, dir: String, windowHours: Int): DataFrame = {
     graft.core.Tables.requireNanosConf(spark)
     val ss = streamSession(spark, noDataBatches = false)
-    val checkpoint = Files.createTempDirectory("graft-ssj-ckpt").toString
-    val streamDir = Files.createTempDirectory("graft-ssj-src")
+    val checkpoint = Streams.scratchDir("graft-ssj-ckpt").toString
+    val streamDir = Streams.scratchDir("graft-ssj-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
@@ -624,8 +638,8 @@ object Streams extends Serializable {
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     graft.core.Tables.requireNanosConf(spark)
-    val checkpoint = Files.createTempDirectory("graft-sess-ckpt").toString
-    val streamDir = Files.createTempDirectory("graft-sess-src")
+    val checkpoint = Streams.scratchDir("graft-sess-ckpt").toString
+    val streamDir = Streams.scratchDir("graft-sess-src")
     Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
