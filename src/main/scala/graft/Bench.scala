@@ -46,7 +46,12 @@ object Bench {
     var cleanupCounter = 0
     val canaries = Seq.newBuilder[(Double, Double)]
     val samples: Seq[Map[String, Double]] = (1 to n).map { round =>
-      val cStart = canarySec(spark)
+      // canary sampled at round start, every 16 queries, and round end —
+      // host contention here arrives in MINUTE-scale bursts that a
+      // boundaries-only sample misses entirely (observed: single queries
+      // spiking 10-80x mid-round with flat boundary canaries)
+      val canarySamples = Seq.newBuilder[Double]
+      canarySamples += canarySec(spark)
       val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -68,11 +73,15 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         cleanupCounter += 1
-        if (cleanupCounter % 16 == 0) System.gc()
+        if (cleanupCounter % 16 == 0) {
+          System.gc()
+          canarySamples += canarySec(spark)
+        }
         name -> sec
       }
-      val cEnd = canarySec(spark)
-      canaries += ((cStart, cEnd))
+      canarySamples += canarySec(spark)
+      val cs = canarySamples.result()
+      canaries += ((cs.min, cs.max))
       m
     }
     val median: Map[String, Double] = names.map { name =>
@@ -93,12 +102,12 @@ object Bench {
     println(line)
   }
 
-  /** Contention canary: a fixed CPU-bound reduction timed at the start
-    * and end of every round. The work never changes, so any drift between
-    * the eight numbers is HOST/SESSION drift (co-tenant load, heap
-    * pressure, accumulated state) — it makes the artifact self-diagnosing
-    * the way the round-5 capture (rows inflated up to 7.7× by capture-time
-    * contention) was not.
+  /** Contention canary: a fixed CPU-bound reduction timed ~9 times per
+    * round (start, every 16 queries, end); the JSON carries each round's
+    * [min, max]. The work never changes, so any spread is HOST/SESSION
+    * drift (co-tenant bursts, heap pressure, accumulated state) — it
+    * makes the artifact self-diagnosing the way the round-5 capture
+    * (rows inflated up to 7.7× by capture-time contention) was not.
     */
   private def canarySec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
