@@ -100,6 +100,69 @@ object AnnIndex {
     meta
   }
 
+  /** Append a delta of embeddings to a published LSH index — FAISS's
+    * `add` phase: the delta hashes under the index's FROZEN projection
+    * (meta's tables/planes/seed never change on append, so existing
+    * bucket assignments stay valid) and lands as Versioned DELTAS —
+    * O(delta) work per delivery, history never rewritten (the
+    * [[Versioned.publishDelta]] log-table shape). Queries see appended
+    * vectors immediately: [[lshTopKIndexed]] reads the manifest union
+    * and sizes its guard from [[Versioned.publishedRows]], not the
+    * build-time meta.n.
+    *
+    * `vec_id` must be unique across the base and every delta (the
+    * document-primary-key contract, as in [[Shuffling.permute]]): a
+    * re-added id would occupy two index slots and duplicate itself in
+    * result rankings. Dedup deliveries first.
+    */
+  def appendLshIndex(delta: DataFrame, stateRoot: String): LshMeta = {
+    val spark = delta.sparkSession
+    val meta = readLshMeta(spark, stateRoot)
+    val base = delta.select(col("vec_id"), col("embedding"))
+    val ddim = Similarity.vecDim(base, "embedding")
+    require(ddim == meta.dim,
+      s"delta dim $ddim != indexed dim ${meta.dim} — wrong index for this frame")
+    val buckets = Similarity
+      .lshBucketsDim(base, meta.tables, meta.planes, meta.seed, meta.dim).toDF()
+    Versioned.publishDelta(base, vectorsRoot(stateRoot))
+    Versioned.publishDelta(buckets, bucketsRoot(stateRoot),
+      statsCols = Seq("table", "bucket"))
+    meta
+  }
+
+  /** Append a delta to a published IVF index: assign the new vectors to
+    * their best cell under the FROZEN centroids (the standard IVF add —
+    * the coarse quantizer is never retrained on append; rebuild when
+    * drift warrants) and publish as a cells delta. O(delta) work.
+    * Same unique-`vec_id` contract as [[appendLshIndex]].
+    */
+  def appendIvfIndex(delta: DataFrame, stateRoot: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val v = Versioned.currentVersion(ivfMetaRoot(stateRoot)).getOrElse(
+      throw new IllegalStateException(s"no IVF index published under $stateRoot"))
+    val (_, dim, centroids) = ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
+      readIvfModel(spark, stateRoot)
+    })
+    val base = delta.select(col("vec_id"), col("embedding"))
+    val ddim = Similarity.vecDim(base, "embedding")
+    require(ddim == dim,
+      s"delta dim $ddim != indexed dim $dim — wrong index for this frame")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = base.as[(Long, Array[Float])].map { case (id, vec) =>
+      val cs = bc.value
+      var best = 0; var bestScore = Double.MinValue
+      var c = 0
+      while (c < cs.length) {
+        val s = Similarity.cosineVs(vec, cs(c))
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      (id, best, vec)
+    }.toDF("vec_id", "cell", "embedding")
+    Versioned.publishDelta(assigned, cellsRoot(stateRoot), statsCols = Seq("cell"))
+  }
+
   def readLshMeta(spark: SparkSession, stateRoot: String): LshMeta = {
     val v = Versioned.currentVersion(metaRoot(stateRoot)).getOrElse(
       throw new IllegalStateException(s"no LSH index published under $stateRoot"))
@@ -108,6 +171,23 @@ object AnnIndex {
       LshMeta(r.getAs[Int]("tables"), r.getAs[Int]("planes"),
         r.getAs[Long]("seed"), r.getAs[Int]("dim"), r.getAs[Long]("n"))
     })
+  }
+
+  private def readIvfModel(
+      spark: SparkSession, stateRoot: String): (Int, Int, Array[Array[Double]]) = {
+    import spark.implicits._
+    val metaRow = Versioned.read(spark, ivfMetaRoot(stateRoot)).head()
+    val nc = metaRow.getAs[Int]("n_cells")
+    val d = metaRow.getAs[Int]("dim")
+    val cs: Array[Array[Double]] = Versioned
+      .read(spark, centroidsRoot(stateRoot))
+      .select(col("cell"), col("pos"), col("v"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    require(cs.length == nc,
+      s"published centroid table has ${cs.length} cells, meta says $nc")
+    (nc, d, cs)
   }
 
   /** ANN top-k for `queries` (vec_id, embedding) against the PUBLISHED
@@ -141,10 +221,13 @@ object AnnIndex {
       // table: per query row ≤ tables·n candidates, total ≤ tables·n²
       // for a self-search) cannot exceed the budget — a small index
       // cannot produce a quadratic surprise, only work linear in the
-      // query count.
+      // query count. n comes from the LIVE manifest's recorded row
+      // counts (no scan), not the build-time meta: appended deltas count
+      // immediately.
+      val liveN = Versioned.publishedRows(vectorsRoot(stateRoot))
+        .getOrElse(meta.n).toDouble
       if (maxCandidatePairs > 0 &&
-        meta.tables.toDouble * meta.n.toDouble * meta.n.toDouble
-          > maxCandidatePairs.toDouble) {
+        meta.tables.toDouble * liveN * liveN > maxCandidatePairs.toDouble) {
         // same Σ q(b)·i(b) estimate as fuzzyJoin/lshTopK: refuse the probe
         // join when bucket skew (degenerate embeddings) would explode it
         val qc = qBuckets.groupBy(col("table"), col("bucket"))
@@ -245,18 +328,7 @@ object AnnIndex {
       throw new IllegalStateException(s"no IVF index published under $stateRoot"))
     val (nCells, dim, centroids) =
       ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
-        val metaRow = Versioned.read(spark, ivfMetaRoot(stateRoot)).head()
-        val nc = metaRow.getAs[Int]("n_cells")
-        val d = metaRow.getAs[Int]("dim")
-        val cs: Array[Array[Double]] = Versioned
-          .read(spark, centroidsRoot(stateRoot))
-          .select(col("cell"), col("pos"), col("v"))
-          .as[(Int, Int, Double)].collect()
-          .groupBy(_._1).toSeq.sortBy(_._1)
-          .map(_._2.sortBy(_._2).map(_._3)).toArray
-        require(cs.length == nc,
-          s"published centroid table has ${cs.length} cells, meta says $nc")
-        (nc, d, cs)
+        readIvfModel(spark, stateRoot)
       })
     require(nCells >= 1, s"published IVF index has no cells")
     val qdim = Similarity.vecDim(queries, "embedding")

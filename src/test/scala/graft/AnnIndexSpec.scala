@@ -72,6 +72,56 @@ class AnnIndexSpec extends SparkSpec {
       .map(t => Versioned.manifest(s"$root/$t")) === before)
   }
 
+  test("LSH append: build(half) + append(half) ≡ build(all) queries") {
+    import org.apache.spark.sql.functions.col
+    val all = embs
+    val half1 = all.where(col("vec_id") % 2 === 0)
+    val half2 = all.where(col("vec_id") % 2 === 1)
+    // explicit planes: the auto-resolver would size from the build half
+    val rootInc = freshRoot("lsh-app-inc")
+    AnnIndex.buildLshIndex(half1, rootInc, tables = 8, planesPerTable = 3)
+    AnnIndex.appendLshIndex(half2, rootInc)
+    val rootFull = freshRoot("lsh-app-full")
+    AnnIndex.buildLshIndex(all, rootFull, tables = 8, planesPerTable = 3)
+    val viaInc = AnnIndex.lshTopKIndexed(spark, all, rootInc, k = 3)
+      .select($"vec_id", $"rank", $"neighbor_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaFull = AnnIndex.lshTopKIndexed(spark, all, rootFull, k = 3)
+      .select($"vec_id", $"rank", $"neighbor_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaInc === viaFull,
+      "incremental append must reproduce the full build's search results " +
+        "(same frozen projection, manifest union of deltas)")
+    // the vectors/buckets tables are LOG tables now: two live versions
+    assert(Versioned.manifest(s"$rootInc/vectors").size === 2)
+    assert(Versioned.manifest(s"$rootInc/buckets").size === 2)
+  }
+
+  test("IVF append: frozen-centroid assignment ≡ full-frame assignment") {
+    import org.apache.spark.sql.functions.col
+    val all = embs
+    val half1 = all.where(col("vec_id") % 2 === 0)
+    val half2 = all.where(col("vec_id") % 2 === 1)
+    val rootInc = freshRoot("ivf-app")
+    // centroids train on half1 ONLY (the frozen coarse quantizer), so the
+    // comparison twin must use the same centroids: build on half1, then
+    // compare appended-index search against querying with cells assigned
+    // from the same frozen model — i.e. an append followed by a query must
+    // include half2 members in the posting lists.
+    AnnIndex.buildIvfIndex(half1, rootInc, nCells = 4, iters = 1)
+    AnnIndex.appendIvfIndex(half2, rootInc)
+    val out = AnnIndex.ivfTopKIndexed(spark, all, rootInc, k = 1, nprobe = 4)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // nprobe = nCells probes EVERY cell, so search is exhaustive over the
+    // indexed vectors: every neighbor that is odd proves appended rows
+    // are live in the posting lists
+    assert(out.nonEmpty && out.values.exists(_ % 2 == 1),
+      "appended (odd-id) vectors must be searchable")
+    // appending never republishes centroids or meta
+    assert(Versioned.manifest(s"$rootInc/centroids").size === 1)
+    assert(Versioned.manifest(s"$rootInc/cells").size === 2)
+  }
+
   test("dimension mismatch between query frame and index fails fast") {
     val root = freshRoot("dim")
     AnnIndex.buildLshIndex(embs, root, tables = 2, planesPerTable = 2)
