@@ -114,6 +114,16 @@ object AnnIndex {
     * document-primary-key contract, as in [[Shuffling.permute]]): a
     * re-added id would occupy two index slots and duplicate itself in
     * result rankings. Dedup deliveries first.
+    *
+    * CRASH SEMANTICS: the two delta publishes are individually atomic
+    * but not jointly — a crash between them leaves the delivery's
+    * vectors searchable-but-unfindable (recall loss only, no wrong
+    * answers: candidates without vectors drop at the inner join), and a
+    * blind RETRY would double-publish the side that committed
+    * (duplicate vector rows corrupt rankings). After a failed append,
+    * rebuild the index (or vacuum the orphan version) instead of
+    * retrying — the [[IncrementalDedup]]-style sync-marker protocol is
+    * the upgrade path if appends ever need to be retried blindly.
     */
   def appendLshIndex(delta: DataFrame, stateRoot: String): LshMeta = {
     val spark = delta.sparkSession
