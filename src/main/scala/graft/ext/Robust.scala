@@ -9,8 +9,27 @@ import org.apache.spark.sql.functions._
   * score distributions real corpora have (one 100 MB document drags the
   * mean past most of the corpus); median + MAD (median absolute
   * deviation) is the standard robust replacement — breakdown point 50%.
+  *
+  * SCAN DISCIPLINE: both operators need their input three times (the
+  * median aggregate, the MAD aggregate over deviations, and the final
+  * per-row join). Callers routinely feed them an EXPENSIVE projection —
+  * x112 pipes in the regex-heavy `TextAnalysis.qualityFeatures` — and
+  * three scans of that projection at 100 TB is 3× the dominant cost.
+  * So the narrow (id, key, val) slice is eagerly materialized ONCE
+  * (`localCheckpoint` — lineage truncated, upstream never re-executed)
+  * and every subsequent pass reads the checkpointed blocks. The
+  * checkpoint is the operator's only persistent entry and is released
+  * when the caller drops the returned frame (CacheHygieneSpec).
   */
 object Robust {
+
+  /** Materialize the narrow input slice once; all three downstream
+    * passes (med, mad, final join) read these blocks instead of
+    * re-running the caller's upstream plan.
+    */
+  private def materializedSlice(
+      df: DataFrame, idCol: String, keyCol: String, valCol: String): DataFrame =
+    df.select(col(idCol), col(keyCol), col(valCol)).localCheckpoint(true)
 
   /** Per-group median/MAD outlier gate over a numeric column.
     *
@@ -35,7 +54,7 @@ object Robust {
       k: Double = 3.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val v: Column = col(valCol).cast("double")
-    val d = df.select(col(idCol), col(keyCol), col(valCol))
+    val d = materializedSlice(df, idCol, keyCol, valCol)
     val med = d.groupBy(col(keyCol))
       .agg(percentile(col(valCol).cast("double"), lit(0.5)).as("med"))
     val dev = d.join(med, keyCol)
@@ -66,7 +85,7 @@ object Robust {
       keyCol: String,
       valCol: String): DataFrame = {
     val v: Column = col(valCol).cast("double")
-    val d = df.select(col(idCol), col(keyCol), col(valCol))
+    val d = materializedSlice(df, idCol, keyCol, valCol)
     val med = d.groupBy(col(keyCol))
       .agg(percentile(col(valCol).cast("double"), lit(0.5)).as("med"))
     val dev = d.join(med, keyCol)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Fuzzy}
+import graft.ext.{Dedup, Fuzzy, Robust}
 
 /** Round-6 cache-lifecycle contract: operators that borrow caches for
   * their own multi-consumed subtrees must unpersist them before
@@ -55,6 +55,38 @@ class CacheHygieneSpec extends SparkSpec {
     val leaked = persistedIds -- before
     assert(leaked.size <= 1,
       s"containmentPairs left ${leaked.size} persistent RDDs (expected ≤1 result checkpoint)")
+  }
+
+  test("robustZ/madOutliers leave only their input checkpoint behind") {
+    val scores = Seq(
+      (1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 12.0), (4L, "a", 50.0),
+      (5L, "b", 1.0), (6L, "b", 2.0), (7L, "b", 3.0))
+      .toDF("doc_id", "source", "score")
+    val before = persistedIds
+    assert(Robust.robustZ(scores, "doc_id", "source", "score").count() == 7)
+    assert(Robust.madOutliers(scores, "doc_id", "source", "score").count() == 7)
+    val leaked = persistedIds -- before
+    assert(leaked.size <= 2,
+      s"robustZ+madOutliers left ${leaked.size} persistent RDDs " +
+        "(expected ≤1 input checkpoint each)")
+  }
+
+  test("robustZ scans its upstream exactly once (x112's 3x-recompute fix)") {
+    // The upstream projection increments an accumulator per row; if the
+    // operator still fed its three passes (med, mad, final join) from the
+    // caller's plan instead of the materialized slice, the count would be
+    // 3x the input size.
+    val acc = spark.sparkContext.longAccumulator("upstream-rows")
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 12.0),
+      (4L, "b", 1.0), (5L, "b", 2.0)).toDF("doc_id", "source", "score")
+    val expensive = base.as[(Long, String, Double)]
+      .map { r => acc.add(1L); r }
+      .toDF("doc_id", "source", "score")
+    val out = Robust.robustZ(expensive, "doc_id", "source", "score")
+    assert(out.count() == 5)
+    assert(acc.value == 5L,
+      s"upstream executed ${acc.value} row-visits for 5 rows — expected exactly one scan")
   }
 
   test("repeated fuzzyJoin calls do not accumulate persistent RDDs") {
