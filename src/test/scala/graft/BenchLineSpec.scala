@@ -60,6 +60,42 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(j.get("value").asDouble - 2.0) < 0.001)
   }
 
+  test("recall, failed, and queries_min fields render as valid JSON") {
+    val median = Map("x41_ann_lsh" -> 4.0, "x43_ann_ivf" -> 3.5, "q01" -> 0.2)
+    val minima = Map("x41_ann_lsh" -> 3.2, "x43_ann_ivf" -> 3.1, "q01" -> 0.18)
+    val line = Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      minima = minima,
+      recall = Map("x41_ann_lsh" -> 0.973, "x43_ann_ivf" -> 0.88),
+      failed = Seq("x99_boom"))
+    val j = parse(line)
+    assert(math.abs(j.get("recall").get("x41_ann_lsh").asDouble - 0.973) < 1e-9)
+    assert(math.abs(j.get("recall").get("x43_ann_ivf").asDouble - 0.88) < 1e-9)
+    assert(j.get("failed").size === 1)
+    assert(j.get("failed").get(0).asText === "x99_boom")
+    // queries_min covers the kept rows (all 3 here, under the 12 cap)
+    assert(j.get("queries_min").size === 3)
+    assert(math.abs(j.get("queries_min").get("x41_ann_lsh").asDouble - 3.2) < 1e-9)
+  }
+
+  test("queries_min is capped at the 12 slowest kept rows and stays in budget") {
+    val median = (1 to 300)
+      .map(i => f"x$i%03d_some_longer_query_name" -> (300 - i) * 0.01).toMap
+    val minima = median.map { case (k, v) => k -> v * 0.9 }
+    val line = Bench.renderLine(median, n = 3, sfDir = "/root/testdata/sf0.1",
+      minima = minima, recall = Map("x41_ann_lsh" -> 0.97),
+      failed = Seq("x050_some_longer_query_name"))
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("queries_min").size <= 12)
+    // minima keys are a subset of the kept queries and are the slowest ones
+    import scala.jdk.CollectionConverters._
+    val keptNames = j.get("queries").fieldNames().asScala.toSet
+    val minNames = j.get("queries_min").fieldNames().asScala.toSet
+    assert(minNames.subsetOf(keptNames))
+    val slowest12 = median.toSeq.sortBy(-_._2).take(12).map(_._1).toSet
+    assert(minNames === slowest12)
+  }
+
   test("degenerate budget still yields parseable JSON") {
     val median = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val line = Bench.renderLine(median, n = 1, sfDir = "/tmp", budget = 10)
