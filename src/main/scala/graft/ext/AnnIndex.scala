@@ -39,8 +39,27 @@ import graft.lake.Versioned
   */
 object AnnIndex {
 
-  final case class LshMeta(tables: Int, planes: Int, seed: Long, dim: Int, n: Long)
-  final case class IvfMeta(nCells: Int, iters: Int, dim: Int, n: Long)
+  /** `sourceTag` is the caller's fingerprint of the indexed source (row
+    * count, file digest, a data version — anything that changes when the
+    * data does). It is recorded at build time and VALIDATED at query time
+    * when the caller passes `expectedSourceTag`: a published index can
+    * otherwise silently serve stale neighbors after the source is
+    * regenerated in place (r6 verdict, What's wrong #2). Empty = untagged.
+    */
+  final case class LshMeta(tables: Int, planes: Int, seed: Long, dim: Int,
+      n: Long, sourceTag: String = "")
+  final case class IvfMeta(nCells: Int, iters: Int, dim: Int, n: Long,
+      sourceTag: String = "")
+
+  private def requireFreshTag(
+      kind: String, stateRoot: String, indexed: String,
+      expected: Option[String]): Unit =
+    expected.foreach { want =>
+      require(indexed == want,
+        s"$kind index at $stateRoot is STALE: built from source tagged " +
+          s"'$indexed' but the caller expects '$want' — the source data " +
+          "changed since the build. Rebuild the index (or drop the root).")
+    }
 
   // Query-side model memoization, keyed by (table root, published
   // version): the build-once/query-many contract makes the small driver-
@@ -51,7 +70,7 @@ object AnnIndex {
   private val lshMetaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), LshMeta]()
   private val ivfModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, Int, Array[Array[Double]])]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Int, Int, Array[Array[Double]], String)]()
 
   private def vectorsRoot(stateRoot: String) = s"$stateRoot/vectors"
   private def bucketsRoot(stateRoot: String) = s"$stateRoot/buckets"
@@ -76,28 +95,36 @@ object AnnIndex {
       tables: Int = 16,
       planesPerTable: Int = 0,
       seed: Long = 42L,
-      targetBucketRows: Long = 64L): LshMeta = {
+      targetBucketRows: Long = 64L,
+      sourceTag: String = ""): LshMeta = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    val base = embeddings.select(col("vec_id"), col("embedding"))
-    val n = base.count()
-    val dim = Similarity.vecDim(base, "embedding")
-    val planes =
-      if (planesPerTable > 0) planesPerTable
-      else math.min(62, math.max(1,
-        math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
-          / math.log(2.0)).toInt))
-    val buckets = Similarity.lshBuckets(base, tables, planes, seed).toDF()
-    Versioned.publish(base, vectorsRoot(stateRoot))
-    Versioned.publish(buckets, bucketsRoot(stateRoot),
-      statsCols = Seq("table", "bucket"))
-    val meta = LshMeta(tables, planes, seed, dim, n)
-    Versioned.publish(
-      Seq((meta.tables, meta.planes, meta.seed, meta.dim, meta.n))
-        .toDF("tables", "planes", "seed", "dim", "n"),
-      metaRoot(stateRoot))
-    meta
+    // Writer lock across the multi-table publish: concurrent first-
+    // builders in separate JVMs would otherwise race writeDir's version
+    // allocation and interleave vectors/buckets/meta (ADVICE r6). The
+    // second builder fails fast with the holder's identity; a crashed
+    // holder leaves a stale lock — Versioned.breakLock after confirming.
+    Versioned.withWriterLock(stateRoot) {
+      val base = embeddings.select(col("vec_id"), col("embedding"))
+      val n = base.count()
+      val dim = Similarity.vecDim(base, "embedding")
+      val planes =
+        if (planesPerTable > 0) planesPerTable
+        else math.min(62, math.max(1,
+          math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketRows))
+            / math.log(2.0)).toInt))
+      val buckets = Similarity.lshBuckets(base, tables, planes, seed).toDF()
+      Versioned.publish(base, vectorsRoot(stateRoot))
+      Versioned.publish(buckets, bucketsRoot(stateRoot),
+        statsCols = Seq("table", "bucket"))
+      val meta = LshMeta(tables, planes, seed, dim, n, sourceTag)
+      Versioned.publish(
+        Seq((meta.tables, meta.planes, meta.seed, meta.dim, meta.n, meta.sourceTag))
+          .toDF("tables", "planes", "seed", "dim", "n", "source_tag"),
+        metaRoot(stateRoot))
+      meta
+    }
   }
 
   /** Append a delta of embeddings to a published LSH index — FAISS's
@@ -124,21 +151,25 @@ object AnnIndex {
     * rebuild the index (or vacuum the orphan version) instead of
     * retrying — the [[IncrementalDedup]]-style sync-marker protocol is
     * the upgrade path if appends ever need to be retried blindly.
+    * CONCURRENCY: the writer lock spans both publishes, so two appenders
+    * (or an appender racing a rebuilder) exclude each other instead of
+    * interleaving version allocations.
     */
-  def appendLshIndex(delta: DataFrame, stateRoot: String): LshMeta = {
-    val spark = delta.sparkSession
-    val meta = readLshMeta(spark, stateRoot)
-    val base = delta.select(col("vec_id"), col("embedding"))
-    val ddim = Similarity.vecDim(base, "embedding")
-    require(ddim == meta.dim,
-      s"delta dim $ddim != indexed dim ${meta.dim} — wrong index for this frame")
-    val buckets = Similarity
-      .lshBucketsDim(base, meta.tables, meta.planes, meta.seed, meta.dim).toDF()
-    Versioned.publishDelta(base, vectorsRoot(stateRoot))
-    Versioned.publishDelta(buckets, bucketsRoot(stateRoot),
-      statsCols = Seq("table", "bucket"))
-    meta
-  }
+  def appendLshIndex(delta: DataFrame, stateRoot: String): LshMeta =
+    Versioned.withWriterLock(stateRoot) {
+      val spark = delta.sparkSession
+      val meta = readLshMeta(spark, stateRoot)
+      val base = delta.select(col("vec_id"), col("embedding"))
+      val ddim = Similarity.vecDim(base, "embedding")
+      require(ddim == meta.dim,
+        s"delta dim $ddim != indexed dim ${meta.dim} — wrong index for this frame")
+      val buckets = Similarity
+        .lshBucketsDim(base, meta.tables, meta.planes, meta.seed, meta.dim).toDF()
+      Versioned.publishDelta(base, vectorsRoot(stateRoot))
+      Versioned.publishDelta(buckets, bucketsRoot(stateRoot),
+        statsCols = Seq("table", "bucket"))
+      meta
+    }
 
   /** Append a delta to a published IVF index: assign the new vectors to
     * their best cell under the FROZEN centroids (the standard IVF add —
@@ -146,12 +177,13 @@ object AnnIndex {
     * drift warrants) and publish as a cells delta. O(delta) work.
     * Same unique-`vec_id` contract as [[appendLshIndex]].
     */
-  def appendIvfIndex(delta: DataFrame, stateRoot: String): Unit = {
+  def appendIvfIndex(delta: DataFrame, stateRoot: String): Unit =
+    Versioned.withWriterLock(stateRoot) {
     val spark = delta.sparkSession
     import spark.implicits._
     val v = Versioned.currentVersion(ivfMetaRoot(stateRoot)).getOrElse(
       throw new IllegalStateException(s"no IVF index published under $stateRoot"))
-    val (_, dim, centroids) = ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
+    val (_, dim, centroids, _) = ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
       readIvfModel(spark, stateRoot)
     })
     val base = delta.select(col("vec_id"), col("embedding"))
@@ -177,18 +209,26 @@ object AnnIndex {
     val v = Versioned.currentVersion(metaRoot(stateRoot)).getOrElse(
       throw new IllegalStateException(s"no LSH index published under $stateRoot"))
     lshMetaCache.computeIfAbsent((stateRoot, v), { _ =>
-      val r = Versioned.read(spark, metaRoot(stateRoot)).head()
+      val df = Versioned.read(spark, metaRoot(stateRoot))
+      val r = df.head()
+      // source_tag is absent from pre-r7 published indexes — read as
+      // untagged rather than failing the whole index
+      val tag = if (df.schema.fieldNames.contains("source_tag"))
+        Option(r.getAs[String]("source_tag")).getOrElse("") else ""
       LshMeta(r.getAs[Int]("tables"), r.getAs[Int]("planes"),
-        r.getAs[Long]("seed"), r.getAs[Int]("dim"), r.getAs[Long]("n"))
+        r.getAs[Long]("seed"), r.getAs[Int]("dim"), r.getAs[Long]("n"), tag)
     })
   }
 
   private def readIvfModel(
-      spark: SparkSession, stateRoot: String): (Int, Int, Array[Array[Double]]) = {
+      spark: SparkSession, stateRoot: String): (Int, Int, Array[Array[Double]], String) = {
     import spark.implicits._
-    val metaRow = Versioned.read(spark, ivfMetaRoot(stateRoot)).head()
+    val metaDf = Versioned.read(spark, ivfMetaRoot(stateRoot))
+    val metaRow = metaDf.head()
     val nc = metaRow.getAs[Int]("n_cells")
     val d = metaRow.getAs[Int]("dim")
+    val tag = if (metaDf.schema.fieldNames.contains("source_tag"))
+      Option(metaRow.getAs[String]("source_tag")).getOrElse("") else ""
     val cs: Array[Array[Double]] = Versioned
       .read(spark, centroidsRoot(stateRoot))
       .select(col("cell"), col("pos"), col("v"))
@@ -197,7 +237,7 @@ object AnnIndex {
       .map(_._2.sortBy(_._2).map(_._3)).toArray
     require(cs.length == nc,
       s"published centroid table has ${cs.length} cells, meta says $nc")
-    (nc, d, cs)
+    (nc, d, cs, tag)
   }
 
   /** ANN top-k for `queries` (vec_id, embedding) against the PUBLISHED
@@ -213,9 +253,11 @@ object AnnIndex {
       queries: DataFrame,
       stateRoot: String,
       k: Int,
-      maxCandidatePairs: Long = 200000000L): DataFrame = {
+      maxCandidatePairs: Long = 200000000L,
+      expectedSourceTag: Option[String] = None): DataFrame = {
     import spark.implicits._
     val meta = readLshMeta(spark, stateRoot)
+    requireFreshTag("LSH", stateRoot, meta.sourceTag, expectedSourceTag)
     val qdim = Similarity.vecDim(queries, "embedding")
     require(qdim == meta.dim,
       s"query dim $qdim != indexed dim ${meta.dim} — wrong index for this frame")
@@ -226,18 +268,25 @@ object AnnIndex {
       .toDF().cache()
     try {
       val idxBuckets = Versioned.read(spark, bucketsRoot(stateRoot))
-      // The estimate job is skippable by driver arithmetic when even the
-      // fully-degenerate worst case (every index vector in ONE bucket per
-      // table: per query row ≤ tables·n candidates, total ≤ tables·n²
-      // for a self-search) cannot exceed the budget — a small index
-      // cannot produce a quadratic surprise, only work linear in the
-      // query count. n comes from the LIVE manifest's recorded row
-      // counts (no scan), not the build-time meta: appended deltas count
-      // immediately.
-      val liveN = Versioned.publishedRows(vectorsRoot(stateRoot))
-        .getOrElse(meta.n).toDouble
+      // The estimate job is skippable only when the fully-degenerate
+      // worst case cannot exceed the budget. That worst case scales with
+      // the QUERY frame, not the index alone (ADVICE r6): every index
+      // vector in one bucket per table gives ≤ qRows·tables·liveN
+      // candidates — qBuckets has qRows·tables rows (cheap count, and it
+      // fills the cache the probe join reads anyway). liveN comes from
+      // the LIVE manifest's recorded row counts (no scan) so appended
+      // deltas count immediately; when any live dir is missing its meta
+      // we do NOT silently fall back to the stale build-time n — we run
+      // the full Σ estimate (conservative, never skips).
+      val liveNOpt = Versioned.publishedRows(vectorsRoot(stateRoot))
+      if (liveNOpt.isEmpty)
+        System.err.println(s"[graft.AnnIndex] $stateRoot: live version " +
+          "dirs missing _GRAFT_META row counts; running the full " +
+          "candidate estimate instead of the driver-side skip bound")
+      val qbRows = qBuckets.count().toDouble // = qRows × tables
+      val worstCase = liveNOpt.map(n => qbRows * n.toDouble)
       if (maxCandidatePairs > 0 &&
-        meta.tables.toDouble * liveN * liveN > maxCandidatePairs.toDouble) {
+        worstCase.forall(_ > maxCandidatePairs.toDouble)) {
         // same Σ q(b)·i(b) estimate as fuzzyJoin/lshTopK: refuse the probe
         // join when bucket skew (degenerate embeddings) would explode it
         val qc = qBuckets.groupBy(col("table"), col("bucket"))
@@ -288,9 +337,11 @@ object AnnIndex {
       embeddings: DataFrame,
       stateRoot: String,
       nCells: Int = 16,
-      iters: Int = 2): IvfMeta = {
+      iters: Int = 2,
+      sourceTag: String = ""): IvfMeta = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    Versioned.withWriterLock(stateRoot) {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val n = base.count()
     val dim = Similarity.vecDim(base, "embedding")
@@ -313,12 +364,13 @@ object AnnIndex {
     }.toSeq
     Versioned.publish(centroidRows.toDF("cell", "pos", "v"),
       centroidsRoot(stateRoot))
-    val meta = IvfMeta(nCells, iters, dim, n)
+    val meta = IvfMeta(nCells, iters, dim, n, sourceTag)
     Versioned.publish(
-      Seq((meta.nCells, meta.iters, meta.dim, meta.n))
-        .toDF("n_cells", "iters", "dim", "n"),
+      Seq((meta.nCells, meta.iters, meta.dim, meta.n, meta.sourceTag))
+        .toDF("n_cells", "iters", "dim", "n", "source_tag"),
       ivfMetaRoot(stateRoot))
     meta
+    }
   }
 
   /** ANN top-k against the PUBLISHED IVF index: the (nCells × dim)
@@ -332,14 +384,16 @@ object AnnIndex {
       queries: DataFrame,
       stateRoot: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      expectedSourceTag: Option[String] = None): DataFrame = {
     import spark.implicits._
     val v = Versioned.currentVersion(ivfMetaRoot(stateRoot)).getOrElse(
       throw new IllegalStateException(s"no IVF index published under $stateRoot"))
-    val (nCells, dim, centroids) =
+    val (nCells, dim, centroids, srcTag) =
       ivfModelCache.computeIfAbsent((stateRoot, v), { _ =>
         readIvfModel(spark, stateRoot)
       })
+    requireFreshTag("IVF", stateRoot, srcTag, expectedSourceTag)
     require(nCells >= 1, s"published IVF index has no cells")
     val qdim = Similarity.vecDim(queries, "embedding")
     require(qdim == dim,

@@ -491,10 +491,38 @@ object ExtQueries {
     * build-once/query-many contract ([[graft.ext.AnnIndex]]); bump the
     * version tag when the layout or build params change.
     */
-  private def annRoot(dir: String, kind: String): String = {
+  private def annRoot(dir: String, kind: String, sourceTag: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft-ann-v1-$key/$kind"
+      .digest(s"$dir|$sourceTag".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft-ann-v2-$key/$kind"
+  }
+
+  /** Content fingerprint of the embeddings source under `dir`: the
+    * (name, size, mtime) of every data file, digested. Regenerating the
+    * fixture in place changes the tag, which changes [[annRoot]] — the
+    * index REBUILDS instead of silently serving stale neighbors (r6
+    * verdict, What's wrong #2). The same tag is recorded in the index
+    * meta and re-verified at query time ([[graft.ext.AnnIndex]]), so even
+    * a hand-pointed root refuses loudly rather than answering stale.
+    */
+  private def annSourceTag(dir: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val p = Paths.get(dir, "embeddings.parquet")
+    def sig(f: Path): String =
+      s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+    val parts: Seq[String] =
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).map(sig)
+          .toSeq.sorted
+        finally s.close()
+      } else if (Files.exists(p)) Seq(sig(p))
+      else Seq("absent")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
   }
 
   /** Per-vector approximation-quality witness for the ANN entries:
@@ -523,9 +551,12 @@ object ExtQueries {
     * recall@5), and ScalaTest pins recall on the small fixture.
     */
   def x41AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val root = annRoot(dir, "lsh")
-    if (!AnnIndex.lshExists(root)) AnnIndex.buildLshIndex(embs(s, dir), root)
-    val approx = AnnIndex.lshTopKIndexed(s, embs(s, dir), root, k = 5)
+    val tag = annSourceTag(dir)
+    val root = annRoot(dir, "lsh", tag)
+    if (!AnnIndex.lshExists(root))
+      AnnIndex.buildLshIndex(embs(s, dir), root, sourceTag = tag)
+    val approx = AnnIndex.lshTopKIndexed(s, embs(s, dir), root, k = 5,
+      expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
       .orderBy(col("vec_id"), col("rank"))
   }
@@ -538,9 +569,12 @@ object ExtQueries {
     * recall witness vs the exact twin (avg/k = recall@5).
     */
   def x43AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val root = annRoot(dir, "ivf")
-    if (!AnnIndex.ivfExists(root)) AnnIndex.buildIvfIndex(embs(s, dir), root)
-    val approx = AnnIndex.ivfTopKIndexed(s, embs(s, dir), root, k = 5)
+    val tag = annSourceTag(dir)
+    val root = annRoot(dir, "ivf", tag)
+    if (!AnnIndex.ivfExists(root))
+      AnnIndex.buildIvfIndex(embs(s, dir), root, sourceTag = tag)
+    val approx = AnnIndex.ivfTopKIndexed(s, embs(s, dir), root, k = 5,
+      expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
       .orderBy(col("vec_id"), col("rank"))
   }

@@ -122,6 +122,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(Versioned.manifest(s"$rootInc/cells").size === 2)
   }
 
+  test("stale source tag: query refuses instead of serving old neighbors") {
+    val root = freshRoot("stale")
+    AnnIndex.buildLshIndex(embs, root, tables = 2, planesPerTable = 2,
+      sourceTag = "fixture-v1")
+    // matching expectation queries fine
+    assert(AnnIndex.lshTopKIndexed(spark, embs, root, k = 1,
+      expectedSourceTag = Some("fixture-v1")).count() > 0)
+    // the source regenerates (new fingerprint) but the index does not:
+    // the query must FAIL LOUDLY, not silently serve the stale index
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.lshTopKIndexed(spark, embs, root, k = 1,
+        expectedSourceTag = Some("fixture-v2"))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // IVF path has the same contract
+    val rootIvf = freshRoot("stale-ivf")
+    AnnIndex.buildIvfIndex(embs, rootIvf, nCells = 2, iters = 1,
+      sourceTag = "fixture-v1")
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopKIndexed(spark, embs, rootIvf, k = 1,
+        expectedSourceTag = Some("fixture-v2"))
+    }
+    assert(e2.getMessage.contains("STALE"))
+    // untagged expectation (None) keeps working — opt-in contract
+    assert(AnnIndex.ivfTopKIndexed(spark, embs, rootIvf, k = 1).count() > 0)
+  }
+
+  test("build/append hold the writer lock (concurrent builder excluded)") {
+    val root = freshRoot("lock")
+    // simulate a concurrent holder: build/append must fail fast, not
+    // interleave version allocations
+    Versioned.withWriterLock(root) {
+      val e = intercept[IllegalStateException] {
+        AnnIndex.buildLshIndex(embs, root, tables = 2, planesPerTable = 2)
+      }
+      assert(e.getMessage.contains("another writer"))
+    }
+    // lock released: build now succeeds, append takes it transparently
+    AnnIndex.buildLshIndex(embs, root, tables = 2, planesPerTable = 2)
+    AnnIndex.appendLshIndex( // fresh-id delta: exercises the locked path
+      embs.limit(1).select((org.apache.spark.sql.functions.col("vec_id")
+        + 1000000L).as("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")), root)
+    assert(AnnIndex.lshTopKIndexed(spark, embs, root, k = 1).count() > 0)
+  }
+
   test("dimension mismatch between query frame and index fails fast") {
     val root = freshRoot("dim")
     AnnIndex.buildLshIndex(embs, root, tables = 2, planesPerTable = 2)
