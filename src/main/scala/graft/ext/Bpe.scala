@@ -68,6 +68,19 @@ object Bpe {
     * batched pair is the unique argmax, ties included. Worst case
     * (adjacent equal counts at the head) degrades to 1 merge/round —
     * never wrong, just slower.
+    *
+    * PRODUCED-SYMBOL COLLISION (ADVICE r6): the bound above assumes a
+    * merge's produced string l+r is a FRESH symbol. If l+r equals a
+    * symbol that already exists in the vocabulary (reachable via a
+    * different merge path in an earlier round — e.g. (ab,c) and (a,bc)
+    * both yielding "abc"), the merge ACCRETES count onto pre-existing
+    * pairs involving that symbol: new count = old + increment can exceed
+    * a later selection's count even though both parents rank below the
+    * cut. The walk therefore tracks every symbol string produced by
+    * prior rounds; a candidate whose l+r collides cuts the batch — as
+    * the head it runs ALONE (the head is the exact argmax, always safe),
+    * otherwise the batch ends just before it. Strictly conservative:
+    * collisions only shorten batches, never change selections.
     */
   def learn(
       df: DataFrame,
@@ -86,6 +99,10 @@ object Bpe {
     var cur = words.select(col("cnt"), chars("w").as("syms"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
+    // every symbol string a prior round produced — the collision set for
+    // the batch cut (original symbols are single chars; any produced
+    // string is ≥2 chars, so only merge products can collide)
+    val producedEver = scala.collection.mutable.Set.empty[String]
     var k = 0
     var done = false
     while (k < numMerges && !done) {
@@ -112,8 +129,15 @@ object Bpe {
           val (l, r, pc) = (top(i).getAs[String]("l"), top(i).getAs[String]("r"),
             top(i).getAs[Long]("pc"))
           if (pc < minPairCount) stop = true // below-threshold tail can't spoil
-          else if (sel.isEmpty ||
-            (pc < sel.last._3 && !used(l) && !used(r) && !used(l + r))) {
+          else if (sel.isEmpty) {
+            sel += ((l, r, pc))
+            used += l; used += r; used += (l + r)
+            // head produces an already-existing symbol: accretion makes
+            // every later count untrustworthy — the head (exact argmax,
+            // always safe) runs alone this round
+            if (producedEver(l + r)) stop = true
+          } else if (pc < sel.last._3 && !used(l) && !used(r) && !used(l + r)
+              && !producedEver(l + r)) {
             sel += ((l, r, pc))
             used += l; used += r; used += (l + r)
           } else { cutPc = Some(pc); stop = true }
@@ -129,6 +153,7 @@ object Bpe {
         }
         sel.foreach { case (l, r, pc) =>
           merges += Merge(k, l, r, pc)
+          producedEver += (l + r)
           k += 1
         }
         cur = sel.foldLeft(cur) { case (acc, (l, r, _)) =>

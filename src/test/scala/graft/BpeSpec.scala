@@ -113,6 +113,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched rounds match sequential on collision-prone corpora (two-letter)") {
+    // Produced-symbol collisions (ADVICE r6): on a 2-letter alphabet with
+    // long repetitive words, different merge paths readily produce the
+    // same symbol string in different rounds ((ab,c)/(a,bc)-style) —
+    // exactly the case where batch accretion could diverge from
+    // sequential BPE. The batch walk must cut at collisions and stay
+    // bit-identical to the independent sequential reference.
+    val rnd = new scala.util.Random(7L)
+    (1 to 4).foreach { trial =>
+      val alphabet = "ab"
+      val words = (1 to 10).map { _ =>
+        val len = 3 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(2))).mkString
+        w -> (1L + rnd.nextInt(8))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val text = words.toSeq.sortBy(_._1)
+        .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val want = refBpe(words, 16)
+      val got = Bpe.learn(df, "text", numMerges = 16, minPairCount = 1L,
+        maxMergesPerRound = 64)
+        .map(m => (m.left, m.right, m.pairCount))
+      assert(got === want,
+        s"trial $trial: batched diverged on collision-prone corpus $words")
+    }
+  }
+
   test("greedy merge is left-to-right on overlapping repeats") {
     val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
     // first merge must be (a,a); "aaa" -> [aa, a], "aaaa" -> [aa, aa]
