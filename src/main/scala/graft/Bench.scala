@@ -167,6 +167,7 @@ object Bench {
     try (
       tryEntry("x41_ann_lsh")(annRecall("x41_ann_lsh")) ++
       tryEntry("x43_ann_ivf")(annRecall("x43_ann_ivf")) ++
+      tryEntry("x47_ann_ivfpq")(annRecall("x47_ann_ivfpq")) ++
       tryEntry("x32_minhash_pairs")(bandingRecall("x32_minhash_pairs")) ++
       tryEntry("x33_simhash_pairs")(bandingRecall("x33_simhash_pairs"))
     ).toMap

@@ -50,6 +50,8 @@ object AnnIndex {
       n: Long, sourceTag: String = "")
   final case class IvfMeta(nCells: Int, iters: Int, dim: Int, n: Long,
       sourceTag: String = "")
+  final case class IvfPqMeta(nCells: Int, iters: Int, m: Int, k: Int,
+      dim: Int, n: Long, sourceTag: String = "")
 
   private def requireFreshTag(
       kind: String, stateRoot: String, indexed: String,
@@ -78,6 +80,11 @@ object AnnIndex {
   private def cellsRoot(stateRoot: String) = s"$stateRoot/cells"
   private def centroidsRoot(stateRoot: String) = s"$stateRoot/centroids"
   private def ivfMetaRoot(stateRoot: String) = s"$stateRoot/ivf_meta"
+  private def pqCellsRoot(stateRoot: String) = s"$stateRoot/pq_cells"
+  private def pqVectorsRoot(stateRoot: String) = s"$stateRoot/pq_vectors"
+  private def pqCentroidsRoot(stateRoot: String) = s"$stateRoot/pq_centroids"
+  private def pqBooksRoot(stateRoot: String) = s"$stateRoot/pq_books"
+  private def pqMetaRoot(stateRoot: String) = s"$stateRoot/pq_meta"
 
   /** True once a complete LSH index is published under `stateRoot`. */
   def lshExists(stateRoot: String): Boolean = Versioned.exists(metaRoot(stateRoot))
@@ -427,5 +434,157 @@ object AnnIndex {
           .orderBy(col("score").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  // ───────────────────────── IVF-PQ ─────────────────────────
+  // The production FAISS composition (IVFPQ), persisted: PQ codebook
+  // training — the expensive thing at 100 TB — amortizes across every
+  // query exactly like LSH buckets and IVF centroids now do.
+
+  private val ivfPqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), (IvfPqMeta, Array[Array[Double]], Pq.PqModel)]()
+
+  /** True once a complete IVF-PQ index is published under `stateRoot`. */
+  def ivfPqExists(stateRoot: String): Boolean =
+    Versioned.exists(pqMetaRoot(stateRoot))
+
+  /** Build + publish the IVF-PQ index: deterministic IVF centroids, PQ
+    * codebooks ([[Pq.train]] — hash-seeded, Lloyd-refined, no RNG), and
+    * every vector stored as (cell, m codes) plus its full embedding for
+    * the exact re-rank stage. Meta publishes LAST (crash-invisible).
+    *
+    * Published layout: `pq_cells` (vec_id, codes, cell; stats on cell —
+    * the m-bytes-per-vector search table), `pq_vectors` (vec_id,
+    * embedding — re-rank source), `pq_centroids` (cell, pos, v),
+    * `pq_books` (s, c, pos, v — m×k×subDim doubles), `pq_meta` (1 row).
+    */
+  def buildIvfPqIndex(
+      embeddings: DataFrame,
+      stateRoot: String,
+      nCells: Int = 16,
+      iters: Int = 2,
+      m: Int = 16,
+      k: Int = 16,
+      sourceTag: String = ""): IvfPqMeta = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Versioned.withWriterLock(stateRoot) {
+      val base = embeddings.select(col("vec_id"), col("embedding"))
+      val n = base.count()
+      val dim = Similarity.vecDim(base, "embedding")
+      val centroids = Similarity.ivfCentroids(base, nCells, iters)
+      val model = Pq.train(base, m, k, iters)
+      val assigned = Pq.encodeAssigned(base, centroids, model).toDF()
+      Versioned.publish(assigned, pqCellsRoot(stateRoot), statsCols = Seq("cell"))
+      Versioned.publish(base, pqVectorsRoot(stateRoot))
+      Versioned.publish(
+        centroids.zipWithIndex.flatMap { case (cv, c) =>
+          cv.zipWithIndex.map { case (v, pos) => (c, pos, v) }
+        }.toSeq.toDF("cell", "pos", "v"),
+        pqCentroidsRoot(stateRoot))
+      Versioned.publish(
+        model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.flatMap { case (cent, c) =>
+            cent.zipWithIndex.map { case (v, pos) => (s, c, pos, v) }
+          }
+        }.toSeq.toDF("s", "c", "pos", "v"),
+        pqBooksRoot(stateRoot))
+      val meta = IvfPqMeta(nCells, iters, m, k, dim, n, sourceTag)
+      Versioned.publish(
+        Seq((meta.nCells, meta.iters, meta.m, meta.k, meta.dim, meta.n,
+          meta.sourceTag))
+          .toDF("n_cells", "iters", "m", "k", "dim", "n", "source_tag"),
+        pqMetaRoot(stateRoot))
+      meta
+    }
+  }
+
+  /** Append a delta under the FROZEN centroids + codebooks (the FAISS
+    * `add`: neither quantizer retrains on append — rebuild when drift
+    * warrants). Publishes cells + vectors as Versioned deltas; O(delta)
+    * work. Same unique-`vec_id` contract and crash semantics as
+    * [[appendLshIndex]].
+    */
+  def appendIvfPqIndex(delta: DataFrame, stateRoot: String): Unit =
+    Versioned.withWriterLock(stateRoot) {
+      val spark = delta.sparkSession
+      val (meta, centroids, model) = readIvfPqModel(spark, stateRoot)
+      val base = delta.select(col("vec_id"), col("embedding"))
+      val ddim = Similarity.vecDim(base, "embedding")
+      require(ddim == meta.dim,
+        s"delta dim $ddim != indexed dim ${meta.dim} — wrong index for this frame")
+      val assigned = Pq.encodeAssigned(base, centroids, model).toDF()
+      Versioned.publishDelta(assigned, pqCellsRoot(stateRoot),
+        statsCols = Seq("cell"))
+      Versioned.publishDelta(base, pqVectorsRoot(stateRoot))
+    }
+
+  private def readIvfPqModel(
+      spark: SparkSession,
+      stateRoot: String): (IvfPqMeta, Array[Array[Double]], Pq.PqModel) = {
+    import spark.implicits._
+    val v = Versioned.currentVersion(pqMetaRoot(stateRoot)).getOrElse(
+      throw new IllegalStateException(s"no IVF-PQ index published under $stateRoot"))
+    ivfPqModelCache.computeIfAbsent((stateRoot, v), { _ =>
+      val metaDf = Versioned.read(spark, pqMetaRoot(stateRoot))
+      val r = metaDf.head()
+      val tag = if (metaDf.schema.fieldNames.contains("source_tag"))
+        Option(r.getAs[String]("source_tag")).getOrElse("") else ""
+      val meta = IvfPqMeta(r.getAs[Int]("n_cells"), r.getAs[Int]("iters"),
+        r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dim"),
+        r.getAs[Long]("n"), tag)
+      val centroids: Array[Array[Double]] = Versioned
+        .read(spark, pqCentroidsRoot(stateRoot))
+        .select(col("cell"), col("pos"), col("v"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3)).toArray
+      require(centroids.length == meta.nCells,
+        s"published centroid table has ${centroids.length} cells, meta says ${meta.nCells}")
+      val books: Array[Array[Array[Double]]] = Versioned
+        .read(spark, pqBooksRoot(stateRoot))
+        .select(col("s"), col("c"), col("pos"), col("v"))
+        .as[(Int, Int, Int, Double)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.groupBy(_._2).toSeq.sortBy(_._1)
+          .map(_._2.sortBy(_._3).map(_._4).toArray).toArray)
+        .toArray
+      require(books.length == meta.m && books.forall(_.length == meta.k),
+        s"published codebook table shape mismatch: got ${books.length} " +
+          s"subspaces, meta says m=${meta.m} k=${meta.k}")
+      (meta, centroids, Pq.PqModel(meta.m, meta.k, meta.dim, books))
+    })
+  }
+
+  /** ANN top-k against the PUBLISHED IVF-PQ index: queries probe their
+    * `nprobe` best cells, probed members are ADC-scored from the
+    * published codes (m lookups each, no vectors), and the global ADC
+    * top `rerank` re-ranks exactly against the published vectors — no
+    * Lloyd iteration, no codebook training, anywhere in the query plan.
+    * Search core is shared verbatim with the inline [[Pq.ivfAdcTopK]],
+    * so indexed ≡ inline holds by construction (spec-pinned).
+    */
+  def ivfPqTopKIndexed(
+      spark: SparkSession,
+      queries: DataFrame,
+      stateRoot: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 50,
+      expectedSourceTag: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val (meta, centroids, model) = readIvfPqModel(spark, stateRoot)
+    requireFreshTag("IVF-PQ", stateRoot, meta.sourceTag, expectedSourceTag)
+    val qdim = Similarity.vecDim(queries, "embedding")
+    require(qdim == meta.dim,
+      s"query dim $qdim != indexed dim ${meta.dim} — wrong index for this frame")
+    val assigned = Versioned.read(spark, pqCellsRoot(stateRoot))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[PqCoded]
+    val candidates =
+      Pq.ivfAdcCandidates(queries, assigned, centroids, model, nprobe, rerank)
+    Pq.rerankExact(candidates, queries,
+      Versioned.read(spark, pqVectorsRoot(stateRoot)), k)
   }
 }

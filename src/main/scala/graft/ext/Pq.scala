@@ -30,20 +30,20 @@ object Pq {
   final case class PqModel(m: Int, k: Int, dim: Int,
       codebooks: Array[Array[Array[Double]]])
 
-  private def normalize(v: Array[Float]): Array[Double] = {
+  private[ext] def normalize(v: Array[Float]): Array[Double] = {
     var n = 0.0; var i = 0
     while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
     val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
     v.map(_.toDouble * inv)
   }
 
-  private def subDot(a: Array[Double], offset: Int, c: Array[Double]): Double = {
+  private[ext] def subDot(a: Array[Double], offset: Int, c: Array[Double]): Double = {
     var d = 0.0; var i = 0
     while (i < c.length) { d += a(offset + i) * c(i); i += 1 }
     d
   }
 
-  private def nearest(sub: Array[Double], offset: Int,
+  private[ext] def nearest(sub: Array[Double], offset: Int,
       cents: Array[Array[Double]]): Int = {
     // max inner product ≡ min L2 on normalized data per subspace ties to
     // the ADC dot scoring below; ties break to the lowest centroid id
@@ -207,19 +207,22 @@ object Pq {
         (0 until filled).iterator.map(i => (qid, best(i)._1))
       }
       .toDF("vec_id", "neighbor_id")
-    rerankExact(candidates, embeddings, topK)
+    rerankExact(candidates, embeddings, embeddings, topK)
   }
 
   /** Exact cosine re-rank of (vec_id, neighbor_id) candidate pairs:
     * fetches true vectors for candidates only — O(queries × rerank)
-    * join rows regardless of corpus size.
+    * join rows regardless of corpus size. Query vectors and index
+    * vectors are separate frames so a persisted index can re-rank
+    * against its own published vectors ([[AnnIndex.ivfPqTopKIndexed]]).
     */
-  private def rerankExact(
-      candidates: DataFrame, embeddings: DataFrame, topK: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  private[ext] def rerankExact(
+      candidates: DataFrame, queryVectors: DataFrame,
+      indexVectors: DataFrame, topK: Int): DataFrame = {
+    val spark = queryVectors.sparkSession
     import spark.implicits._
-    val embA = embeddings.select(col("vec_id"), col("embedding").as("emb_a"))
-    val embB = embeddings.select(col("vec_id").as("neighbor_id"),
+    val embA = queryVectors.select(col("vec_id"), col("embedding").as("emb_a"))
+    val embB = indexVectors.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("emb_b"))
     import org.apache.spark.sql.expressions.Window
     candidates
@@ -257,32 +260,70 @@ object Pq {
     import spark.implicits._
     val centroids = Similarity.ivfCentroids(embeddings, nCells, iters)
     val model = train(embeddings, m, k, iters)
+    val assigned = encodeAssigned(embeddings, centroids, model)
+    val candidates =
+      ivfAdcCandidates(embeddings, assigned, centroids, model, nprobe, rerank)
+    rerankExact(candidates, embeddings, embeddings, topK)
+  }
+
+  /** Cell assignment + PQ codes in one pass — the encode side shared by
+    * the inline composition above and the persisted index's build/append
+    * ([[AnnIndex.buildIvfPqIndex]]), so indexed ≡ inline holds by
+    * construction.
+    */
+  private[ext] def encodeAssigned(
+      embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      model: PqModel): Dataset[PqCoded] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(centroids)
     val bcModel = spark.sparkContext.broadcast(model)
-    val base = embeddings
+    embeddings
       .select(col("vec_id"), col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
-    def bestCell(v: Array[Float]): Int = {
-      val cs = bcCents.value
-      var best = 0; var bestScore = Double.MinValue
-      var c = 0
-      while (c < cs.length) {
-        val s = Similarity.cosineVs(v, cs(c))
-        if (s > bestScore) { bestScore = s; best = c }
-        c += 1
+      .map { case (id, v) =>
+        val mm = bcModel.value
+        val cs = bcCents.value
+        var best = 0; var bestScore = Double.MinValue
+        var c = 0
+        while (c < cs.length) {
+          val s = Similarity.cosineVs(v, cs(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        val nv = normalize(v)
+        val subDim = mm.dim / mm.m
+        PqCoded(id,
+          Array.tabulate(mm.m)(s => nearest(nv, s * subDim, mm.codebooks(s))),
+          best)
       }
-      best
-    }
-    val assigned = base.map { case (id, v) =>
-      val mm = bcModel.value
-      val nv = normalize(v)
-      val subDim = mm.dim / mm.m
-      PqCoded(id,
-        Array.tabulate(mm.m)(s => nearest(nv, s * subDim, mm.codebooks(s))),
-        bestCell(v))
-    }
-    val probes = base.flatMap { case (id, v) =>
+  }
+
+  /** The IVF-PQ search core: probe `nprobe` best cells per query, score
+    * every probed cell's members from PQ codes (one m×k ADC table per
+    * (query, cell)), and keep the global ADC top `rerank` per query.
+    * Returns (vec_id, neighbor_id) candidate pairs for the exact
+    * re-rank. Shared verbatim by [[ivfAdcTopK]] and the persisted
+    * [[AnnIndex.ivfPqTopKIndexed]].
+    */
+  private[ext] def ivfAdcCandidates(
+      queries: DataFrame,
+      assigned: Dataset[PqCoded],
+      centroids: Array[Array[Double]],
+      model: PqModel,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(centroids)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val probes = queries
+      .select(col("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
       val cs = bcCents.value
       cs.indices
         .map(c => (c, Similarity.cosineVs(v, cs(c))))
@@ -310,7 +351,7 @@ object Pq {
           }
         }
       }
-    val candidates = partials
+    partials
       .groupByKey(_.vec_id)
       .flatMapGroups { (qid, hits) =>
         hits.toSeq.distinct // a pair can meet in several probed cells
@@ -319,7 +360,6 @@ object Pq {
           .map(h => (qid, h.neighbor_id))
       }
       .toDF("vec_id", "neighbor_id")
-    rerankExact(candidates, embeddings, topK)
   }
 }
 

@@ -579,6 +579,27 @@ object ExtQueries {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** x47 — ANN top-5 via the PERSISTED IVF-PQ index — the production
+    * FAISS composition (IVFPQ) with its expensive half (PQ codebook
+    * training + Lloyd centroids) amortized into a build-once publish:
+    * the query probes 4 cells, ADC-scores probed members from published
+    * m-byte codes, and exact-re-ranks the ADC top-50 against published
+    * vectors — no training stage anywhere in the query plan.
+    * Approximate by construction — no oracle; `n_exact_hits` carries the
+    * recall witness vs the exact twin (avg/k = recall@5); spec pins
+    * indexed ≡ inline [[graft.ext.Pq.ivfAdcTopK]] bit-for-bit.
+    */
+  def x47AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val tag = annSourceTag(dir)
+    val root = annRoot(dir, "ivfpq", tag)
+    if (!AnnIndex.ivfPqExists(root))
+      AnnIndex.buildIvfPqIndex(embs(s, dir), root, sourceTag = tag)
+    val approx = AnnIndex.ivfPqTopKIndexed(s, embs(s, dir), root, k = 5,
+      expectedSourceTag = Some(tag))
+    withExactHits(approx, embs(s, dir), k = 5)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** x42 — embedding-cosine near-dup pairs (exact, broadcast/blocked
     * dispatch): the embedding-space analogue of x30/x31 for dedup
     * pipelines. Sequential-double accumulation = DuckDB list_sum
@@ -2629,6 +2650,7 @@ object ExtQueries {
     "x44_vector_ops" -> (x44VectorOps _),
     "x45_quantize" -> (x45Quantize _),
     "x46_quantized_topk" -> (x46QuantizedTopK _),
+    "x47_ann_ivfpq" -> (x47AnnIvfPq _),
     "x66_salted_join" -> (x66SaltedJoin _),
     "x82_funnel" -> (x82Funnel _),
     "x83_retention" -> (x83Retention _),

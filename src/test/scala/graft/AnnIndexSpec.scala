@@ -122,6 +122,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(Versioned.manifest(s"$rootInc/cells").size === 2)
   }
 
+  test("IVF-PQ: indexed query ≡ inline ivfAdcTopK; query does not republish") {
+    val root = freshRoot("ivfpq-eq")
+    AnnIndex.buildIvfPqIndex(embs, root, nCells = 8, iters = 2, m = 16, k = 16)
+    val tables = Seq("pq_cells", "pq_vectors", "pq_centroids", "pq_books", "pq_meta")
+    val before = tables.map(t => Versioned.manifest(s"$root/$t"))
+    val indexed = AnnIndex.ivfPqTopKIndexed(spark, embs, root, k = 3,
+      nprobe = 4, rerank = 50)
+      .select($"vec_id", $"rank", $"neighbor_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val inline = graft.ext.Pq.ivfAdcTopK(embs, topK = 3, nCells = 8,
+      nprobe = 4, m = 16, k = 16, rerank = 50, iters = 2)
+      .select($"vec_id", $"rank", $"neighbor_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(indexed === inline,
+      "IVF-PQ persisted-index query must reproduce the inline composition bit-for-bit")
+    assert(tables.map(t => Versioned.manifest(s"$root/$t")) === before,
+      "a query must not publish anything — build-once/query-many")
+  }
+
+  test("IVF-PQ append: frozen-quantizer encode, appended rows searchable") {
+    import org.apache.spark.sql.functions.col
+    val all = embs
+    val half1 = all.where(col("vec_id") % 2 === 0)
+    val half2 = all.where(col("vec_id") % 2 === 1)
+    val root = freshRoot("ivfpq-app")
+    AnnIndex.buildIvfPqIndex(half1, root, nCells = 4, iters = 1, m = 16, k = 8)
+    AnnIndex.appendIvfPqIndex(half2, root)
+    // nprobe = nCells probes every cell: search is exhaustive over the
+    // indexed vectors, so odd-id neighbors prove appended rows are live
+    val out = AnnIndex.ivfPqTopKIndexed(spark, all, root, k = 1,
+      nprobe = 4, rerank = 50)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty && out.values.exists(_ % 2 == 1),
+      "appended (odd-id) vectors must be searchable")
+    // appending never republishes the quantizers or meta; data tables log
+    assert(Versioned.manifest(s"$root/pq_centroids").size === 1)
+    assert(Versioned.manifest(s"$root/pq_books").size === 1)
+    assert(Versioned.manifest(s"$root/pq_cells").size === 2)
+    assert(Versioned.manifest(s"$root/pq_vectors").size === 2)
+  }
+
+  test("IVF-PQ stale source tag refuses at query time") {
+    val root = freshRoot("ivfpq-stale")
+    AnnIndex.buildIvfPqIndex(embs, root, nCells = 2, iters = 1, m = 8, k = 4,
+      sourceTag = "fixture-v1")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopKIndexed(spark, embs, root, k = 1,
+        expectedSourceTag = Some("fixture-v2"))
+    }
+    assert(e.getMessage.contains("STALE"))
+  }
+
   test("stale source tag: query refuses instead of serving old neighbors") {
     val root = freshRoot("stale")
     AnnIndex.buildLshIndex(embs, root, tables = 2, planesPerTable = 2,
