@@ -205,4 +205,65 @@ object TextAnalysis {
           transform(sort_array(collect_list(col("doc_id"))),
             d => d.cast("string")))).as("postings_md5"))
   }
+
+  /** Unicode-script character classes for the script/charset language-ID
+    * heuristic: (label, regex character class). Contiguous BMP ranges
+    * only, so `length - length(regexp_replace(text, class, ''))` counts
+    * identically in any regex engine (the cross-engine-exact contract).
+    * Order is the argmax tie-break priority.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF]",
+    "hangul" -> "[\\uAC00-\\uD7AF]",
+    "thai" -> "[\\u0E00-\\u0E7F]")
+
+  /** Character count of one script class — `length(text) minus length
+    * with the class stripped`: one regexp_replace per class, no explode.
+    */
+  def scriptCount(text: Column, clazz: String): Column =
+    (length(text) - length(regexp_replace(text, clazz, ""))).cast("long")
+
+  /** Argmax script label over pre-extracted count columns (ties break to
+    * the earlier [[ScriptClasses]] entry via the when-chain order);
+    * "none" when no scripted character occurs at all. Counts are passed
+    * as columns so the expensive regex extraction is evaluated once in a
+    * lower select, never duplicated into the comparison tree.
+    */
+  def scriptPred(counts: Seq[(String, Column)]): Column = {
+    val total = counts.map(_._2).reduce(_ + _)
+    val chain = counts.foldLeft(when(total === 0, lit("none"))) {
+      case (acc, (label, c)) =>
+        acc.when(counts.filter(_._1 != label).map(x => c >= x._2)
+          .reduce(_ && _), lit(label))
+    }
+    chain.otherwise(lit("other"))
+  }
+
+  /** Collapse consecutive repeated tokens — the classic within-document
+    * repetition REMOVAL step (x76 only scores): "batch batch batch" →
+    * "batch". Returns the kept-token array; pair with `array_join` for
+    * the cleaned text and `size` diffs for removal stats. Pure HOF
+    * projection (filter + element_at), no explode, no shuffle —
+    * per-document work at any corpus size.
+    */
+  def collapseTokenRuns(toks: Column): Column =
+    filter(toks, (t, i) => (i === 0) || !(t <=> get(toks, i - 1)))
+
+  /** Host of a URL: the authority between `scheme://` and the first
+    * `/ : ? #`. Empty string when the value does not parse as a URL.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Registered domain heuristic: the last two dot-labels of the host
+    * ("cdn.src0-mirror.com" → "src0-mirror.com"). A production deploy
+    * swaps this for a public-suffix-list lookup (multi-label suffixes
+    * like co.uk need the table); the filtering JOIN shape is identical.
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }

@@ -2581,7 +2581,171 @@ object ExtQueries {
       |GROUP BY a.token, b.token, a.df, b.df
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  /** x114 — script/charset language-ID (Unicode-block histogram): per
+    * document, count characters in each contiguous script range
+    * ([[TextAnalysis.ScriptClasses]] — one regexp_replace per class, no
+    * explode) and argmax to a script label; "none" for unscripted text.
+    * The complement of x22's stopword language-ID: script detection
+    * works on languages with no stopword table and catches mixed-script
+    * spam. Planted Cyrillic/CJK/Arabic/mixed rows witness every branch
+    * at every SF (the x96 precedent). Layered selects keep each regex
+    * count evaluated once.
+    */
+  def x114ScriptLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "Привет мир это тест кириллицы сегодня"),
+      (-2L, "这是一个中文测试文档 包含汉字"),
+      (-3L, "هذا اختبار باللغة العربية"),
+      (-4L, "mixed script пример with 中文 and latin majority here"),
+      (-5L, "12345 67890 --- !!!"))
+      .toDF("doc_id", "text")
+    val counts = TextAnalysis.ScriptClasses.map { case (label, clazz) =>
+      label -> TextAnalysis.scriptCount(col("text"), clazz)
+    }
+    val scored = docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(Seq(col("doc_id")) ++
+        counts.map { case (l, c) => c.as(s"n_$l") }: _*)
+    scored
+      .withColumn("script_pred", TextAnalysis.scriptPred(
+        TextAnalysis.ScriptClasses.map { case (l, _) => l -> col(s"n_$l") }))
+      .orderBy(col("doc_id"))
+  }
+
+  // DuckDB regexps are RE2: \x{hhhh} spells the same BMP ranges Java's
+  // \uhhhh does on the Spark side — identical character sets either way.
+  val x114Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (-1, 'Привет мир это тест кириллицы сегодня'),
+      |    (-2, '这是一个中文测试文档 包含汉字'),
+      |    (-3, 'هذا اختبار باللغة العربية'),
+      |    (-4, 'mixed script пример with 中文 and latin majority here'),
+      |    (-5, '12345 67890 --- !!!')) v(doc_id, text)),
+      |counts AS (
+      |  SELECT doc_id,
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+      |    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+      |    length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+      |    length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+      |    length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+      |    length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS n_hangul,
+      |    length(text) - length(regexp_replace(text, '[\x{0E00}-\x{0E7F}]', '', 'g')) AS n_thai
+      |  FROM base)
+      |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_hangul, n_thai,
+      |  CASE
+      |    WHEN n_latin + n_cyrillic + n_greek + n_arabic + n_cjk + n_hangul + n_thai = 0 THEN 'none'
+      |    WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_arabic
+      |     AND n_latin >= n_cjk AND n_latin >= n_hangul AND n_latin >= n_thai THEN 'latin'
+      |    WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_greek AND n_cyrillic >= n_arabic
+      |     AND n_cyrillic >= n_cjk AND n_cyrillic >= n_hangul AND n_cyrillic >= n_thai THEN 'cyrillic'
+      |    WHEN n_greek >= n_latin AND n_greek >= n_cyrillic AND n_greek >= n_arabic
+      |     AND n_greek >= n_cjk AND n_greek >= n_hangul AND n_greek >= n_thai THEN 'greek'
+      |    WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic AND n_arabic >= n_greek
+      |     AND n_arabic >= n_cjk AND n_arabic >= n_hangul AND n_arabic >= n_thai THEN 'arabic'
+      |    WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic AND n_cjk >= n_greek
+      |     AND n_cjk >= n_arabic AND n_cjk >= n_hangul AND n_cjk >= n_thai THEN 'cjk'
+      |    WHEN n_hangul >= n_latin AND n_hangul >= n_cyrillic AND n_hangul >= n_greek
+      |     AND n_hangul >= n_arabic AND n_hangul >= n_cjk AND n_hangul >= n_thai THEN 'hangul'
+      |    WHEN n_thai >= n_latin AND n_thai >= n_cyrillic AND n_thai >= n_greek
+      |     AND n_thai >= n_arabic AND n_thai >= n_cjk AND n_thai >= n_hangul THEN 'thai'
+      |    ELSE 'other' END AS script_pred
+      |FROM counts
+      |ORDER BY doc_id""".stripMargin
+
+  /** x115 — within-document repetition REMOVAL (x76 scores, this
+    * strips): collapse consecutive repeated tokens — the boilerplate/
+    * stutter artifact ("batch batch batch" → "batch") — and emit the
+    * cleaned text plus removal stats. Pure HOF projection
+    * ([[TextAnalysis.collapseTokenRuns]]): no explode, no shuffle,
+    * per-document work at any corpus size. The fixture corpus contains
+    * real runs, so the removal is witnessed non-vacuously at every SF.
+    */
+  def x115RepetitionStrip(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        TextAnalysis.collapseTokenRuns(col("tk")).as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        (size(col("tk")) - size(col("kept"))).cast(LongType).as("n_removed"))
+      .orderBy(col("doc_id"))
+
+  val x115Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, tk,
+      |    list_transform(
+      |      list_filter(range(1, len(tk) + 1), i -> i = 1 OR tk[i] <> tk[i-1]),
+      |      i -> tk[i]) AS kept
+      |  FROM t)
+      |SELECT doc_id,
+      |  array_to_string(kept, ' ') AS clean_text,
+      |  len(tk)::BIGINT AS n_tokens,
+      |  len(kept)::BIGINT AS n_kept,
+      |  (len(tk) - len(kept))::BIGINT AS n_removed
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
+  /** x116 — URL/domain source filtering: host extraction → registered-
+    * domain heuristic → broadcast blocklist anti-join — the standard
+    * web-corpus curation gate (block spam/mirror domains before any
+    * expensive scoring). The fixture has no URL column, so a
+    * deterministic synthetic URL (subdomain and TLD varied by doc_id,
+    * domain by source) witnesses every branch — the operator columns
+    * ([[TextAnalysis.urlHost]] / [[TextAnalysis.registeredDomain]]) and
+    * the join shape are the production pieces.
+    */
+  def x116UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocklist = Seq("src1-mirror.com", "src2-mirror.org", "src4-mirror.net")
+      .toDF("blocked_domain")
+    val withUrl = docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit("-mirror."),
+        when(col("doc_id") % 3 === 0, lit("com"))
+          .when(col("doc_id") % 3 === 1, lit("org"))
+          .otherwise(lit("net"))))
+      .withColumn("domain",
+        TextAnalysis.registeredDomain(TextAnalysis.urlHost(col("url"))))
+    withUrl
+      .join(broadcast(blocklist),
+        withUrl("domain") === blocklist("blocked_domain"), "left_anti")
+      .select(col("doc_id"), col("url"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x116Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+      |      || source || '-mirror.'
+      |      || CASE WHEN doc_id % 3 = 0 THEN 'com'
+      |              WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END AS url
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, url,
+      |    regexp_extract(
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1),
+      |      '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM u)
+      |SELECT doc_id, url, domain FROM d
+      |WHERE domain NOT IN ('src1-mirror.com', 'src2-mirror.org', 'src4-mirror.net')
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x114_script_langid" -> (x114ScriptLangId _),
+    "x115_repetition_strip" -> (x115RepetitionStrip _),
+    "x116_url_filter" -> (x116UrlFilter _),
     "x113_cooccurrence" -> (x113Cooccurrence _),
     "x112_quality_calibration" -> (x112QualityCalibration _),
     "x111_split_leakage" -> (x111SplitLeakage _),
@@ -2669,6 +2833,9 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x114_script_langid" -> x114Sql,
+    "x115_repetition_strip" -> x115Sql,
+    "x116_url_filter" -> x116Sql,
     "x113_cooccurrence" -> x113Sql,
     "x112_quality_calibration" -> x112Sql,
     "x111_split_leakage" -> x111Sql,
