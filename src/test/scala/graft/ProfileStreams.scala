@@ -45,18 +45,32 @@ object ProfileStreams {
       .schema(graft.streaming.Streams.EventsRawSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // the REAL x61 agg (sum of money-cast + select), not a count-only toy
     val agg = raw.withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val t0 = System.nanoTime()
-    val q = agg.writeStream.format("memory").queryName("prof_x61")
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    println(f"[prof] direct x61-shape total: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    q.recentProgress.foreach { p =>
-      println(s"[prof] batch ${p.batchId} durationMs=${p.durationMs}")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.core.Casts.asMoney(col("value")))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    (1 to 2).foreach { run =>
+      val ck2 = java.nio.file.Files.createTempDirectory("prof-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(s"prof_x61_$run")
+        .outputMode("complete")
+        .option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val tStream = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ss.table(s"prof_x61_$run")
+        .orderBy(col("window_start"), col("event_type"))
+        .write.format("noop").mode("overwrite").save()
+      val tSink = (System.nanoTime() - t1) / 1e9
+      println(f"[prof] run$run real-x61 stream: $tStream%.2f s, sink+orderBy+noop: $tSink%.2f s")
+      q.recentProgress.foreach { p =>
+        println(s"[prof] run$run batch ${p.batchId} durationMs=${p.durationMs}")
+      }
     }
     spark.stop()
   }
