@@ -128,7 +128,7 @@ object Bench {
     *    pairs that aren't jaccard-near).
     * Failures yield absent keys, never a crashed bench line.
     */
-  private def recallNumbers(
+  private[graft] def recallNumbers(
       spark: SparkSession, sfDir: String): Map[String, Double] = {
     import org.apache.spark.sql.functions._
     def tryEntry(name: String)(f: => Double): Option[(String, Double)] =

@@ -573,8 +573,13 @@ object ExtQueries {
     val root = annRoot(dir, "ivf", tag)
     if (!AnnIndex.ivfExists(root))
       AnnIndex.buildIvfIndex(embs(s, dir), root, sourceTag = tag)
+    // nprobe = 6 of 16 cells: the measured recall/cost knee on this
+    // corpus (sf0.1 sweep: nprobe 4 → 0.56 recall@5, 6 → 0.70 @ +0.5 s,
+    // 8 → 0.80 @ +1.5 s). Synthetic near-uniform embeddings are the
+    // hard case for space partitioning — neighbors straddle cell
+    // boundaries, so recall ≈ P(neighbor's cell probed).
     val approx = AnnIndex.ivfTopKIndexed(s, embs(s, dir), root, k = 5,
-      expectedSourceTag = Some(tag))
+      nprobe = 6, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
       .orderBy(col("vec_id"), col("rank"))
   }
@@ -594,8 +599,13 @@ object ExtQueries {
     val root = annRoot(dir, "ivfpq", tag)
     if (!AnnIndex.ivfPqExists(root))
       AnnIndex.buildIvfPqIndex(embs(s, dir), root, sourceTag = tag)
+    // nprobe = 8: the PQ path is cheap enough (codes, not vectors, move)
+    // that probing half the cells costs ~0.4 s for 0.52 → 0.68 recall@5.
+    // Deeper ADC shortlists do NOT help (rerank 50 → 200 moved 0.52 →
+    // 0.56 only): m=16,k=16 quantization error caps what the shortlist
+    // can see — probe width, not rerank depth, is the recall lever here.
     val approx = AnnIndex.ivfPqTopKIndexed(s, embs(s, dir), root, k = 5,
-      expectedSourceTag = Some(tag))
+      nprobe = 8, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
       .orderBy(col("vec_id"), col("rank"))
   }

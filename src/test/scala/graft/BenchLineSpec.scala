@@ -96,6 +96,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(minNames === slowest12)
   }
 
+  test("recallNumbers yields bounded, non-vacuous recall for every witnessed entry") {
+    // the artifact's load-bearing quality numbers: all five witnessed
+    // entries present, every value a true recall in [0, 1], and the ANN
+    // entries non-vacuously > 0 (a broken witness would read 0.0)
+    val spark = TestSession.spark
+    val r = Bench.recallNumbers(spark, "/root/testdata/sf0.001")
+    val expected = Set("x41_ann_lsh", "x43_ann_ivf", "x47_ann_ivfpq",
+      "x32_minhash_pairs", "x33_simhash_pairs")
+    assert(r.keySet === expected, s"recall keys: ${r.keySet}")
+    r.foreach { case (k, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"$k recall $v out of [0,1]")
+      assert(v > 0.0, s"$k recall is vacuously zero — witness broken")
+    }
+  }
+
   test("degenerate budget still yields parseable JSON") {
     val median = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val line = Bench.renderLine(median, n = 1, sfDir = "/tmp", budget = 10)
