@@ -2610,16 +2610,21 @@ object ExtQueries {
       (-4L, "mixed script пример with 中文 and latin majority here"),
       (-5L, "12345 67890 --- !!!"))
       .toDF("doc_id", "text")
-    val counts = TextAnalysis.ScriptClasses.map { case (label, clazz) =>
-      label -> TextAnalysis.scriptCount(col("text"), clazz)
-    }
+    // ONE compiled code-point pass for all 7 class counts (the regex
+    // spelling scans the text 7 times; graft.functions.ScriptCounts) —
+    // the oracle's regex view stays the semantic definition, and the
+    // hash match proves the compiled pass ≡ 7-regex spelling exactly
+    val labels = TextAnalysis.ScriptClasses.map(_._1)
     val scored = docs(s, dir).select(col("doc_id"), col("text"))
       .unionByName(planted)
+      .select(col("doc_id"),
+        graft.functions.ScriptCounts.column(col("text")).as("sc"))
       .select(Seq(col("doc_id")) ++
-        counts.map { case (l, c) => c.as(s"n_$l") }: _*)
+        labels.zipWithIndex.map { case (l, i) =>
+          col("sc").getItem(i).as(s"n_$l") }: _*)
     scored
       .withColumn("script_pred", TextAnalysis.scriptPred(
-        TextAnalysis.ScriptClasses.map { case (l, _) => l -> col(s"n_$l") }))
+        labels.map(l => l -> col(s"n_$l"))))
       .orderBy(col("doc_id"))
   }
 

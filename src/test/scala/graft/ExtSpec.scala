@@ -66,6 +66,27 @@ class ExtSpec extends SparkSpec {
     assert(out(2L).exists(_.size == 8))
   }
 
+  test("ScriptCounts single pass ≡ the 7-regex spelling, incl. non-BMP input") {
+    // the compiled code-point walk must equal length-minus-stripped for
+    // every class on: multi-script text, supplementary chars (emoji —
+    // counted by length(), in no class), empty, whitespace-only
+    val tricky = Seq(
+      (1L, "Привет mir 中文 test"), (2L, "héllo wörld"), (3L, ""),
+      (4L, "   "), (5L, "😀🎉 emoji only"), (6L, "ไทย 한국어 عربى ελλ"),
+      (7L, "plain ascii text 123")).toDF("doc_id", "text")
+    val labels = graft.ext.TextAnalysis.ScriptClasses
+    val viaExpr = tricky
+      .select($"doc_id", graft.functions.ScriptCounts.column($"text").as("sc"))
+      .select($"doc_id" +: labels.indices.map(i => $"sc".getItem(i)): _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val viaRegex = tricky
+      .select($"doc_id" +: labels.map { case (_, clazz) =>
+        graft.ext.TextAnalysis.scriptCount($"text", clazz) }: _*)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaExpr === viaRegex,
+      "compiled script counts diverged from the regex definition")
+  }
+
   test("compiled expressions match Spark spellings on whitespace edge cases") {
     // Trailing newline/tab/empty docs: Java String.trim/split semantics
     // would diverge here (Java trims \t\n\r and drops trailing empty
