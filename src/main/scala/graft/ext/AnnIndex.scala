@@ -380,6 +380,58 @@ object AnnIndex {
     }
   }
 
+  /** Candidate-budget guard for the IVF family — the sibling of
+    * [[lshTopKIndexed]]'s Σ q(b)·i(b) estimate: cells are DISJOINT, so
+    * the degenerate worst case (every index vector in one cell that
+    * every query probes) is qRows·liveN candidate pairs. The cheap
+    * driver skip-bound clears small cases without a job; over the
+    * bound, the real Σ probes(c)·members(c) estimate runs (one narrow
+    * aggregate over the published cell column + a qRows×nCells
+    * centroid pass) and REFUSES a blown budget instead of letting a
+    * collapsed quantizer (all-identical embeddings) go quadratic
+    * silently.
+    */
+  private def ivfCandidateGuard(
+      spark: SparkSession,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      cellsTableRoot: String,
+      maxCandidatePairs: Long): Unit = {
+    import spark.implicits._
+    if (maxCandidatePairs <= 0) return
+    val liveNOpt = Versioned.publishedRows(cellsTableRoot)
+    if (liveNOpt.isEmpty)
+      System.err.println(s"[graft.AnnIndex] $cellsTableRoot: live version " +
+        "dirs missing _GRAFT_META row counts; running the full candidate " +
+        "estimate instead of the driver-side skip bound")
+    val qRows = queries.select(col("vec_id")).count().toDouble
+    val worstCase = liveNOpt.map(n => qRows * n.toDouble)
+    if (worstCase.exists(_ <= maxCandidatePairs.toDouble)) return
+    val bc = spark.sparkContext.broadcast(centroids)
+    val qc = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (_, v) =>
+        val cs = bc.value
+        cs.indices.map(c => (c, Similarity.cosineVs(v, cs(c))))
+          .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+      }
+      .toDF("cell").groupBy(col("cell")).agg(count(lit(1)).as("qc"))
+    val ic = Versioned.read(spark, cellsTableRoot)
+      .select(col("cell")).groupBy(col("cell")).agg(count(lit(1)).as("ic"))
+    val est = qc.join(ic, Seq("cell"))
+      .agg(sum(col("qc").cast("double") * col("ic").cast("double")))
+      .head().getAs[Any](0) match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue
+      }
+    require(est <= maxCandidatePairs.toDouble,
+      f"IVF probe would score ~$est%.3g candidate pairs (budget " +
+        f"$maxCandidatePairs); the coarse quantizer is collapsed " +
+        "(degenerate embeddings?) — rebuild with more/better cells or " +
+        "raise maxCandidatePairs deliberately")
+  }
+
   /** ANN top-k against the PUBLISHED IVF index: the (nCells × dim)
     * centroid model is read back to the driver (small by contract),
     * queries probe their `nprobe` best cells, and only those cells'
@@ -392,7 +444,8 @@ object AnnIndex {
       stateRoot: String,
       k: Int,
       nprobe: Int = 4,
-      expectedSourceTag: Option[String] = None): DataFrame = {
+      expectedSourceTag: Option[String] = None,
+      maxCandidatePairs: Long = 200000000L): DataFrame = {
     import spark.implicits._
     val v = Versioned.currentVersion(ivfMetaRoot(stateRoot)).getOrElse(
       throw new IllegalStateException(s"no IVF index published under $stateRoot"))
@@ -405,6 +458,8 @@ object AnnIndex {
     val qdim = Similarity.vecDim(queries, "embedding")
     require(qdim == dim,
       s"query dim $qdim != indexed dim $dim — wrong index for this frame")
+    ivfCandidateGuard(spark, queries, centroids, nprobe,
+      cellsRoot(stateRoot), maxCandidatePairs)
     val bc = spark.sparkContext.broadcast(centroids)
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -572,13 +627,16 @@ object AnnIndex {
       k: Int,
       nprobe: Int = 4,
       rerank: Int = 50,
-      expectedSourceTag: Option[String] = None): DataFrame = {
+      expectedSourceTag: Option[String] = None,
+      maxCandidatePairs: Long = 200000000L): DataFrame = {
     import spark.implicits._
     val (meta, centroids, model) = readIvfPqModel(spark, stateRoot)
     requireFreshTag("IVF-PQ", stateRoot, meta.sourceTag, expectedSourceTag)
     val qdim = Similarity.vecDim(queries, "embedding")
     require(qdim == meta.dim,
       s"query dim $qdim != indexed dim ${meta.dim} — wrong index for this frame")
+    ivfCandidateGuard(spark, queries, centroids, nprobe,
+      pqCellsRoot(stateRoot), maxCandidatePairs)
     val assigned = Versioned.read(spark, pqCellsRoot(stateRoot))
       .select(col("vec_id"), col("codes"), col("cell"))
       .as[PqCoded]

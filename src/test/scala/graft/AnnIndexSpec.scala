@@ -163,6 +163,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(Versioned.manifest(s"$root/pq_vectors").size === 2)
   }
 
+  test("IVF family refuses a collapsed quantizer instead of going quadratic") {
+    // all-identical embeddings collapse every vector into one cell: a
+    // probe join would be qRows x liveN (brute force via the back door).
+    // The candidate guard's estimate must refuse under a small budget —
+    // the ivf sibling of lshTopK's degenerate-refusal contract.
+    val degenerate = (1L to 60L).map(i => (i, Array.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val root = freshRoot("ivf-degen")
+    AnnIndex.buildIvfIndex(degenerate, root, nCells = 4, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopKIndexed(spark, degenerate, root, k = 1,
+        maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+    val rootPq = freshRoot("ivfpq-degen")
+    AnnIndex.buildIvfPqIndex(degenerate, rootPq, nCells = 4, iters = 1,
+      m = 4, k = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqTopKIndexed(spark, degenerate, rootPq, k = 1,
+        maxCandidatePairs = 100L)
+    }
+    assert(e2.getMessage.contains("candidate pairs"))
+    // healthy defaults still work on the same index
+    assert(AnnIndex.ivfTopKIndexed(spark, degenerate, root, k = 1).count() > 0)
+  }
+
   test("IVF-PQ stale source tag refuses at query time") {
     val root = freshRoot("ivfpq-stale")
     AnnIndex.buildIvfPqIndex(embs, root, nCells = 2, iters = 1, m = 8, k = 4,
