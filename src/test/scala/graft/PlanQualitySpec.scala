@@ -68,7 +68,8 @@ class PlanQualitySpec extends SparkSpec {
     val expected = Seq(
       ("x76_repetition", "graft_repetition_stats"),
       ("x32_minhash_pairs", "graft_minhash_signature"),
-      ("x33_simhash_pairs", "graft_simhash64"))
+      ("x33_simhash_pairs", "graft_simhash64"),
+      ("x114_script_langid", "graft_script_counts"))
     expected.foreach { case (query, exprName) =>
       val plan = SparkEntry.queries(query)(spark, dir)
         .queryExecution.executedPlan.toString
