@@ -142,6 +142,11 @@ object Bench {
     val annK = 5.0
     lazy val nVec =
       graft.core.Tables.embeddings(spark, sfDir).count().toDouble
+    // each ANN entry embeds its own brute-force witness (n_exact_hits)
+    // by design — the r6 verdict pins the witness INSIDE the timed
+    // entries so the trend line stays interpretable — so this untimed
+    // tail necessarily re-runs that twin per entry; don't "optimize" it
+    // by sharing one exact frame across entries
     def annRecall(q: String): Double = {
       val perVec = SparkEntry.queries(q)(spark, sfDir)
         .groupBy(col("vec_id")).agg(max(col("n_exact_hits")).as("h"))
@@ -149,11 +154,15 @@ object Bench {
     }
     // exact twin materialized at most once, shared by both banding
     // entries, and released before returning (cache hygiene: the bench
-    // loop asserts no persistent residue between rounds)
+    // loop asserts no persistent residue between rounds). persist, NOT
+    // localCheckpoint: unpersist on a checkpointed frame is a CacheManager
+    // no-op (no entry for the LogicalRDD plan) and the blocks would
+    // linger until driver GC
     var exactOpt: Option[org.apache.spark.sql.DataFrame] = None
     def exactPairs = exactOpt.getOrElse {
       val d = SparkEntry.queries("x31_jaccard_pairs")(spark, sfDir)
-        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       exactOpt = Some(d)
       d
     }
@@ -172,7 +181,8 @@ object Bench {
       tryEntry("x33_simhash_pairs")(bandingRecall("x33_simhash_pairs"))
     ).toMap
     finally exactOpt.foreach(d =>
-      try d.unpersist(false) catch { case _: Throwable => () })
+      // blocking: this tail is untimed and the residue gauge runs next
+      try d.unpersist(true) catch { case _: Throwable => () })
   }
 
   /** Contention canary: a fixed CPU-bound reduction timed ~9 times per
@@ -226,9 +236,17 @@ object Bench {
       else recall.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(""","recall":{""", ",", "}")
+    // bounded: a systemic regression can fail the WHOLE catalog, and an
+    // uncapped name list alone would blow the char budget no matter how
+    // many query rows the shrink loop drops — always carry the full
+    // count, name at most the first 12
     val failedPart =
       if (failed.isEmpty) ""
-      else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else {
+        val shown = failed.sorted.take(12)
+        s""","failed_n":${failed.size}""" +
+          shown.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      }
     val bySlowest = names.sortBy(n => (-median(n), n))
     def render(keep: Seq[String]): String = {
       val qs = keep.map(k => "\"" + k + "\":" + fmt(median(k)))

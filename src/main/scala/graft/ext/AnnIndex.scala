@@ -110,9 +110,11 @@ object AnnIndex {
     // Writer lock across the multi-table publish: concurrent first-
     // builders in separate JVMs would otherwise race writeDir's version
     // allocation and interleave vectors/buckets/meta (ADVICE r6). The
-    // second builder fails fast with the holder's identity; a crashed
-    // holder leaves a stale lock — Versioned.breakLock after confirming.
-    Versioned.withWriterLock(stateRoot) {
+    // second builder fails fast with the holder's identity; a CRASHED
+    // holder's lock auto-expires after UnattendedStaleLockMillis so the
+    // build-if-absent query path (x41/x43/x47) self-heals instead of
+    // wedging until a human runs Versioned.breakLock.
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       val base = embeddings.select(col("vec_id"), col("embedding"))
       val n = base.count()
       val dim = Similarity.vecDim(base, "embedding")
@@ -163,7 +165,7 @@ object AnnIndex {
     * interleaving version allocations.
     */
   def appendLshIndex(delta: DataFrame, stateRoot: String): LshMeta =
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       val spark = delta.sparkSession
       val meta = readLshMeta(spark, stateRoot)
       val base = delta.select(col("vec_id"), col("embedding"))
@@ -185,7 +187,7 @@ object AnnIndex {
     * Same unique-`vec_id` contract as [[appendLshIndex]].
     */
   def appendIvfIndex(delta: DataFrame, stateRoot: String): Unit =
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
     val spark = delta.sparkSession
     import spark.implicits._
     val v = Versioned.currentVersion(ivfMetaRoot(stateRoot)).getOrElse(
@@ -227,24 +229,51 @@ object AnnIndex {
     })
   }
 
+  /** Σ q(b)·i(b) over matching buckets/cells: the candidate-pair count
+    * the probe join WOULD produce, computed from the two per-key count
+    * frames before running it. Null-safe (no matching keys → 0 pairs).
+    * Shared by the LSH and IVF guards so the refusal arithmetic cannot
+    * diverge between them.
+    */
+  private def candidatePairEstimate(
+      qc: DataFrame, ic: DataFrame, keys: Seq[String]): Double =
+    qc.join(ic, keys)
+      .agg(sum(col("qc").cast("double") * col("ic").cast("double")))
+      .head().getAs[Any](0) match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue
+      }
+
+  /** Collect a published (cell, pos, v) long-form centroid table back to
+    * the driver-side (nCells × dim) model, verifying the cell count
+    * against meta. Shared by the IVF and IVF-PQ model readers — the
+    * reshape must not diverge between them.
+    */
+  private def readCentroids(
+      spark: SparkSession,
+      tableRoot: String,
+      expectedCells: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val cs: Array[Array[Double]] = Versioned
+      .read(spark, tableRoot)
+      .select(col("cell"), col("pos"), col("v"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    require(cs.length == expectedCells,
+      s"published centroid table has ${cs.length} cells, meta says $expectedCells")
+    cs
+  }
+
   private def readIvfModel(
       spark: SparkSession, stateRoot: String): (Int, Int, Array[Array[Double]], String) = {
-    import spark.implicits._
     val metaDf = Versioned.read(spark, ivfMetaRoot(stateRoot))
     val metaRow = metaDf.head()
     val nc = metaRow.getAs[Int]("n_cells")
     val d = metaRow.getAs[Int]("dim")
     val tag = if (metaDf.schema.fieldNames.contains("source_tag"))
       Option(metaRow.getAs[String]("source_tag")).getOrElse("") else ""
-    val cs: Array[Array[Double]] = Versioned
-      .read(spark, centroidsRoot(stateRoot))
-      .select(col("cell"), col("pos"), col("v"))
-      .as[(Int, Int, Double)].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3)).toArray
-    require(cs.length == nc,
-      s"published centroid table has ${cs.length} cells, meta says $nc")
-    (nc, d, cs, tag)
+    (nc, d, readCentroids(spark, centroidsRoot(stateRoot), nc), tag)
   }
 
   /** ANN top-k for `queries` (vec_id, embedding) against the PUBLISHED
@@ -300,12 +329,7 @@ object AnnIndex {
           .agg(count(lit(1)).as("qc"))
         val ic = idxBuckets.groupBy(col("table"), col("bucket"))
           .agg(count(lit(1)).as("ic"))
-        val est = qc.join(ic, Seq("table", "bucket"))
-          .agg(sum(col("qc").cast("double") * col("ic").cast("double")))
-          .head().getAs[Any](0) match {
-            case null => 0.0
-            case d: java.lang.Double => d.doubleValue
-          }
+        val est = candidatePairEstimate(qc, ic, Seq("table", "bucket"))
         require(est <= maxCandidatePairs.toDouble,
           f"lshTopKIndexed would probe ~$est%.3g candidate pairs " +
             f"(budget $maxCandidatePairs); rebuild with more planes or raise " +
@@ -348,7 +372,7 @@ object AnnIndex {
       sourceTag: String = ""): IvfMeta = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val n = base.count()
     val dim = Similarity.vecDim(base, "embedding")
@@ -419,12 +443,7 @@ object AnnIndex {
       .toDF("cell").groupBy(col("cell")).agg(count(lit(1)).as("qc"))
     val ic = Versioned.read(spark, cellsTableRoot)
       .select(col("cell")).groupBy(col("cell")).agg(count(lit(1)).as("ic"))
-    val est = qc.join(ic, Seq("cell"))
-      .agg(sum(col("qc").cast("double") * col("ic").cast("double")))
-      .head().getAs[Any](0) match {
-        case null => 0.0
-        case d: java.lang.Double => d.doubleValue
-      }
+    val est = candidatePairEstimate(qc, ic, Seq("cell"))
     require(est <= maxCandidatePairs.toDouble,
       f"IVF probe would score ~$est%.3g candidate pairs (budget " +
         f"$maxCandidatePairs); the coarse quantizer is collapsed " +
@@ -524,7 +543,7 @@ object AnnIndex {
       sourceTag: String = ""): IvfPqMeta = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       val base = embeddings.select(col("vec_id"), col("embedding"))
       val n = base.count()
       val dim = Similarity.vecDim(base, "embedding")
@@ -562,7 +581,7 @@ object AnnIndex {
     * [[appendLshIndex]].
     */
   def appendIvfPqIndex(delta: DataFrame, stateRoot: String): Unit =
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       val spark = delta.sparkSession
       val (meta, centroids, model) = readIvfPqModel(spark, stateRoot)
       val base = delta.select(col("vec_id"), col("embedding"))
@@ -589,14 +608,8 @@ object AnnIndex {
       val meta = IvfPqMeta(r.getAs[Int]("n_cells"), r.getAs[Int]("iters"),
         r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dim"),
         r.getAs[Long]("n"), tag)
-      val centroids: Array[Array[Double]] = Versioned
-        .read(spark, pqCentroidsRoot(stateRoot))
-        .select(col("cell"), col("pos"), col("v"))
-        .as[(Int, Int, Double)].collect()
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_._2).map(_._3)).toArray
-      require(centroids.length == meta.nCells,
-        s"published centroid table has ${centroids.length} cells, meta says ${meta.nCells}")
+      val centroids: Array[Array[Double]] =
+        readCentroids(spark, pqCentroidsRoot(stateRoot), meta.nCells)
       val books: Array[Array[Array[Double]]] = Versioned
         .read(spark, pqBooksRoot(stateRoot))
         .select(col("s"), col("c"), col("pos"), col("v"))

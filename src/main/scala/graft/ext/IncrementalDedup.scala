@@ -139,7 +139,7 @@ object IncrementalDedup {
     // ingest, so the lock must span read-through-publish: two concurrent
     // ingests against the same base would otherwise double-accept
     // near-dups of each other (not just interleave version numbers)
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       ingestLocked(delivery, idCol, textCol, stateRoot, n, threshold,
         numHashes, bands)
     }
@@ -298,7 +298,7 @@ object IncrementalDedup {
     */
   def compactState(spark: SparkSession, stateRoot: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): Seq[String] =
-    Versioned.withWriterLock(stateRoot) {
+    Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       // reconcile FIRST (same as ingest step 0): if a crashed publish
       // left survivors unindexed, stamping the post-compaction version
       // without backfilling would hide them from the band tier forever.

@@ -26,6 +26,18 @@ object Robust {
   /** Materialize the narrow input slice once; all three downstream
     * passes (med, mad, final join) read these blocks instead of
     * re-running the caller's upstream plan.
+    *
+    * localCheckpoint, deliberately, despite two known trade-offs: (a)
+    * release is by ContextCleaner when the caller drops the returned
+    * frame — a `persist` would need a caller-visible release handle to
+    * avoid pinning CacheManager entries forever, and this operator's
+    * contract is a plain DataFrame; (b) the blocks are NOT
+    * fault-tolerant — on a real cluster an executor loss kills them,
+    * and since the lineage is truncated the job fails rather than
+    * recomputing. Callers running multi-hour 100 TB jobs should
+    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` the scored
+    * input themselves if they need loss recovery; paying 3× the scan
+    * (the pre-r7 shape) is strictly worse than either.
     */
   private def materializedSlice(
       df: DataFrame, idCol: String, keyCol: String, valCol: String): DataFrame =

@@ -421,25 +421,50 @@ object Versioned {
     * writer fails fast instead of interleaving version allocations. The
     * lock never gates READERS — publishes stay gap-free without it.
     *
-    * A crashed holder leaves a stale lock; `breakLock` removes it after
-    * the operator confirms the holder is gone (the lock file records
-    * owner and acquisition time for that call).
+    * A crashed holder leaves a stale lock. `breakLock` removes it after
+    * the operator confirms the holder is gone, and callers on unattended
+    * build-if-absent paths may pass `staleAfterMillis`: a lock whose
+    * mtime is older than that is presumed abandoned and re-taken (one
+    * contender wins the create-new; the rest still fail fast against the
+    * NEW holder). Choose it well above any plausible holder runtime —
+    * breaking a merely-slow writer would reintroduce the interleave the
+    * lock exists to prevent. Default keeps locks permanent-until-broken.
     */
-  def withWriterLock[A](tableRoot: String)(body: => A): A = {
+  def withWriterLock[A](
+      tableRoot: String,
+      staleAfterMillis: Long = Long.MaxValue)(body: => A): A = {
     val rootPath = root(tableRoot)
     Files.createDirectories(rootPath)
     val lock = rootPath.resolve("_WRITER_LOCK")
-    try
+    def acquire(): Unit =
       Files.write(lock,
         s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
           .getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW)
+    try acquire()
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val holder = new String(Files.readAllBytes(lock), "UTF-8").trim
-        throw new IllegalStateException(
-          s"another writer holds $tableRoot (holder: $holder); " +
-            "if it crashed, Versioned.breakLock(tableRoot) releases it")
+        val ageMs =
+          try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => -1L } // holder just released
+        if (ageMs < 0 || ageMs > staleAfterMillis) {
+          // presumed-crashed holder (or lock vanished between the failed
+          // create and the stat): clear and re-contend exactly once
+          if (ageMs >= 0) Files.deleteIfExists(lock)
+          try acquire()
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val holder = new String(Files.readAllBytes(lock), "UTF-8").trim
+              throw new IllegalStateException(
+                s"another writer holds $tableRoot (holder: $holder); " +
+                  "if it crashed, Versioned.breakLock(tableRoot) releases it")
+          }
+        } else {
+          val holder = new String(Files.readAllBytes(lock), "UTF-8").trim
+          throw new IllegalStateException(
+            s"another writer holds $tableRoot (holder: $holder); " +
+              "if it crashed, Versioned.breakLock(tableRoot) releases it")
+        }
     }
     try body
     finally Files.deleteIfExists(lock)
@@ -448,6 +473,15 @@ object Versioned {
   /** Remove a stale writer lock after confirming its holder is dead. */
   def breakLock(tableRoot: String): Boolean =
     Files.deleteIfExists(root(tableRoot).resolve("_WRITER_LOCK"))
+
+  /** Stale-lock horizon for UNATTENDED build-if-absent paths (ANN index
+    * builds, incremental-dedup state updates): long enough that no live
+    * holder at bench scale plausibly still runs, short enough that a
+    * crashed first-builder doesn't wedge every later caller until a
+    * human runs `breakLock`. Attended/interactive publishes should keep
+    * the permanent default and page the operator instead.
+    */
+  val UnattendedStaleLockMillis: Long = 30L * 60L * 1000L
 
   /** Range read with file-level stat pruning: version dirs published with
     * `statsCols` covering `column` contribute only files whose

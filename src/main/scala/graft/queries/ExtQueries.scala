@@ -491,11 +491,49 @@ object ExtQueries {
     * build-once/query-many contract ([[graft.ext.AnnIndex]]); bump the
     * version tag when the layout or build params change.
     */
-  private def annRoot(dir: String, kind: String, sourceTag: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sourceTag".getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft-ann-v2-$key/$kind"
+  private[graft] def md5Key(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(bytes).map("%02x".format(_)).mkString
+
+  /** Root name is `<dirKey>-<tagKey>` so every index generation for the
+    * SAME source dir is discoverable by prefix: when a fixture
+    * regeneration changes the tag, [[vacuumStaleAnnRoots]] can reclaim
+    * the orphaned generations instead of growing tmpdir without bound.
+    */
+  private def annRoot(dir: String, kind: String, sourceTag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ann-v2-${md5Key(dir, 6)}-" +
+      s"${md5Key(sourceTag, 6)}/$kind"
+
+  /** Delete index generations built for `dir` under a DIFFERENT source
+    * tag (the fixture was regenerated in place, so their roots can never
+    * be keyed again — annRoot folds the tag into the name). Invoked only
+    * from build paths, i.e. at most once per (host, generation); any
+    * straggler querying an old generation was already serving
+    * known-stale neighbors, which the query-time tag check refuses
+    * anyway. Best-effort: a vacuum failure never blocks the build.
+    */
+  private[graft] def vacuumStaleAnnRoots(dir: String, liveTag: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val live = s"graft-ann-v2-${md5Key(dir, 6)}-${md5Key(liveTag, 6)}"
+    val prefix = s"graft-ann-v2-${md5Key(dir, 6)}-"
+    try {
+      val ls = Files.list(tmp)
+      val stale =
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(prefix) && n != live
+          }.toList
+        } finally ls.close()
+      stale.foreach { root =>
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Content fingerprint of the embeddings source under `dir`: the
@@ -509,12 +547,18 @@ object ExtQueries {
   private def annSourceTag(dir: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val p = Paths.get(dir, "embeddings.parquet")
+    // path RELATIVE to the source so the signature is stable across
+    // hosts mounting the dir at different prefixes
     def sig(f: Path): String =
-      s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+      s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
     val parts: Seq[String] =
       if (Files.isDirectory(p)) {
         import scala.jdk.CollectionConverters._
-        val s = Files.list(p)
+        // recursive: a partitionBy layout nests data files in
+        // subdirectories, and a top-level-only listing would fingerprint
+        // a near-empty constant — in-place regeneration would then keep
+        // the SAME tag and serve stale neighbors
+        val s = Files.walk(p)
         try s.iterator().asScala.filter(Files.isRegularFile(_)).map(sig)
           .toSeq.sorted
         finally s.close()
@@ -553,8 +597,10 @@ object ExtQueries {
   def x41AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val tag = annSourceTag(dir)
     val root = annRoot(dir, "lsh", tag)
-    if (!AnnIndex.lshExists(root))
+    if (!AnnIndex.lshExists(root)) {
+      vacuumStaleAnnRoots(dir, tag)
       AnnIndex.buildLshIndex(embs(s, dir), root, sourceTag = tag)
+    }
     val approx = AnnIndex.lshTopKIndexed(s, embs(s, dir), root, k = 5,
       expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
@@ -563,7 +609,8 @@ object ExtQueries {
 
   /** x43 — ANN top-5 via IVF over the PERSISTED index: centroids +
     * cell assignments published once ([[graft.ext.AnnIndex]]); the query
-    * reads the (nCells × dim) model, probes 4 cells, and re-ranks only
+    * reads the (nCells × dim) model, probes 6 cells (the measured
+    * recall knee — see the call-site comment), and re-ranks only
     * their published members — no Lloyd iteration in the query plan.
     * Approximate by construction — no oracle; `n_exact_hits` carries the
     * recall witness vs the exact twin (avg/k = recall@5).
@@ -571,8 +618,10 @@ object ExtQueries {
   def x43AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val tag = annSourceTag(dir)
     val root = annRoot(dir, "ivf", tag)
-    if (!AnnIndex.ivfExists(root))
+    if (!AnnIndex.ivfExists(root)) {
+      vacuumStaleAnnRoots(dir, tag)
       AnnIndex.buildIvfIndex(embs(s, dir), root, sourceTag = tag)
+    }
     // nprobe = 6 of 16 cells: the measured recall/cost knee on this
     // corpus (sf0.1 sweep: nprobe 4 → 0.56 recall@5, 6 → 0.70 @ +0.5 s,
     // 8 → 0.80 @ +1.5 s). Synthetic near-uniform embeddings are the
@@ -587,7 +636,8 @@ object ExtQueries {
   /** x47 — ANN top-5 via the PERSISTED IVF-PQ index — the production
     * FAISS composition (IVFPQ) with its expensive half (PQ codebook
     * training + Lloyd centroids) amortized into a build-once publish:
-    * the query probes 4 cells, ADC-scores probed members from published
+    * the query probes 8 cells (probe width, not rerank depth, is the
+    * recall lever here), ADC-scores probed members from published
     * m-byte codes, and exact-re-ranks the ADC top-50 against published
     * vectors — no training stage anywhere in the query plan.
     * Approximate by construction — no oracle; `n_exact_hits` carries the
@@ -597,8 +647,10 @@ object ExtQueries {
   def x47AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val tag = annSourceTag(dir)
     val root = annRoot(dir, "ivfpq", tag)
-    if (!AnnIndex.ivfPqExists(root))
+    if (!AnnIndex.ivfPqExists(root)) {
+      vacuumStaleAnnRoots(dir, tag)
       AnnIndex.buildIvfPqIndex(embs(s, dir), root, sourceTag = tag)
+    }
     // nprobe = 8: the PQ path is cheap enough (codes, not vectors, move)
     // that probing half the cells costs ~0.4 s for 0.52 → 0.68 recall@5.
     // Deeper ADC shortlists do NOT help (rerank 50 → 200 moved 0.52 →

@@ -277,4 +277,34 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("128"))
   }
+
+  test("vacuumStaleAnnRoots reclaims old generations, keeps the live one") {
+    import java.nio.file.{Files, Paths}
+    import graft.queries.ExtQueries.{md5Key, vacuumStaleAnnRoots}
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val dir = s"/vacuum-spec-fixture-${System.nanoTime()}"
+    val dk = md5Key(dir, 6)
+    val live = tmp.resolve(s"graft-ann-v2-$dk-${md5Key("tagB", 6)}")
+    val stale = tmp.resolve(s"graft-ann-v2-$dk-${md5Key("tagA", 6)}")
+    val other = tmp.resolve(s"graft-ann-v2-${md5Key("/other-dir", 6)}-x")
+    Seq(live, stale, other).foreach { r =>
+      Files.createDirectories(r.resolve("lsh/vectors"))
+      Files.write(r.resolve("lsh/vectors/part-0.parquet"), Array[Byte](1))
+    }
+    try {
+      vacuumStaleAnnRoots(dir, "tagB")
+      // the regenerated-away generation is reclaimed, recursively...
+      assert(!Files.exists(stale))
+      // ...the live generation and OTHER sources' roots are untouched
+      assert(Files.exists(live.resolve("lsh/vectors/part-0.parquet")))
+      assert(Files.exists(other.resolve("lsh/vectors/part-0.parquet")))
+    } finally Seq(live, stale, other).foreach { r =>
+      if (Files.exists(r)) {
+        val w = Files.walk(r)
+        try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally w.close()
+      }
+    }
+  }
 }

@@ -96,6 +96,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(minNames === slowest12)
   }
 
+  test("a mass-failure run still renders a bounded, parseable line") {
+    // a systemic regression (bad fixture dir) can fail the WHOLE catalog;
+    // the uncapped name list alone used to exceed the budget no matter
+    // how many query rows the shrink loop dropped
+    val median = (1 to 150)
+      .map(i => f"x$i%03d_some_longer_query_name" -> 0.001).toMap
+    val line = Bench.renderLine(median, n = 3, sfDir = "/root/testdata/sf0.1",
+      failed = median.keys.toSeq)
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("failed_n").asInt === 150)
+    assert(j.get("failed").size === 12)
+    // the full count survives even though only 12 names are shown
+    import scala.jdk.CollectionConverters._
+    val shown = j.get("failed").elements().asScala.map(_.asText).toSeq
+    assert(shown === shown.sorted)
+  }
+
   test("recallNumbers yields bounded, non-vacuous recall for every witnessed entry") {
     // the artifact's load-bearing quality numbers: all five witnessed
     // entries present, every value a true recall in [0, 1], and the ANN

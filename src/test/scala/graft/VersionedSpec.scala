@@ -314,6 +314,29 @@ class VersionedSpec extends SparkSpec {
     Versioned.withWriterLock(root)(())
   }
 
+  test("writer lock: a crashed holder's lock auto-expires past the stale horizon") {
+    val root = tmpRoot("versioned-lock-stale")
+    val lock = Paths.get(root, "_WRITER_LOCK")
+    java.nio.file.Files.createDirectories(Paths.get(root))
+    java.nio.file.Files.write(lock, "dead@nowhere\n".getBytes("UTF-8"))
+    // age the lock file past a 1-second horizon
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 5000L))
+    // permanent default still refuses (human must breakLock)...
+    intercept[IllegalStateException] { Versioned.withWriterLock(root)(()) }
+    // ...a fresh lock under a TTL also refuses (holder presumed live)...
+    intercept[IllegalStateException] {
+      Versioned.withWriterLock(root, staleAfterMillis = 60000L)(())
+    }
+    // ...but past the horizon the build-if-absent path self-heals
+    var entered = false
+    Versioned.withWriterLock(root, staleAfterMillis = 1000L) { entered = true }
+    assert(entered)
+    // and the re-taken lock was released on exit
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("a reader loop never fails while a writer publishes continuously") {
     val root = tmpRoot("versioned-concurrent")
     Versioned.publish(Seq(0).toDF("x"), root)
