@@ -424,11 +424,16 @@ object Versioned {
     * A crashed holder leaves a stale lock. `breakLock` removes it after
     * the operator confirms the holder is gone, and callers on unattended
     * build-if-absent paths may pass `staleAfterMillis`: a lock whose
-    * mtime is older than that is presumed abandoned and re-taken (one
-    * contender wins the create-new; the rest still fail fast against the
-    * NEW holder). Choose it well above any plausible holder runtime —
-    * breaking a merely-slow writer would reintroduce the interleave the
-    * lock exists to prevent. Default keeps locks permanent-until-broken.
+    * mtime is older than that is presumed abandoned. Three properties
+    * make the break safe against the races a naive delete+create has:
+    * (1) LIVE holders under a finite horizon heartbeat the lock's mtime
+    * every horizon/3, so only a genuinely dead holder's lock ever ages
+    * out — a merely-slow writer keeps its lock fresh at any runtime;
+    * (2) the break itself is an ATOMIC_MOVE of the stale file to a
+    * contender-unique name — exactly one contender wins the move, and
+    * nobody ever deletes a lock another contender just re-created;
+    * (3) the lock body carries a per-acquisition token, and release
+    * deletes the lock only if the token is still ours.
     */
   def withWriterLock[A](
       tableRoot: String,
@@ -436,38 +441,68 @@ object Versioned {
     val rootPath = root(tableRoot)
     Files.createDirectories(rootPath)
     val lock = rootPath.resolve("_WRITER_LOCK")
+    val token =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}:" +
+        java.util.UUID.randomUUID().toString
     def acquire(): Unit =
-      Files.write(lock,
-        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
-          .getBytes("UTF-8"),
+      Files.write(lock, s"$token\n".getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW)
+    def failFast(): Nothing = {
+      val holder =
+        try new String(Files.readAllBytes(lock), "UTF-8").trim
+        catch { case _: java.io.IOException => "<unknown>" }
+      throw new IllegalStateException(
+        s"another writer holds $tableRoot (holder: $holder); " +
+          "if it crashed, Versioned.breakLock(tableRoot) releases it")
+    }
     try acquire()
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val ageMs =
           try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
           catch { case _: java.io.IOException => -1L } // holder just released
-        if (ageMs < 0 || ageMs > staleAfterMillis) {
-          // presumed-crashed holder (or lock vanished between the failed
-          // create and the stat): clear and re-contend exactly once
-          if (ageMs >= 0) Files.deleteIfExists(lock)
-          try acquire()
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              val holder = new String(Files.readAllBytes(lock), "UTF-8").trim
-              throw new IllegalStateException(
-                s"another writer holds $tableRoot (holder: $holder); " +
-                  "if it crashed, Versioned.breakLock(tableRoot) releases it")
-          }
-        } else {
-          val holder = new String(Files.readAllBytes(lock), "UTF-8").trim
-          throw new IllegalStateException(
-            s"another writer holds $tableRoot (holder: $holder); " +
-              "if it crashed, Versioned.breakLock(tableRoot) releases it")
+        if (ageMs >= 0 && ageMs <= staleAfterMillis) failFast()
+        // presumed-dead holder (or lock vanished between the failed
+        // create and the stat). Break by ATOMIC_MOVE to a unique name:
+        // one contender wins the stale file; everyone — winner or not —
+        // then re-contends a single CREATE_NEW, so at most one enters
+        // and no contender can delete another's fresh lock.
+        if (ageMs >= 0) {
+          val grave = rootPath.resolve(
+            s"_WRITER_LOCK.broken.${java.util.UUID.randomUUID()}")
+          try {
+            Files.move(lock, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Files.deleteIfExists(grave)
+          } catch { case _: java.io.IOException => () } // another contender won
         }
+        try acquire()
+        catch { case _: java.nio.file.FileAlreadyExistsException => failFast() }
     }
+    // Heartbeat while the body runs: a finite horizon is only safe if a
+    // LIVE holder can never age out, whatever its runtime.
+    val beat: Option[java.util.concurrent.ScheduledExecutorService] =
+      if (staleAfterMillis == Long.MaxValue || staleAfterMillis <= 0) None
+      else {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          r => { val t = new Thread(r, "graft-writer-lock-heartbeat"); t.setDaemon(true); t })
+        val period = math.max(1L, staleAfterMillis / 3L)
+        ex.scheduleAtFixedRate(
+          () => try Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () },
+          period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        Some(ex)
+      }
     try body
-    finally Files.deleteIfExists(lock)
+    finally {
+      beat.foreach(_.shutdownNow())
+      // release only OUR acquisition: if the horizon was misjudged and a
+      // contender legitimately broke us, its fresh lock must survive
+      val ours =
+        try new String(Files.readAllBytes(lock), "UTF-8").trim == token
+        catch { case _: java.io.IOException => false }
+      if (ours) Files.deleteIfExists(lock)
+    }
   }
 
   /** Remove a stale writer lock after confirming its holder is dead. */

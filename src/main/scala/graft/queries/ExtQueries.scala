@@ -506,17 +506,31 @@ object ExtQueries {
 
   /** Delete index generations built for `dir` under a DIFFERENT source
     * tag (the fixture was regenerated in place, so their roots can never
-    * be keyed again — annRoot folds the tag into the name). Invoked only
-    * from build paths, i.e. at most once per (host, generation); any
-    * straggler querying an old generation was already serving
-    * known-stale neighbors, which the query-time tag check refuses
-    * anyway. Best-effort: a vacuum failure never blocks the build.
+    * be keyed again — annRoot folds the tag into the name), plus any
+    * root left in the pre-r7 single-key layout (`graft-ann-v2-<12 hex>`,
+    * no tag segment — those are unreachable by the current keying for
+    * EVERY source, so they only ever accumulate). Invoked only from
+    * build paths, i.e. at most once per (host, generation).
+    *
+    * A generation is reclaimed only once every file in it is older than
+    * `graceMillis`: an old-tag straggler mid-build or mid-query (it
+    * computed its tag before the regeneration) reads files a concurrent
+    * vacuum would otherwise yank from under it — its query-time tag
+    * check matches its own OLD tag, so it would crash mid-read, not
+    * refuse. Activity keeps mtimes fresh; an hour of silence means no
+    * straggler. Best-effort throughout: losing a delete race with a
+    * concurrent vacuum (or any IO refusal) never blocks the build.
     */
-  private[graft] def vacuumStaleAnnRoots(dir: String, liveTag: String): Unit = {
+  private[graft] def vacuumStaleAnnRoots(
+      dir: String,
+      liveTag: String,
+      graceMillis: Long = 60L * 60L * 1000L): Unit = {
     import java.nio.file.{Files, Path, Paths}
+    import scala.util.control.NonFatal
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
     val live = s"graft-ann-v2-${md5Key(dir, 6)}-${md5Key(liveTag, 6)}"
     val prefix = s"graft-ann-v2-${md5Key(dir, 6)}-"
+    val legacy = "graft-ann-v2-[0-9a-f]{12}".r
     try {
       val ls = Files.list(tmp)
       val stale =
@@ -524,16 +538,29 @@ object ExtQueries {
           import scala.jdk.CollectionConverters._
           ls.iterator().asScala.filter { p =>
             val n = p.getFileName.toString
-            n.startsWith(prefix) && n != live
+            (n.startsWith(prefix) && n != live) || legacy.matches(n)
           }.toList
         } finally ls.close()
+      val cutoff = System.currentTimeMillis() - graceMillis
       stale.foreach { root =>
-        val walk = Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walk.close()
+        try {
+          def files(): java.util.stream.Stream[Path] = Files.walk(root)
+          val idle = {
+            val w = files()
+            try w.allMatch(p =>
+              try Files.getLastModifiedTime(p).toMillis < cutoff
+              catch { case _: java.io.IOException => true }) // vanished = idle
+            finally w.close()
+          }
+          if (idle) {
+            val w = files()
+            try w.sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(p => { Files.deleteIfExists(p); () })
+            finally w.close()
+          }
+        } catch { case NonFatal(_) => () }
       }
-    } catch { case _: java.io.IOException => () }
+    } catch { case NonFatal(_) => () }
   }
 
   /** Content fingerprint of the embeddings source under `dir`: the

@@ -278,7 +278,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("128"))
   }
 
-  test("vacuumStaleAnnRoots reclaims old generations, keeps the live one") {
+  test("vacuumStaleAnnRoots reclaims idle old generations, keeps live/fresh/other") {
     import java.nio.file.{Files, Paths}
     import graft.queries.ExtQueries.{md5Key, vacuumStaleAnnRoots}
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
@@ -286,19 +286,34 @@ class AnnIndexSpec extends SparkSpec {
     val dk = md5Key(dir, 6)
     val live = tmp.resolve(s"graft-ann-v2-$dk-${md5Key("tagB", 6)}")
     val stale = tmp.resolve(s"graft-ann-v2-$dk-${md5Key("tagA", 6)}")
-    val other = tmp.resolve(s"graft-ann-v2-${md5Key("/other-dir", 6)}-x")
-    Seq(live, stale, other).foreach { r =>
+    val other = tmp.resolve(s"graft-ann-v2-${md5Key("/other-dir", 6)}-ffffffffffff")
+    // pre-r7 single-key layout: 12 hex chars, no tag segment — keyed to
+    // NO current source, reclaimable regardless of dir
+    val legacy = tmp.resolve("graft-ann-v2-0123456789ab")
+    Seq(live, stale, other, legacy).foreach { r =>
       Files.createDirectories(r.resolve("lsh/vectors"))
       Files.write(r.resolve("lsh/vectors/part-0.parquet"), Array[Byte](1))
     }
     try {
+      // files are brand new: the grace window protects a possible
+      // in-flight straggler, so nothing is reclaimed yet
       vacuumStaleAnnRoots(dir, "tagB")
-      // the regenerated-away generation is reclaimed, recursively...
+      assert(Files.exists(stale) && Files.exists(legacy))
+      // age every entry past the grace window: the generations are idle
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60L * 60L * 1000L)
+      Seq(stale, legacy).foreach { r =>
+        val w = Files.walk(r)
+        try w.forEach(p => { Files.setLastModifiedTime(p, old); () })
+        finally w.close()
+      }
+      vacuumStaleAnnRoots(dir, "tagB")
       assert(!Files.exists(stale))
-      // ...the live generation and OTHER sources' roots are untouched
+      assert(!Files.exists(legacy))
+      // ...while the live generation and OTHER sources' roots survive
       assert(Files.exists(live.resolve("lsh/vectors/part-0.parquet")))
       assert(Files.exists(other.resolve("lsh/vectors/part-0.parquet")))
-    } finally Seq(live, stale, other).foreach { r =>
+    } finally Seq(live, stale, other, legacy).foreach { r =>
       if (Files.exists(r)) {
         val w = Files.walk(r)
         try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -337,6 +337,25 @@ class VersionedSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))
   }
 
+  test("writer lock: heartbeat keeps a LIVE slow holder safe under a finite horizon") {
+    val root = tmpRoot("versioned-lock-heartbeat")
+    // holder runs 3x longer than the horizon; the heartbeat (horizon/3)
+    // keeps the lock's mtime fresh, so a mid-body contender with the
+    // SAME horizon must fail fast instead of breaking a live writer
+    @volatile var contenderBroke = false
+    Versioned.withWriterLock(root, staleAfterMillis = 600L) {
+      Thread.sleep(1400L)
+      try {
+        Versioned.withWriterLock(root, staleAfterMillis = 600L) {
+          contenderBroke = true
+        }
+      } catch { case _: IllegalStateException => () }
+      assert(!contenderBroke,
+        "a live holder's lock was stale-broken despite the heartbeat")
+    }
+    assert(!java.nio.file.Files.exists(Paths.get(root, "_WRITER_LOCK")))
+  }
+
   test("a reader loop never fails while a writer publishes continuously") {
     val root = tmpRoot("versioned-concurrent")
     Versioned.publish(Seq(0).toDF("x"), root)
