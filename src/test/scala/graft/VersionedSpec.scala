@@ -339,14 +339,16 @@ class VersionedSpec extends SparkSpec {
 
   test("writer lock: heartbeat keeps a LIVE slow holder safe under a finite horizon") {
     val root = tmpRoot("versioned-lock-heartbeat")
-    // holder runs 3x longer than the horizon; the heartbeat (horizon/3)
+    // holder runs well past the horizon; the heartbeat (horizon/3)
     // keeps the lock's mtime fresh, so a mid-body contender with the
-    // SAME horizon must fail fast instead of breaking a live writer
+    // SAME horizon must fail fast instead of breaking a live writer.
+    // generous margins (2 s horizon ⇒ ~666 ms beats, break needs 2 s of
+    // heartbeat silence) so co-tenant scheduling delay cannot flake this
     @volatile var contenderBroke = false
-    Versioned.withWriterLock(root, staleAfterMillis = 600L) {
-      Thread.sleep(1400L)
+    Versioned.withWriterLock(root, staleAfterMillis = 2000L) {
+      Thread.sleep(3000L)
       try {
-        Versioned.withWriterLock(root, staleAfterMillis = 600L) {
+        Versioned.withWriterLock(root, staleAfterMillis = 2000L) {
           contenderBroke = true
         }
       } catch { case _: IllegalStateException => () }
