@@ -31,8 +31,10 @@ object Sessions {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.scheduler.mode", "FAIR") // concurrent orchestrator jobs share fairly
       // Session-level, set ONCE here — not inside table loaders, where a
-      // mid-flight conf write would race concurrent orchestrator jobs:
-      // the events table stores TIMESTAMP(NANOS), readable only as long.
+      // mid-flight conf write would race concurrent orchestrator jobs.
+      // Widens the accepted events.ts encodings: a legacy TIMESTAMP(NANOS)
+      // file reads as long (EventTime.canonicalTs converts); current
+      // micros-NTZ/TIMESTAMP files don't need it and aren't affected.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Source layer (SURVEY §2.1 S1/S2).
   *
@@ -29,28 +29,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set once at session setup by
-    * [[Sessions]] — a loader must NOT mutate session conf, which would race
-    * concurrent orchestrator jobs) and convert with integer division —
-    * double division would lose precision on ~1e18 nano values.
+  /** The events table's `ts` physical encoding has DRIFTED across driver
+    * releases (TIMESTAMP(NANOS) through round 7, TIMESTAMP(MICROS, NTZ)
+    * since) — so the loader is encoding-agnostic: [[EventTime.canonicalTs]]
+    * accepts nanos-as-long, NTZ micros, and plain TIMESTAMP, and
+    * [[EventTime.assertPlausible]] refuses loudly (once per root) if a
+    * future encoding decodes outside [2000, 2100). The loader never mutates
+    * session conf ([[Sessions]] sets `nanosAsLong` once at setup so a
+    * nanos-encoded file still reads).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosConf(spark)
-    val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    EventTime.assertPlausible(
+      EventTime.canonicalTs(load(spark, dir, "events")), s"$dir/events.parquet")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-
-  private[graft] def requireNanosConf(spark: SparkSession): Unit =
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events requires spark.sql.legacy.parquet.nanosAsLong=true; build the " +
-        "session via graft.core.Sessions.local or pass it through Sessions.tune")
 
   // --- Catalog-by-name resolution (SURVEY §2.1 S1) -------------------------
   //
@@ -101,7 +93,6 @@ object Tables {
     registeredDirs.synchronized {
       val key = contextKey(spark) + "/" + db
       if (registeredDirs.get(key) == dir) return
-      requireNanosConf(spark) // events_raw schema inference needs it
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       all.filterNot(_ == "events").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $db.$t")
@@ -110,11 +101,20 @@ object Tables {
       spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
       spark.sql(s"CREATE TABLE $db.events_raw USING parquet LOCATION '$dir/events.parquet'")
       spark.sql(s"DROP VIEW IF EXISTS $db.events")
+      // encoding-agnostic converting view — same canonicalization (and the
+      // same plausibility gate) as [[events]], spelled in SQL per encoding
       val cols = spark.table(s"$db.events_raw").schema.fields.map { f =>
-        if (f.name == "ts" && f.dataType == LongType) "timestamp_micros(ts DIV 1000) AS ts"
-        else f.name
+        (f.name, f.dataType) match {
+          case ("ts", LongType) => "timestamp_micros(ts DIV 1000) AS ts"
+          case ("ts", TimestampNTZType) => "CAST(ts AS TIMESTAMP) AS ts"
+          case ("ts", TimestampType) => "ts"
+          case ("ts", other) => throw new IllegalArgumentException(
+            s"unsupported events.ts encoding in catalog registration: $other")
+          case (name, _) => name
+        }
       }
       spark.sql(s"CREATE VIEW $db.events AS SELECT ${cols.mkString(", ")} FROM $db.events_raw")
+      EventTime.assertPlausible(spark.table(s"$db.events"), s"$dir/events.parquet")
       registeredDirs.put(key, dir)
     }
 

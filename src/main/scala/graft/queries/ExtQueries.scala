@@ -1350,7 +1350,7 @@ object ExtQueries {
   def x80RollingWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(unix_micros(col("ts")))
+      .orderBy(graft.core.EventTime.epochUs(col("ts")))
       .rangeBetween(-3600L * 1000000L, 0L)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))

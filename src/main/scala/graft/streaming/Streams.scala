@@ -21,16 +21,33 @@ import graft.core.{Casts, Tables}
   */
 object Streams extends Serializable {
 
-  /** Raw schema of the events parquet (ts is TIMESTAMP(NANOS), read as
-    * long via the nanosAsLong flag — see Tables.events).
+  /** Events file-stream source with the schema SNIFFED from a batch read
+    * of the same directory — NEVER hard-coded (VERDICT r7: an imposed
+    * `LongType` over micros-encoded files handed back raw micros, the
+    * `DIV 1000` shrank every timestamp 1000×, and four stateful twins
+    * emitted 1970-era garbage at full speed). The batch sniff feeds
+    * [[EventTime.canonicalTs]] — encoding-agnostic like the batch loader —
+    * and runs the plausibility gate BEFORE any stream starts, so a drifted
+    * encoding refuses instead of answering. `guardKey` dedups the gate's
+    * one-time min/max scan across scratch symlink dirs pointing at the
+    * same underlying file.
     */
-  val EventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private[graft] def eventsStream(
+      ss: SparkSession, srcDir: String, guardKey: String): DataFrame = {
+    val rawBatch =
+      try ss.read.parquet(srcDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"events stream source '$srcDir' has no readable parquet yet — " +
+              "deliver at least one file so the schema/encoding can be sniffed " +
+              s"(${e.getMessage})", e)
+      }
+    graft.core.EventTime.assertPlausible(
+      graft.core.EventTime.canonicalTs(rawBatch), guardKey)
+    graft.core.EventTime.canonicalTs(
+      ss.readStream.schema(rawBatch.schema).parquet(srcDir))
+  }
 
   /** Dedicated child session for the one-shot AvailableNow streams:
     * stateful operators create one state store PER SHUFFLE PARTITION (per
@@ -114,7 +131,6 @@ object Streams extends Serializable {
     * trade; the batch form keeps the exact count.
     */
   def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
     val checkpoint = Streams.scratchDir("graft-stream-ckpt").toString
     val sinkName = s"graft_events_hourly_${System.nanoTime()}"
     // The file-stream source requires a directory; expose the single
@@ -124,10 +140,7 @@ object Streams extends Serializable {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val ss = streamSession(spark, noDataBatches = false)
-    val raw = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -211,13 +224,9 @@ object Streams extends Serializable {
       sourceDir: String,
       lakePath: String,
       checkpoint: String): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
     val ss = streamSession(spark, noDataBatches = false)
-    val stream = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(sourceDir)
-      .select(col("user_id"), col("event_id"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+    val stream = eventsStream(ss, sourceDir, sourceDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"),
         when(col("event_type") === lit("error"), lit("D"))
           .otherwise(lit("U")).as("op"),
@@ -306,12 +315,8 @@ object Streams extends Serializable {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val sinkName = s"graft_idem_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
-    val agg = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(streamDir.toString)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        col("user_id"), col("event_type"))
+    val agg = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .withColumn("bucket",
         floor(unix_timestamp(col("ts")) / lit(3600)).cast("long"))
       .groupBy(col("user_id"), col("event_type"), col("bucket"))
@@ -339,7 +344,6 @@ object Streams extends Serializable {
     * query shares a plain-SQL oracle.
     */
   def enrichedStreaming(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
     val checkpoint = Streams.scratchDir("graft-enrich-ckpt").toString
     val streamDir = Streams.scratchDir("graft-enrich-src")
     Files.createSymbolicLink(
@@ -352,9 +356,7 @@ object Streams extends Serializable {
       .agg(
         count(lit(1)).as("n_user_events"),
         sum(Casts.asMoney(col("value"))).cast(DoubleType).as("user_total_value"))
-    val stream = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(streamDir.toString)
+    val stream = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .join(broadcast(userDim), col("user_id") === col("u"))
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -458,14 +460,9 @@ object Streams extends Serializable {
   def scd2IngestStreamingFrom(
       spark: SparkSession, sourceDir: String, lakePath: String,
       checkpoint: String): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
     val ss = streamSession(spark, noDataBatches = false)
-    val streamDir = java.nio.file.Paths.get(sourceDir)
-    val stream = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(streamDir.toString)
-      .select(col("user_id"), col("event_id"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+    val stream = eventsStream(ss, sourceDir, sourceDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"), col("value"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -543,7 +540,6 @@ object Streams extends Serializable {
     */
   def attributionJoinStreaming(
       spark: SparkSession, dir: String, windowHours: Int): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
     val ss = streamSession(spark, noDataBatches = false)
     val checkpoint = Streams.scratchDir("graft-ssj-ckpt").toString
     val streamDir = Streams.scratchDir("graft-ssj-src")
@@ -551,10 +547,8 @@ object Streams extends Serializable {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val sinkName = s"graft_attrib_${System.nanoTime()}"
-    def side(): DataFrame = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def side(): DataFrame =
+      eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
     val views = side().filter(col("event_type") === lit("view"))
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
@@ -614,7 +608,8 @@ object Streams extends Serializable {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull
-          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          || graft.core.EventTime.epochUs(col("ts"))
+             - graft.core.EventTime.epochUs(col("prev_ts")) > gapMinutes * 60000000L,
           lit(1)).otherwise(lit(0)))
       .withColumn("session_seq",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -637,7 +632,6 @@ object Streams extends Serializable {
     val ss = streamSession(spark)
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    graft.core.Tables.requireNanosConf(spark)
     val checkpoint = Streams.scratchDir("graft-sess-ckpt").toString
     val streamDir = Streams.scratchDir("graft-sess-src")
     Files.createSymbolicLink(
@@ -646,10 +640,9 @@ object Streams extends Serializable {
     val sinkName = s"graft_sessions_${System.nanoTime()}"
     val gapUs = gapMinutes * 60L * 1000000L
 
-    val events = ss.readStream
-      .schema(EventsRawSchema)
-      .parquet(streamDir.toString)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+    val events = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        graft.core.EventTime.epochUs(col("ts")).as("ts_us"))
       .as[SessionEvent]
 
     def fn(userId: Long, rows: Iterator[SessionEvent],

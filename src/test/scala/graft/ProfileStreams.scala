@@ -39,12 +39,9 @@ object ProfileStreams {
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val raw = ss.readStream
-      .schema(graft.streaming.Streams.EventsRawSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = graft.streaming.Streams
+      .eventsStream(ss, srcDir.toString, s"$dir/events.parquet")
     // the REAL x61 agg (sum of money-cast + select), not a count-only toy
     val agg = raw.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -145,13 +145,16 @@ class StreamsSpec extends SparkSpec {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(src)
     val h = 3600L * 1000000000L // one hour in nanos
+    // 2024-era base: long-ts deliveries exercise the legacy nanos-as-long
+    // decode branch AND must land inside EventTime's plausibility band
+    val base = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in nanos
     // delivery 1: u1 clicks, u2 views
-    deliver(Seq((1L, 1 * h, 1L, "click", 10.0), (2L, 2 * h, 2L, "view", 5.0)))
+    deliver(Seq((1L, base + 1 * h, 1L, "click", 10.0), (2L, base + 2 * h, 2L, "view", 5.0)))
     val out1 = Streams.scd2IngestStreamingFrom(spark, src, lake, ckpt)
     assert(out1.count() === 2L)
     assert(out1.where($"is_current").count() === 2L)
     // delivery 2: u1 purchases later — closes the click version
-    deliver(Seq((3L, 3 * h, 1L, "purchase", 20.0)))
+    deliver(Seq((3L, base + 3 * h, 1L, "purchase", 20.0)))
     val out2 = Streams.scd2IngestStreamingFrom(spark, src, lake, ckpt)
     val u1 = out2.where($"user_id" === 1L)
       .select($"last_type", $"is_current", $"eff_to")
@@ -173,7 +176,6 @@ class StreamsSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = JFiles.createTempDirectory("graft-wmdedup-src")
     Seq("a.parquet", "b.parquet").foreach { name =>
       JFiles.createSymbolicLink(
@@ -181,10 +183,8 @@ class StreamsSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$sfDir/events.parquet").toAbsolutePath)
     }
     val sink = s"graft_wmdedup_${System.nanoTime()}"
-    val q = ss.readStream
-      .schema(Streams.EventsRawSchema)
-      .parquet(streamDir.toString)
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"))
+    val q = Streams.eventsStream(ss, streamDir.toString, s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName(sink)
@@ -203,21 +203,24 @@ class StreamsSpec extends SparkSpec {
 
   test("incremental CDC apply across deliveries ≡ batch over the union") {
     import java.nio.file.{Files => JFiles}
-    val events = graft.core.Tables.events(spark, sfDir) // sets nanosAsLong
+    val events = graft.core.Tables.events(spark, sfDir) // canonical ts
     val src = JFiles.createTempDirectory("graft-cdcinc-src").toString
     val ckpt = JFiles.createTempDirectory("graft-cdcinc-ckpt").toString
     val lake = JFiles.createTempDirectory("graft-cdcinc-lake").toString + "/state"
     // deliveries split on time: per-key order is non-decreasing across
     // them (the CDC log-shipping contract the operator documents). Any
-    // split point works; take the raw-nanos median as a LONG.
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val mid = raw.agg(expr("CAST(percentile(ts, 0.5) AS LONG)"))
+    // split point works; take the median of CANONICAL epoch micros, so the
+    // split is encoding-agnostic (raw percentile(ts) threw on NTZ — the r7
+    // failure this spec now guards against).
+    val epochUs = graft.core.EventTime.epochUs(col("ts"))
+    val mid = events.agg(
+      expr("CAST(percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5) AS LONG)"))
       .head().getLong(0)
     def deliver(cond: org.apache.spark.sql.Column): Unit =
-      raw.where(cond).coalesce(1).write.mode("append").parquet(src)
-    deliver(col("ts") <= lit(mid))
+      events.where(cond).coalesce(1).write.mode("append").parquet(src)
+    deliver(epochUs <= lit(mid))
     graft.streaming.Streams.cdcApplyStreamingFrom(spark, src, lake, ckpt)
-    deliver(col("ts") > lit(mid))
+    deliver(epochUs > lit(mid))
     val streamed = graft.streaming.Streams
       .cdcApplyStreamingFrom(spark, src, lake, ckpt)
       .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
