@@ -363,6 +363,9 @@ object AnnIndex {
   /** Build + publish the IVF index: deterministic centroids
     * ([[Similarity.ivfCentroids]] — hash-seeded, Lloyd-refined, no RNG)
     * plus every vector assigned to its best cell. Returns the meta.
+    * `nCells = 0` derives the cell count from the corpus
+    * ([[Similarity.autoCells]]) — the resolved count lands in the meta,
+    * so queries never need to know how it was chosen.
     */
   def buildIvfIndex(
       embeddings: DataFrame,
@@ -375,8 +378,9 @@ object AnnIndex {
     Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val n = base.count()
+    val resolvedCells = if (nCells > 0) nCells else Similarity.autoCells(n)
     val dim = Similarity.vecDim(base, "embedding")
-    val centroids = Similarity.ivfCentroids(base, nCells, iters)
+    val centroids = Similarity.ivfCentroids(base, resolvedCells, iters)
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = base.as[(Long, Array[Float])].map { case (id, v) =>
       val cs = bc.value
@@ -395,7 +399,7 @@ object AnnIndex {
     }.toSeq
     Versioned.publish(centroidRows.toDF("cell", "pos", "v"),
       centroidsRoot(stateRoot))
-    val meta = IvfMeta(nCells, iters, dim, n, sourceTag)
+    val meta = IvfMeta(resolvedCells, iters, dim, n, sourceTag)
     Versioned.publish(
       Seq((meta.nCells, meta.iters, meta.dim, meta.n, meta.sourceTag))
         .toDF("n_cells", "iters", "dim", "n", "source_tag"),
@@ -532,6 +536,8 @@ object AnnIndex {
     * the m-bytes-per-vector search table), `pq_vectors` (vec_id,
     * embedding — re-rank source), `pq_centroids` (cell, pos, v),
     * `pq_books` (s, c, pos, v — m×k×subDim doubles), `pq_meta` (1 row).
+    * `nCells = 0` derives the cell count from the corpus
+    * ([[Similarity.autoCells]]); the resolved count lands in the meta.
     */
   def buildIvfPqIndex(
       embeddings: DataFrame,
@@ -546,8 +552,9 @@ object AnnIndex {
     Versioned.withWriterLock(stateRoot, Versioned.UnattendedStaleLockMillis) {
       val base = embeddings.select(col("vec_id"), col("embedding"))
       val n = base.count()
+      val resolvedCells = if (nCells > 0) nCells else Similarity.autoCells(n)
       val dim = Similarity.vecDim(base, "embedding")
-      val centroids = Similarity.ivfCentroids(base, nCells, iters)
+      val centroids = Similarity.ivfCentroids(base, resolvedCells, iters)
       val model = Pq.train(base, m, k, iters)
       val assigned = Pq.encodeAssigned(base, centroids, model).toDF()
       Versioned.publish(assigned, pqCellsRoot(stateRoot), statsCols = Seq("cell"))
@@ -564,7 +571,7 @@ object AnnIndex {
           }
         }.toSeq.toDF("s", "c", "pos", "v"),
         pqBooksRoot(stateRoot))
-      val meta = IvfPqMeta(nCells, iters, m, k, dim, n, sourceTag)
+      val meta = IvfPqMeta(resolvedCells, iters, m, k, dim, n, sourceTag)
       Versioned.publish(
         Seq((meta.nCells, meta.iters, meta.m, meta.k, meta.dim, meta.n,
           meta.sourceTag))

@@ -390,6 +390,21 @@ object Similarity {
     } finally buckets.unpersist(false)
   }
 
+  /** Corpus-derived IVF cell count (pass `nCells = 0` to the IVF entry
+    * points to use it) — the sibling of [[lshTopK]]'s auto-planes, so the
+    * partition resolution survives a corpus 10× larger without retuning:
+    * ≈ `sqrt(n)` cells (the FAISS nlist guidance — balances centroid-scan
+    * cost against per-cell candidate volume), capped at `n / 39` so every
+    * cell keeps enough members to train and fill (FAISS's ~39
+    * training-points-per-centroid floor), floor 1. At n = 2000 → 45
+    * cells; at n = 10⁹ → ~31.6k cells, each ~31.6k vectors — the shape a
+    * 1000-executor probe join wants.
+    */
+  def autoCells(n: Long): Int = {
+    val bySqrt = math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong
+    math.max(1L, math.min(bySqrt, n / 39L)).toInt
+  }
+
   /** Deterministic IVF coarse quantizer: `nCells` centroids seeded from
     * the vectors with the smallest `xxhash64(vec_id)` (a uniform sample
     * with no RNG — reproducible across runs and engines), refined with
@@ -462,6 +477,7 @@ object Similarity {
     * Shuffle volume is O(rows × nprobe) plus the probed cells' contents,
     * never O(rows²). Recall < 1 by construction; raise `nprobe` (or
     * `nCells` resolution) to trade candidate volume for recall.
+    * `nCells = 0` derives the cell count from the corpus ([[autoCells]]).
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -471,7 +487,8 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(embeddings, nCells, iters)
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val centroids = ivfCentroids(embeddings, cells, iters)
     val bc = spark.sparkContext.broadcast(centroids)
     val base = embeddings
       .select(col("vec_id"), col("embedding"))

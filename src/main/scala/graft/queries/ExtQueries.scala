@@ -653,7 +653,13 @@ object ExtQueries {
     // corpus (sf0.1 sweep: nprobe 4 → 0.56 recall@5, 6 → 0.70 @ +0.5 s,
     // 8 → 0.80 @ +1.5 s). Synthetic near-uniform embeddings are the
     // hard case for space partitioning — neighbors straddle cell
-    // boundaries, so recall ≈ P(neighbor's cell probed).
+    // boundaries, so recall ≈ P(neighbor's cell probed) ≈ the probed
+    // fraction, a property of the degenerate corpus, not the index.
+    // The catalog pins nCells = 16 (≈ n/39-capped autoCells at n = 500,
+    // and the sweep's measurement base) so recall stays comparable
+    // round-over-round; a 10× corpus should build with nCells = 0 —
+    // [[graft.ext.Similarity.autoCells]] re-derives the resolution and
+    // the meta records it, no retuning of this call site needed.
     val approx = AnnIndex.ivfTopKIndexed(s, embs(s, dir), root, k = 5,
       nprobe = 6, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)

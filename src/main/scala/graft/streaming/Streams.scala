@@ -67,6 +67,10 @@ object Streams extends Serializable {
     * (results are read from the sink, the checkpoint is never resumed),
     * so their per-micro-batch fsyncs need not touch disk. Durable state
     * (Versioned tables, lake paths) stays wherever the caller puts it.
+    * NB /dev/shm capacity is HOST-DEPENDENT (typically RAM/2, possibly
+    * tiny in containers): fine for AvailableNow one-shots whose
+    * checkpoints are never resumed, but long-lived streams with real
+    * state volume must point their checkpoints at durable disk instead.
     */
   private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")

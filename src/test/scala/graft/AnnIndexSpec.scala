@@ -55,6 +55,22 @@ class AnnIndexSpec extends SparkSpec {
     assert(recall > 0.7, s"persisted-index nearest-neighbor recall $recall too low")
   }
 
+  test("IVF: nCells = 0 derives the cell count from the corpus (autoCells)") {
+    // sqrt-scaled, capped at n/39 so cells keep trainable membership
+    assert(Similarity.autoCells(0L) === 1)
+    assert(Similarity.autoCells(100L) === 2) // n/39 cap binds
+    assert(Similarity.autoCells(500L) === 12)
+    assert(Similarity.autoCells(2000L) === 45) // sqrt binds
+    assert(Similarity.autoCells(1000000000L) === 31623)
+    val root = freshRoot("ivf-auto")
+    val meta = AnnIndex.buildIvfIndex(embs, root, nCells = 0)
+    val n = embs.count()
+    assert(meta.nCells === Similarity.autoCells(n),
+      "resolved auto cell count must land in the published meta")
+    // and the auto-built index serves queries like any explicit one
+    assert(AnnIndex.ivfTopKIndexed(spark, embs, root, k = 1).count() === n)
+  }
+
   test("IVF: indexed query ≡ inline ivfTopK; query does not republish") {
     val root = freshRoot("ivf-eq")
     AnnIndex.buildIvfIndex(embs, root, nCells = 8, iters = 2)
