@@ -74,20 +74,29 @@ object EventTime {
   // parquet aggregate pushdown answers min/max without reading pages.)
   private val checkedRoots = ConcurrentHashMap.newKeySet[String]()
 
-  /** Assert the CANONICALIZED timestamps land in the plausible band —
-    * memoized per (SparkContext, key). A wrong-encoding read produces
-    * 1970-era (or year-52xxx) values at full speed with zero warnings (the
-    * r7 silent-garbage mode: x61 emitted 10 rows vs the oracle's 3385);
-    * this turns that failure into an immediate, named refusal. Empty inputs
-    * pass (nothing to mis-decode). Returns `df` for chaining.
+  /** Assert the timestamps of the RAW (pre-canonicalization) frame land in
+    * the plausible band once decoded — memoized per (SparkContext, key).
+    * A wrong-encoding read produces 1970-era (or year-52xxx) values at
+    * full speed with zero warnings (the r7 silent-garbage mode: x61
+    * emitted 10 rows vs the oracle's 3385); this turns that failure into
+    * an immediate, named refusal. Empty inputs pass (nothing to
+    * mis-decode). Returns `df` for chaining.
+    *
+    * Scale shape: encoding drift is a per-ROOT property, not per-row, so
+    * ONE file's parquet footer stats witness it — the fast path decodes
+    * the first file's row-group min/max driver-side, O(1) at any corpus
+    * size (Spark's v1 parquet source never answers min/max from stats, so
+    * an agg would scan the column). Files without usable stats fall back
+    * to a distributed single-column min/max scan with driver-side decode
+    * (monotonic in every supported encoding, so decode commutes with
+    * min/max).
     */
   def assertPlausible(df: DataFrame, key: String, tsCol: String = "ts"): DataFrame = {
-    val fullKey = df.sparkSession.sparkContext.applicationId + "#" + key
+    val spark = df.sparkSession
+    val fullKey = spark.sparkContext.applicationId + "#" + key
     if (!checkedRoots.contains(fullKey)) {
-      val row = df.agg(
-        min(epochUs(col(tsCol))).as("mn"), max(epochUs(col(tsCol))).as("mx")).head()
-      if (!row.isNullAt(0)) {
-        val (mnMs, mxMs) = (row.getLong(0) / 1000L, row.getLong(1) / 1000L)
+      val range = footerRangeMs(spark, df, tsCol).orElse(scanRangeMs(df, tsCol))
+      range.foreach { case (mnMs, mxMs) =>
         require(mnMs >= MinPlausibleMs && mxMs < MaxPlausibleMs,
           s"event-time plausibility check FAILED for '$key': decoded $tsCol spans " +
             s"[${java.time.Instant.ofEpochMilli(mnMs)}, ${java.time.Instant.ofEpochMilli(mxMs)}], " +
@@ -98,5 +107,85 @@ object EventTime {
       checkedRoots.add(fullKey)
     }
     df
+  }
+
+  /** Footer fast path: the first backing parquet file's row-group stats
+    * for `tsCol`, decoded to epoch millis by the file's OWN logical type
+    * annotation (TIMESTAMP nanos/micros/millis; annotation-less INT64 is
+    * the engine's nanos-as-long contract). None when the frame has no
+    * resolvable files or the stats aren't usable — callers fall back to
+    * the scan.
+    */
+  private def footerRangeMs(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      tsCol: String): Option[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    try {
+      val file = df.inputFiles.headOption.getOrElse(return None)
+      val conf = spark.sessionState.newHadoopConf()
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        if (!schema.containsField(tsCol)) return None
+        val t = schema.getType(schema.getFieldIndex(tsCol))
+        if (!t.isPrimitive ||
+          t.asPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.INT64)
+          return None
+        // raw-int64 → epoch-ms divisor from the file's own annotation
+        val divisor = t.asPrimitiveType.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case TimeUnit.NANOS => 1000000L
+              case TimeUnit.MICROS => 1000L
+              case TimeUnit.MILLIS => 1L
+            }
+          case null => 1000000L // bare INT64: the nanos-as-long contract
+          case _ => return None
+        }
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        footer.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.filter(_.getPath.toDotString == tsCol).foreach { cc =>
+            val st: org.apache.parquet.column.statistics.Statistics[_] =
+              cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) {
+              // an all-null chunk is skippable; anything else → no verdict
+              if (!(st != null && st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+                return None
+            } else {
+              lo = math.min(lo, st.genericGetMin.asInstanceOf[Number].longValue / divisor)
+              hi = math.max(hi, st.genericGetMax.asInstanceOf[Number].longValue / divisor)
+            }
+          }
+        }
+        if (lo > hi) None else Some((lo, hi))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed fallback: single-column min/max over the raw frame,
+    * decoded driver-side on the two scalars. None for empty inputs.
+    */
+  private def scanRangeMs(df: DataFrame, tsCol: String): Option[(Long, Long)] = {
+    def decodedMs(v: Any): Long = v match {
+      case l: java.lang.Long => l / 1000000L // nanos-as-long
+      case t: java.sql.Timestamp => t.getTime
+      case i: java.time.Instant => i.toEpochMilli
+      case d: java.time.LocalDateTime => // NTZ surfaces as LocalDateTime
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time scalar ${other.getClass} for '$tsCol'")
+    }
+    val row = df.agg(min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx")).head()
+    if (row.isNullAt(0)) None
+    else Some((decodedMs(row.get(0)), decodedMs(row.get(1))))
   }
 }

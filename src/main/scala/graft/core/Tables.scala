@@ -39,8 +39,8 @@ object Tables {
     * nanos-encoded file still reads).
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    EventTime.assertPlausible(
-      EventTime.canonicalTs(load(spark, dir, "events")), s"$dir/events.parquet")
+    EventTime.canonicalTs(
+      EventTime.assertPlausible(load(spark, dir, "events"), s"$dir/events.parquet"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
@@ -114,7 +114,7 @@ object Tables {
         }
       }
       spark.sql(s"CREATE VIEW $db.events AS SELECT ${cols.mkString(", ")} FROM $db.events_raw")
-      EventTime.assertPlausible(spark.table(s"$db.events"), s"$dir/events.parquet")
+      EventTime.assertPlausible(spark.table(s"$db.events_raw"), s"$dir/events.parquet")
       registeredDirs.put(key, dir)
     }
 

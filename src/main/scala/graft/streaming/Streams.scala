@@ -43,8 +43,7 @@ object Streams extends Serializable {
               "deliver at least one file so the schema/encoding can be sniffed " +
               s"(${e.getMessage})", e)
       }
-    graft.core.EventTime.assertPlausible(
-      graft.core.EventTime.canonicalTs(rawBatch), guardKey)
+    graft.core.EventTime.assertPlausible(rawBatch, guardKey)
     graft.core.EventTime.canonicalTs(
       ss.readStream.schema(rawBatch.schema).parquet(srcDir))
   }
