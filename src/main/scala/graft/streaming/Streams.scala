@@ -31,6 +31,13 @@ object Streams extends Serializable {
     * encoding refuses instead of answering. `guardKey` dedups the gate's
     * one-time min/max scan across scratch symlink dirs pointing at the
     * same underlying file.
+    *
+    * Contract: a source dir's encoding is HOMOGENEOUS across deliveries
+    * (the sniffed schema is imposed on every later file, as any file
+    * stream must). A delivery that silently re-encodes mid-stream is the
+    * one drift shape this can't catch pre-start; micros-vs-instant mixes
+    * still decode identically (same physical INT64 micros under a UTC
+    * session), and long-vs-timestamp mixes fail the imposed schema loudly.
     */
   private[graft] def eventsStream(
       ss: SparkSession, srcDir: String, guardKey: String): DataFrame = {
