@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Encoding-agnostic event-time ingestion (VERDICT r7 "Next round" #1-#3).
   *
@@ -67,59 +67,90 @@ object EventTime {
     */
   def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
-  // One plausibility scan per (context, root): the guard is a drift
-  // detector for a data root, not per-row validation — re-checking on every
-  // query construction would add a scan per query for no new information.
-  // (At 100 TB the single min/max scan itself is footer-stats cheap:
-  // parquet aggregate pushdown answers min/max without reading pages.)
+  // Memo granularity: per FILE for footer verdicts — a live ingestion root
+  // that receives new deliveries gets each NEW file checked exactly once
+  // (O(delta), the IncrementalDedup discipline) — and per ROOT for the
+  // distributed-scan fallback (files are immutable once landed, so one
+  // scan per root suffices when footers can't answer).
+  private val checkedFiles = ConcurrentHashMap.newKeySet[String]()
   private val checkedRoots = ConcurrentHashMap.newKeySet[String]()
 
   /** Assert the timestamps of the RAW (pre-canonicalization) frame land in
-    * the plausible band once decoded — memoized per (SparkContext, key).
-    * A wrong-encoding read produces 1970-era (or year-52xxx) values at
-    * full speed with zero warnings (the r7 silent-garbage mode: x61
-    * emitted 10 rows vs the oracle's 3385); this turns that failure into
-    * an immediate, named refusal. Empty inputs pass (nothing to
-    * mis-decode). Returns `df` for chaining.
+    * the plausible band once decoded, and that every backing file's
+    * physical encoding AGREES with the schema the frame imposes — memoized
+    * per (SparkContext, file). A wrong-encoding read produces 1970-era (or
+    * year-52xxx) values at full speed with zero warnings (the r7
+    * silent-garbage mode: x61 emitted 10 rows vs the oracle's 3385); this
+    * turns that failure into an immediate, named refusal. The homogeneity
+    * check closes the delivery-drift variant: a LATER file landing in a
+    * root with a different INT64 meaning (e.g. a micros file under a
+    * sniffed long-nanos schema) would be read raw with no error from the
+    * parquet layer at all. Empty inputs pass (nothing to mis-decode).
+    * Returns `df` for chaining.
     *
-    * Scale shape: encoding drift is a per-ROOT property, not per-row, so
-    * ONE file's parquet footer stats witness it — the fast path decodes
-    * the first file's row-group min/max driver-side, O(1) at any corpus
-    * size (Spark's v1 parquet source never answers min/max from stats, so
-    * an agg would scan the column). Files without usable stats fall back
-    * to a distributed single-column min/max scan with driver-side decode
-    * (monotonic in every supported encoding, so decode commutes with
-    * min/max).
+    * Scale shape: one driver-side footer read per NEW file, ever — no data
+    * pages touched (Spark's v1 parquet source never answers min/max from
+    * stats, so an agg would scan the column; measured in ProfileAggPush).
+    * Files whose footers can't give a verdict (missing stats, INT96, …)
+    * fall back to ONE distributed single-column min/max scan per root with
+    * driver-side decode (monotonic in every supported encoding, so decode
+    * commutes with min/max).
     */
   def assertPlausible(df: DataFrame, key: String, tsCol: String = "ts"): DataFrame = {
     val spark = df.sparkSession
-    val fullKey = spark.sparkContext.applicationId + "#" + key
-    if (!checkedRoots.contains(fullKey)) {
-      val range = footerRangeMs(spark, df, tsCol).orElse(scanRangeMs(df, tsCol))
-      range.foreach { case (mnMs, mxMs) =>
-        require(mnMs >= MinPlausibleMs && mxMs < MaxPlausibleMs,
-          s"event-time plausibility check FAILED for '$key': decoded $tsCol spans " +
-            s"[${java.time.Instant.ofEpochMilli(mnMs)}, ${java.time.Instant.ofEpochMilli(mxMs)}], " +
-            "outside [2000-01-01, 2100-01-01) — the physical encoding of the file " +
-            "has likely drifted (micros read as nanos or vice versa). Refusing to " +
-            "serve mis-decoded timestamps; fix EventTime.canonicalTs for the new encoding.")
+    val appId = spark.sparkContext.applicationId
+    val imposed = df.schema(tsCol).dataType
+    // memo includes the IMPOSED type: if a root's sniffed schema ever
+    // changes (listing order moved a different-encoding file first),
+    // every file re-checks against the new imposed type and the
+    // heterogeneity refusal fires before any stream starts
+    val newFiles = df.inputFiles.filter(f => !checkedFiles.contains(s"$appId#$imposed#$f"))
+    if (newFiles.isEmpty) return df
+    val conf = spark.sessionState.newHadoopConf()
+    var needScan = false
+    newFiles.foreach { file =>
+      footerVerdict(conf, file, tsCol) match {
+        case Some((fileType, range)) =>
+          require(fileType == imposed,
+            s"heterogeneous event-time encodings under '$key': file '$file' " +
+              s"encodes $tsCol as $fileType but the root's imposed schema reads " +
+              s"$imposed — one imposed schema cannot decode both (the parquet " +
+              "layer reinterprets raw INT64 silently). Quarantine or re-encode " +
+              "the delivery; a root's encoding must be homogeneous.")
+          range.foreach { case (mnMs, mxMs) => requireBand(key, tsCol, mnMs, mxMs) }
+          checkedFiles.add(s"$appId#$imposed#$file")
+        case None => needScan = true // immutable file, covered by the root scan
       }
-      checkedRoots.add(fullKey)
+    }
+    if (needScan && !checkedRoots.contains(s"$appId#$key")) {
+      scanRangeMs(df, tsCol).foreach { case (mnMs, mxMs) =>
+        requireBand(key, tsCol, mnMs, mxMs)
+      }
+      checkedRoots.add(s"$appId#$key")
     }
     df
   }
 
-  /** Footer fast path: the first backing parquet file's row-group stats
-    * for `tsCol`, decoded to epoch millis by the file's OWN logical type
-    * annotation (TIMESTAMP nanos/micros/millis; annotation-less INT64 is
-    * the engine's nanos-as-long contract). None when the frame has no
-    * resolvable files or the stats aren't usable — callers fall back to
-    * the scan.
+  private def requireBand(key: String, tsCol: String, mnMs: Long, mxMs: Long): Unit =
+    require(mnMs >= MinPlausibleMs && mxMs < MaxPlausibleMs,
+      s"event-time plausibility check FAILED for '$key': decoded $tsCol spans " +
+        s"[${java.time.Instant.ofEpochMilli(mnMs)}, ${java.time.Instant.ofEpochMilli(mxMs)}], " +
+        "outside [2000-01-01, 2100-01-01) — the physical encoding of the file " +
+        "has likely drifted (micros read as nanos or vice versa). Refusing to " +
+        "serve mis-decoded timestamps; fix EventTime.canonicalTs for the new encoding.")
+
+  /** One file's footer verdict: the Spark type its annotation maps to
+    * (under the engine's session — TIMESTAMP(NANOS) surfaces as long via
+    * the nanosAsLong flag; annotation-less INT64 IS the nanos-as-long
+    * contract) plus the row-group min/max decoded to epoch millis by the
+    * file's OWN unit. None when the footer can't answer (missing column,
+    * non-INT64 physical type, unusable stats, IO error) — the caller falls
+    * back to the distributed scan.
     */
-  private def footerRangeMs(
-      spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame,
-      tsCol: String): Option[(Long, Long)] = {
+  private def footerVerdict(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: String,
+      tsCol: String): Option[(DataType, Option[(Long, Long)])] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -127,8 +158,6 @@ object EventTime {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     try {
-      val file = df.inputFiles.headOption.getOrElse(return None)
-      val conf = spark.sessionState.newHadoopConf()
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
       try {
@@ -139,15 +168,18 @@ object EventTime {
         if (!t.isPrimitive ||
           t.asPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.INT64)
           return None
-        // raw-int64 → epoch-ms divisor from the file's own annotation
-        val divisor = t.asPrimitiveType.getLogicalTypeAnnotation match {
+        // (Spark type the file reads AS, raw-int64 → epoch-ms divisor)
+        val (sparkType, divisor) = t.asPrimitiveType.getLogicalTypeAnnotation match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val adjusted = ts.isAdjustedToUTC
             ts.getUnit match {
-              case TimeUnit.NANOS => 1000000L
-              case TimeUnit.MICROS => 1000L
-              case TimeUnit.MILLIS => 1L
+              case TimeUnit.NANOS => (LongType, 1000000L) // nanosAsLong path
+              case TimeUnit.MICROS =>
+                (if (adjusted) TimestampType else TimestampNTZType, 1000L)
+              case TimeUnit.MILLIS =>
+                (if (adjusted) TimestampType else TimestampNTZType, 1L)
             }
-          case null => 1000000L // bare INT64: the nanos-as-long contract
+          case null => (LongType, 1000000L) // bare INT64: nanos-as-long contract
           case _ => return None
         }
         var lo = Long.MaxValue
@@ -166,7 +198,7 @@ object EventTime {
             }
           }
         }
-        if (lo > hi) None else Some((lo, hi))
+        Some((sparkType, if (lo > hi) None else Some((lo, hi))))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }

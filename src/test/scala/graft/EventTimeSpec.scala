@@ -114,6 +114,47 @@ class EventTimeSpec extends SparkSpec {
     assert(e.getMessage.contains("plausibility"), e.getMessage)
   }
 
+  test("a heterogeneous root (mixed encodings) refuses loudly before reading") {
+    // The delivery-drift variant of the r7 bug: a long-nanos root receives
+    // a later NTZ-micros delivery. The imposed LongType schema would read
+    // the new file's raw micros with NO error from the parquet layer —
+    // the guard must refuse at the footer before any rows flow.
+    val dir = Files.createTempDirectory("graft-enc-hetero")
+    def part(encoding: String, name: String): Unit = {
+      val src = writeFixture(encoding)
+      Files.copy(java.nio.file.Paths.get(s"$src/events.parquet"), dir.resolve(name))
+    }
+    part("long_nanos", "delivery-0.parquet")
+    part("ntz_micros", "delivery-1.parquet")
+    val raw = spark.read
+      .schema("event_id long, ts long, user_id long, event_type string, " +
+        "value double, props string") // the schema sniffed from delivery-0
+      .parquet(dir.toString)
+    val e = intercept[IllegalArgumentException](
+      EventTime.assertPlausible(raw, dir.toString))
+    assert(e.getMessage.contains("heterogeneous"), e.getMessage)
+  }
+
+  test("a drifted LATER delivery to an already-validated root still refuses") {
+    // Memoization must be per FILE, not per root: delivery 2 arrives after
+    // the root passed its first check.
+    val dir = Files.createTempDirectory("graft-enc-late")
+    val good = writeFixture("long_nanos")
+    Files.copy(java.nio.file.Paths.get(s"$good/events.parquet"),
+      dir.resolve("delivery-0.parquet"))
+    def raw() = spark.read
+      .schema("event_id long, ts long, user_id long, event_type string, " +
+        "value double, props string")
+      .parquet(dir.toString)
+    EventTime.assertPlausible(raw(), dir.toString) // validates delivery-0
+    val drift = writeFixture("long_micros_drift")
+    Files.copy(java.nio.file.Paths.get(s"$drift/events.parquet"),
+      dir.resolve("delivery-1.parquet"))
+    val e = intercept[IllegalArgumentException](
+      EventTime.assertPlausible(raw(), dir.toString))
+    assert(e.getMessage.contains("plausibility"), e.getMessage)
+  }
+
   test("an unsupported ts type refuses at canonicalization, not downstream") {
     val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
     val e = intercept[IllegalArgumentException](EventTime.canonicalTs(bad))
