@@ -2842,7 +2842,89 @@ object ExtQueries {
       |WHERE domain NOT IN ('src1-mirror.com', 'src2-mirror.org', 'src4-mirror.net')
       |ORDER BY doc_id""".stripMargin
 
+  /** x117 — event-rate anomaly gate: per (event_type, hour) counts
+    * z-scored against the trailing 24 OBSERVED hours of the same type —
+    * the ingestion-monitoring twin of the encoding guard this round added
+    * (a silent pipeline fault shows up as a rate spike/collapse long
+    * before anyone reads the data). Emits every fully-baselined hour with
+    * its z and an `is_anomaly` flag (|z| > 3) rather than only the
+    * anomalies, so the output is deterministic on any corpus and
+    * downstream consumers pick their own threshold.
+    *
+    * Exactness across engines: the baseline moments come from INTEGER
+    * window sums (count, Σn, Σn²) — exact in both engines — and the
+    * double arithmetic (mu, variance via the sum-of-squares identity, z)
+    * is spelled identically on both sides, so the hash compare is
+    * bit-exact; no engine-private stddev implementation is trusted.
+    * Scale shape: one shuffle for the hourly agg (partial counts
+    * map-side), one for the per-type window — both on tiny aggregated
+    * data (hours × types), whatever the event volume underneath.
+    */
+  def x117EventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    hourly
+      .withColumn("base_n", count(lit(1)).over(w))
+      .withColumn("base_sum", sum(col("n_events")).over(w))
+      .withColumn("base_sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .where(col("base_n") === 24)
+      .withColumn("mu", dbl(col("base_sum")) / lit(24.0))
+      .withColumn("variance",
+        (dbl(col("base_sumsq")) - dbl(col("base_sum")) * dbl(col("base_sum")) / lit(24.0))
+          / lit(23.0))
+      .withColumn("z",
+        when(col("variance") > 0,
+          (dbl(col("n_events")) - col("mu")) / sqrt(col("variance")))
+          .otherwise(lit(0.0)))
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("n_events"), col("z"),
+        // a zero-variance baseline can't be z-scored (z stays 0 as a
+        // sentinel) but ANY deviation from it is an anomaly — compared in
+        // exact integer arithmetic (n*24 vs Σ), never via the double mu
+        when(col("variance") > 0, abs(col("z")) > lit(3.0))
+          .otherwise(col("n_events") * lit(24L) =!= col("base_sum"))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
+  val x117Sql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT h, event_type, n_events,
+      |    CAST(count(*) OVER w AS BIGINT) AS base_n,
+      |    CAST(sum(n_events) OVER w AS BIGINT) AS base_sum,
+      |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS base_sumsq
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |v AS (
+      |  SELECT h, event_type, n_events, base_sum,
+      |    CAST(base_sum AS DOUBLE) / 24.0 AS mu,
+      |    (CAST(base_sumsq AS DOUBLE)
+      |      - CAST(base_sum AS DOUBLE) * CAST(base_sum AS DOUBLE) / 24.0) / 23.0 AS variance
+      |  FROM b WHERE base_n = 24),
+      |z AS (
+      |  SELECT h, event_type, n_events, variance, base_sum,
+      |    CASE WHEN variance > 0
+      |         THEN (CAST(n_events AS DOUBLE) - mu) / sqrt(variance)
+      |         ELSE 0.0 END AS z
+      |  FROM v)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type, n_events,
+      |  z,
+      |  CASE WHEN variance > 0 THEN abs(z) > 3.0
+      |       ELSE n_events * 24 != base_sum END AS is_anomaly
+      |FROM z ORDER BY event_type, hour_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x117_event_anomaly" -> (x117EventAnomaly _),
     "x114_script_langid" -> (x114ScriptLangId _),
     "x115_repetition_strip" -> (x115RepetitionStrip _),
     "x116_url_filter" -> (x116UrlFilter _),
@@ -2933,6 +3015,7 @@ object ExtQueries {
     "x67_enrich_stream" -> (x67EnrichStream _))
 
   val oracles: Map[String, String] = Map(
+    "x117_event_anomaly" -> x117Sql,
     "x114_script_langid" -> x114Sql,
     "x115_repetition_strip" -> x115Sql,
     "x116_url_filter" -> x116Sql,

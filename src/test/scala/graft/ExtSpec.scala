@@ -1070,4 +1070,38 @@ class ExtSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(media).collect().head
     assert(f.checksum === f2.checksum)
   }
+
+  test("x117 event anomaly flags a planted spike on both variance branches") {
+    // Two planted event types over 30 hourly buckets:
+    //  - "flat": one event per hour, then a 50-event spike at hour 27 —
+    //    zero-variance baseline, caught by the exact-integer branch;
+    //  - "noisy": alternating 1/3 events (variance > 0), then the same
+    //    spike — caught by the z-score branch.
+    val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+    val hourUs = 3600L * 1000000L
+    def events(kind: String, countAt: Int => Int): Seq[(Long, Long, String)] =
+      (0 until 30).flatMap { h =>
+        (0 until countAt(h)).map(i => (h * 1000L + i, baseUs + h * hourUs, kind))
+      }
+    val rows = events("flat", h => if (h == 27) 50 else 1) ++
+      events("noisy", h => if (h == 27) 50 else 1 + 2 * (h % 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-x117").toString
+    rows.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        (col("event_id") % 7).as("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.ExtQueries.x117EventAnomaly(spark, dir)
+      .select($"event_type", $"hour_ts", $"n_events", $"z", $"is_anomaly")
+      .collect()
+    val spikeHour = "2024-01-02 03:00:00" // hour 27
+    val flagged = out.filter(_.getBoolean(4)).map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flagged === Set(("flat", spikeHour), ("noisy", spikeHour)),
+      s"exactly the two planted spikes must flag, got ${flagged.mkString(", ")}")
+    // the zero-variance branch reports z = 0 (sentinel) yet still flags
+    val flatSpike = out.find(r => r.getString(0) == "flat" && r.getString(1) == spikeHour).get
+    assert(flatSpike.getDouble(3) === 0.0)
+    val noisySpike = out.find(r => r.getString(0) == "noisy" && r.getString(1) == spikeHour).get
+    assert(noisySpike.getDouble(3) > 3.0)
+  }
 }
