@@ -99,11 +99,16 @@ object Tables {
         spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$dir/$t.parquet'")
       }
       spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
-      spark.sql(s"CREATE TABLE $db.events_raw USING parquet LOCATION '$dir/events.parquet'")
       spark.sql(s"DROP VIEW IF EXISTS $db.events")
+      // guard BEFORE anything queryable exists: a refusal must not leave a
+      // registered $db.events view serving mis-decoded data (ADVICE r8 —
+      // previously the view was created first and a refusal stranded it)
+      val raw = EventTime.assertPlausible(
+        spark.read.parquet(s"$dir/events.parquet"), s"$dir/events.parquet")
+      spark.sql(s"CREATE TABLE $db.events_raw USING parquet LOCATION '$dir/events.parquet'")
       // encoding-agnostic converting view — same canonicalization (and the
       // same plausibility gate) as [[events]], spelled in SQL per encoding
-      val cols = spark.table(s"$db.events_raw").schema.fields.map { f =>
+      val cols = raw.schema.fields.map { f =>
         (f.name, f.dataType) match {
           case ("ts", LongType) => "timestamp_micros(ts DIV 1000) AS ts"
           case ("ts", TimestampNTZType) => "CAST(ts AS TIMESTAMP) AS ts"
@@ -114,7 +119,6 @@ object Tables {
         }
       }
       spark.sql(s"CREATE VIEW $db.events AS SELECT ${cols.mkString(", ")} FROM $db.events_raw")
-      EventTime.assertPlausible(spark.table(s"$db.events_raw"), s"$dir/events.parquet")
       registeredDirs.put(key, dir)
     }
 

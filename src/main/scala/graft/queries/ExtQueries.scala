@@ -655,8 +655,9 @@ object ExtQueries {
     // hard case for space partitioning — neighbors straddle cell
     // boundaries, so recall ≈ P(neighbor's cell probed) ≈ the probed
     // fraction, a property of the degenerate corpus, not the index.
-    // The catalog pins nCells = 16 (≈ n/39-capped autoCells at n = 500,
-    // and the sweep's measurement base) so recall stays comparable
+    // The catalog pins nCells = 16 (the sweep's measurement base; NOT
+    // the auto heuristic — autoCells(500) = 12 via the n/39 cap, pinned
+    // by AnnIndexSpec) so recall stays comparable
     // round-over-round; a 10× corpus should build with nCells = 0 —
     // [[graft.ext.Similarity.autoCells]] re-derives the resolution and
     // the meta records it, no retuning of this call site needed.

@@ -155,6 +155,63 @@ class EventTimeSpec extends SparkSpec {
     assert(e.getMessage.contains("plausibility"), e.getMessage)
   }
 
+  test("a micros instant/NTZ mix is NOT drift — same raw INT64 under UTC") {
+    // ADVICE r8: TIMESTAMP(MICROS, adjusted=true) and TIMESTAMP_NTZ(MICROS)
+    // carry the same raw INT64 micros; under the UTC-pinned session the
+    // adjustedToUTC flip in a later delivery is harmless and must NOT trip
+    // the heterogeneity refusal (that's for raw-reinterpreting mixes only).
+    val dir = Files.createTempDirectory("graft-enc-micromix")
+    def part(encoding: String, name: String): Unit = {
+      val src = writeFixture(encoding)
+      Files.copy(java.nio.file.Paths.get(s"$src/events.parquet"), dir.resolve(name))
+    }
+    part("ntz_micros", "delivery-0.parquet")
+    part("timestamp", "delivery-1.parquet")
+    val raw = spark.read
+      .schema("event_id long, ts timestamp, user_id long, event_type string, " +
+        "value double, props string")
+      .parquet(dir.toString)
+    EventTime.assertPlausible(raw, dir.toString) // must not throw
+    val got = EventTime.canonicalTs(raw)
+      .select($"event_id", EventTime.epochUs($"ts")).as[(Long, Long)].collect()
+    assert(got.length === rows.length * 2, "both deliveries must read")
+    assert(got.toSet === rows.map(r => (r._1, r._2)).toSet,
+      "instant and NTZ files must decode to the same instants")
+  }
+
+  test("a drifted LATER delivery in the scan-fallback bucket still refuses") {
+    // ADVICE r8 (medium): the fallback memo was keyed on ROOT, so a later
+    // delivery whose footer can't answer (INT96 here — non-INT64 physical
+    // type) was never plausibility-checked at all. The fallback must scan
+    // exactly the new unverdicted files, every delivery.
+    val dir = Files.createTempDirectory("graft-enc-late-scan")
+    def writeInt96(df: DataFrame, name: String): Unit = {
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try {
+        val staging = Files.createTempDirectory("graft-enc-int96")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = Files.list(staging)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, dir.resolve(name))
+      } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    }
+    def fix(us: Long) = logical
+      .select(col("event_id"), timestamp_micros(lit(us)).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    writeInt96(fix(baseUs), "delivery-0.parquet") // plausible 2024 instants
+    def raw() = spark.read
+      .schema("event_id long, ts timestamp, user_id long, event_type string, " +
+        "value double, props string")
+      .parquet(dir.toString)
+    EventTime.assertPlausible(raw(), dir.toString) // scan fallback, passes
+    // year-2150 instants: outside the band, and only a SCAN can see it
+    writeInt96(fix(5680281600L * 1000000L), "delivery-1.parquet")
+    val e = intercept[IllegalArgumentException](
+      EventTime.assertPlausible(raw(), dir.toString))
+    assert(e.getMessage.contains("plausibility"), e.getMessage)
+  }
+
   test("an unsupported ts type refuses at canonicalization, not downstream") {
     val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
     val e = intercept[IllegalArgumentException](EventTime.canonicalTs(bad))
