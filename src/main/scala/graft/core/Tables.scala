@@ -19,8 +19,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Leaf-level footer contract on every load (O(new files), memoized):
+    * a drifted-type delivery under ANY table refuses by file name instead
+    * of silently reinterpreting raw values — the generalization of the
+    * events.ts guard (VERDICT r8 #3). Events additionally gets the
+    * plausibility band via [[events]].
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    SchemaContract.assertHomogeneous(
+      spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -7,6 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
+import graft.core.SchemaContract
+
 /** Version-pointer table layout: the truly gap-free publish that an
   * in-place directory swap cannot provide (between "move old aside" and
   * "move staging in" the table path does not exist; see
@@ -335,7 +337,7 @@ object Versioned {
         s"publish #$idx needs vacuumed version(s) ${missing.mkString(", ")} — " +
           "raise vacuum's keep to widen the time-travel horizon")
     val paths = wanted.map(v => root(tableRoot).resolve(dirName(v)).toString)
-    spark.read.parquet(paths: _*)
+    SchemaContract.assertHomogeneous(spark.read.parquet(paths: _*), tableRoot)
   }
 
   /** Compaction-need policy: true when the manifest chain is longer than
@@ -409,7 +411,8 @@ object Versioned {
     // mergeSchema: log tables whose deltas EVOLVED (added columns) union
     // under the merged schema, older deltas null-filling the new columns
     // — pay the extra footer pass only when evolution is expected
-    spark.read.option("mergeSchema", mergeSchema).parquet(paths: _*)
+    SchemaContract.assertHomogeneous(
+      spark.read.option("mergeSchema", mergeSchema).parquet(paths: _*), tableRoot)
   }
 
   /** True once the table has a published manifest. */
@@ -563,7 +566,8 @@ object Versioned {
       }
     }
     if (selected.isEmpty) read(spark, tableRoot).where(lit(false))
-    else spark.read.parquet(selected: _*).where(filter)
+    else SchemaContract.assertHomogeneous(
+      spark.read.parquet(selected: _*), tableRoot).where(filter)
   }
 
   /** Rewrite the live table into ceil(bytes/targetBytes) files in ONE
