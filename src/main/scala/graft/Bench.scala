@@ -178,7 +178,22 @@ object Bench {
       tryEntry("x43_ann_ivf")(annRecall("x43_ann_ivf")) ++
       tryEntry("x47_ann_ivfpq")(annRecall("x47_ann_ivfpq")) ++
       tryEntry("x32_minhash_pairs")(bandingRecall("x32_minhash_pairs")) ++
-      tryEntry("x33_simhash_pairs")(bandingRecall("x33_simhash_pairs"))
+      tryEntry("x33_simhash_pairs")(bandingRecall("x33_simhash_pairs")) ++
+      // planted-witness mirrors (VERDICT r8 #4): 1.0 = the closed-form
+      // audio decode check passed / the re-encoded image twin was
+      // recalled — the two formerly rows-only entries, auditable from
+      // this artifact without reading spec code
+      tryEntry("x51_audio_witness") {
+        val w = SparkEntry.queries("x51_media_features")(spark, sfDir)
+          .where(col("witness_ok").isNotNull)
+        val ok = w.where(col("witness_ok") <=> lit(true)).count().toDouble
+        val all = w.count().toDouble
+        if (all == 0.0) 0.0 else ok / all
+      } ++
+      tryEntry("x53_planted_twin") {
+        sumD(SparkEntry.queries("x53_media_neardup")(spark, sfDir)
+          .agg(max(col("n_planted_twin_hits")).as("t")), "t")
+      }
     ).toMap
     finally exactOpt.foreach(d =>
       // blocking: this tail is untimed and the residue gauge runs next

@@ -398,6 +398,47 @@ object Multimodal {
           col("container")).as("meta"))
   }
 
+  /** Deterministic planted audio with CLOSED-FORM feature values, in
+    * [[MediaSchema]] shape (VERDICT r8 #4): a 16-bit signed PCM WAV, mono
+    * 8 kHz, 8000 samples of a full-rate alternating square wave at
+    * amplitude 16384/32768 = 0.5 exactly. Every quantity the decoder
+    * reports is exact in binary floating point:
+    *   rms            = sqrt(8000 · 0.5² / 8000)   = 0.5
+    *   zero_cross_rate = 7999 crossings / (8000−1) = 1.0
+    * so an artifact row can carry `witness_ok = (rms = 0.5 ∧ zcr = 1.0)`
+    * and the x51 decode path is auditable from CORRECTNESS/BENCH output
+    * alone, without reading spec code. media_id −10 never collides with
+    * document-derived media. Driver-side, one tiny buffer, O(1).
+    */
+  def plantedAudioWitness(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian per the fmt below
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+    Seq((-10L, wav)).toDF("media_id", "payload")
+      .select(
+        col("media_id"),
+        lit("audio").as("kind"),
+        col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          lit(null).cast(LongType).as("declared_chars"),
+          lit("wav/pcm16").as("container")).as("meta"))
+  }
+
   case class ResizedMedia(
       media_id: Long,
       kind: String,

@@ -1103,16 +1103,28 @@ object ExtQueries {
       |  'raw/v1' AS container
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** x51 — batch feature extraction over binary payloads (stub decoder;
-    * real per-partition batch plumbing). Checksum is engine-portable math
-    * but byte iteration isn't SQL-expressible — rows-only check +
-    * ScalaTest.
+  /** x51 — batch feature extraction over binary payloads (stub decoder
+    * for the document-derived fakes; REAL audio decode for the planted
+    * witness). Checksum is engine-portable math but byte iteration isn't
+    * SQL-expressible — rows-only check + ScalaTest; the planted
+    * closed-form witness (VERDICT r8 #4) makes the decode path auditable
+    * from the ARTIFACT: [[Multimodal.plantedAudioWitness]]'s square wave
+    * has rms = 0.5 and zero-crossing rate = 1.0 exactly, so its output
+    * row carries `witness_ok = true` iff the real decoder reproduced the
+    * closed form (BENCH mirrors it as `x51_audio_witness`).
     */
-  def x51MediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.ingestFromDocuments(docs(s, dir)))
-      .toDF()
+  def x51MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val planted = Multimodal.plantedAudioWitness(s)
+    val corpus = Multimodal.ingestFromDocuments(docs(s, dir)).unionByName(planted)
+    val feats = Multimodal.extractFeatures(corpus).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+    val witness = Multimodal.decodeAudio(planted).toDF()
+      .select(col("media_id"), col("rms"), col("zero_cross_rate"),
+        (col("decoded") && abs(col("rms") - lit(0.5)) < lit(1e-12) &&
+          abs(col("zero_cross_rate") - lit(1.0)) < lit(1e-12)).as("witness_ok"))
+    feats.join(witness, Seq("media_id"), "left")
       .orderBy(col("media_id"))
+  }
 
   /** x52 — resize + frame-sample plumbing over binary payloads: the
     * byte-budget and frame-count arithmetic is oracle-checkable even
@@ -1809,14 +1821,24 @@ object ExtQueries {
     * perturbation — so the operator is witnessed non-vacuously
     * (`rows > 0`) at every SF: re-encoded duplicates hash identically
     * only in pixel space. Engine-hash family → rows-only check;
-    * planted-pair output is spec-pinned in ExtSpec.
+    * planted-pair output is spec-pinned in ExtSpec, and every output row
+    * carries `n_planted_twin_hits` (VERDICT r8 #4): 1 iff the PNG→BMP
+    * re-encoded twin pair (−2, −1) was recalled — the pixel-space
+    * invariant auditable from the CORRECTNESS artifact alone (BENCH
+    * mirrors it as `x53_planted_twin`). One-row broadcast, the
+    * n_exact_hits pattern.
     */
-  def x53MediaNearDup(s: SparkSession, dir: String): DataFrame =
-    Multimodal.nearDupImages(
+  def x53MediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Multimodal.nearDupImages(
       Multimodal.ingestFromDocuments(docs(s, dir))
         .unionByName(Multimodal.plantedNearDupImages(s)),
       maxHamming = 3)
+    val twin = pairs.agg(
+      max(when(col("id_a") === lit(-2L) && col("id_b") === lit(-1L), 1)
+        .otherwise(0)).as("n_planted_twin_hits"))
+    pairs.crossJoin(broadcast(twin))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** x89 — sliding-window document chunking
     * ([[graft.ext.Chunking.chunk]]): 64-token windows at stride 32 over

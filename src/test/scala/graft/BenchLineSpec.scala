@@ -115,13 +115,17 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("recallNumbers yields bounded, non-vacuous recall for every witnessed entry") {
-    // the artifact's load-bearing quality numbers: all five witnessed
-    // entries present, every value a true recall in [0, 1], and the ANN
-    // entries non-vacuously > 0 (a broken witness would read 0.0)
+    // the artifact's load-bearing quality numbers: all witnessed entries
+    // present, every value a true recall in [0, 1], and every entry
+    // non-vacuously > 0 (a broken witness would read 0.0) — the planted
+    // x51/x53 witnesses must read exactly 1.0 (closed-form checks)
     val spark = TestSession.spark
     val r = Bench.recallNumbers(spark, "/root/testdata/sf0.001")
     val expected = Set("x41_ann_lsh", "x43_ann_ivf", "x47_ann_ivfpq",
-      "x32_minhash_pairs", "x33_simhash_pairs")
+      "x32_minhash_pairs", "x33_simhash_pairs",
+      "x51_audio_witness", "x53_planted_twin")
+    assert(r("x51_audio_witness") === 1.0, "audio closed-form witness must pass")
+    assert(r("x53_planted_twin") === 1.0, "re-encoded twin must be recalled")
     assert(r.keySet === expected, s"recall keys: ${r.keySet}")
     r.foreach { case (k, v) =>
       assert(v >= 0.0 && v <= 1.0, s"$k recall $v out of [0,1]")

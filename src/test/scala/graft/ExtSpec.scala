@@ -1000,12 +1000,32 @@ class ExtSpec extends SparkSpec {
     // documents-derived media corpus: the PNG/BMP re-encoded pair (and the
     // one-pixel perturbation) must come out, so the driver artifact can
     // never be vacuously empty again.
-    val out = graft.queries.ExtQueries
+    val rows = graft.queries.ExtQueries
       .x53MediaNearDup(spark, "/root/testdata/sf0.001")
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .select($"id_a", $"id_b", $"n_planted_twin_hits")
+      .as[(Long, Long, Int)].collect()
+    val out = rows.map(r => (r._1, r._2)).toSet
     val planted = Set((-3L, -2L), (-3L, -1L), (-2L, -1L))
     assert(planted.subsetOf(out),
       s"planted pairs missing from x53 output: ${planted.diff(out)}")
+    // the artifact-side witness column (VERDICT r8 #4): every row says
+    // whether the re-encoded twin was recalled
+    assert(rows.nonEmpty && rows.forall(_._3 == 1),
+      "n_planted_twin_hits must be 1 on every output row")
+  }
+
+  test("x51 carries the closed-form audio witness row (rms=0.5, zcr=1.0)") {
+    val w = graft.queries.ExtQueries
+      .x51MediaFeatures(spark, "/root/testdata/sf0.001")
+      .where($"media_id" === -10L)
+      .select($"kind", $"rms", $"zero_cross_rate", $"witness_ok")
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(w.length === 1, "exactly one planted audio row")
+    val (kind, rms, zcr, ok) = w.head
+    assert(kind === "audio")
+    assert(rms === 0.5, s"square-wave RMS must be exactly 0.5, got $rms")
+    assert(zcr === 1.0, s"alternating-wave ZCR must be exactly 1.0, got $zcr")
+    assert(ok, "witness_ok must be true when the decoder reproduces the closed form")
   }
 
   test("real image resize: dimensions change, solid colors stay exact") {

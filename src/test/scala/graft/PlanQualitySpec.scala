@@ -18,7 +18,8 @@ class PlanQualitySpec extends SparkSpec {
   // x93 joins the 1-row corpus vocabulary-size aggregate (same class as
   // x37's global aggregate — a scalar no equi-key can express).
   private val singleRowBroadcast =
-    Set("x44_vector_ops", "x37_tfidf", "x93_bigram_rarity")
+    Set("x44_vector_ops", "x37_tfidf", "x93_bigram_rarity",
+      "x53_media_neardup") // 1-row planted-twin witness broadcast
 
   test("no catalog query plans a cartesian product or nested-loop join") {
     // Streaming entries execute inside the builder (memory-sink table) —
