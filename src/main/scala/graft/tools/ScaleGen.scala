@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf1-equivalent synthetic data for the 10× scale
+  * rehearsal (VERDICT r8 #1): the driver's sf0.1 tables are ~5k
+  * documents / 2k embeddings / 100k events / 15k customers, and every
+  * scale claim in the tree is extrapolated from there. This main
+  * regenerates the four tables the heavy operator families read —
+  * same schemas, same column domains, same statistical shape (word-salad
+  * text over the same ~30-word vocabulary, near-uniform 64-dim float
+  * embeddings, 30-day event stream, `Customer#%09d` names) — at
+  * `factor`× the rows, so `ScaleRehearsal` can run the operators
+  * unmodified on a corpus 10× past anything the bench has seen.
+  *
+  * Everything is generated DISTRIBUTED and SEEDED: `spark.range` +
+  * `xxhash64`-derived columns, no driver loops, no RNG state — the same
+  * (outDir, factor) always produces byte-identical tables, so rehearsal
+  * timings are comparable across rounds.
+  *
+  * Dedup structure is planted, not hoped for: id % 50 == 1 rows are
+  * near-dup copies of id−1 (same word stream + one appended token —
+  * high shingle Jaccard), id % 97 == 3 rows are EXACT copies of id−1,
+  * so x38's exact tier, LSH band tier, and component closure all engage
+  * at every factor, with expected survivor counts ≈ n·(1 − 1/50 − 1/97).
+  *
+  * Usage: `runMain graft.tools.ScaleGen <outDir> [factor=10]`
+  */
+object ScaleGen {
+
+  private val Vocab = Seq(
+    "spark", "batch", "part", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "vector", "query",
+    "agg", "table", "key", "filter", "customer", "stream", "window",
+    "join", "the", "a", "index", "shuffle", "merge", "cache")
+  private val Langs = Seq("en", "zh", "fr", "es", "de")
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+  private val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** Seeded uniform in [0, m): integer, engine-exact. */
+  private def h(seed: String, cols: Column*): Column =
+    xxhash64(lit(seed) +: cols: _*)
+  private def hmod(seed: String, m: Long, cols: Column*): Column =
+    pmod(h(seed, cols: _*), lit(m))
+
+  private def pick(choices: Seq[String], seed: String, id: Column): Column =
+    element_at(array(choices.map(lit): _*),
+      (hmod(seed, choices.size.toLong, id) + lit(1)).cast("int"))
+
+  def documents(spark: SparkSession, factor: Int): DataFrame = {
+    val n = 5000L * factor
+    val vocabCol = array(Vocab.map(lit): _*)
+    val id = col("id")
+    // Planted dup structure: copies draw their word stream from id-1's seed.
+    val isExact = id % 97 === 3 && id > 0
+    val isNear = id % 50 === 1 && id > 0 && !isExact
+    val seedId = when(isExact || isNear, id - 1).otherwise(id)
+    val nWords = (hmod("nw", 80L, seedId) + lit(10)).cast("int")
+    val words = transform(sequence(lit(0), nWords - lit(1)),
+      i => element_at(vocabCol,
+        (hmod("w", Vocab.size.toLong, seedId, i) + lit(1)).cast("int")))
+    val baseText = concat_ws(" ", words)
+    spark.range(n)
+      .repartition(32)
+      .select(
+        id.as("doc_id"),
+        when(isNear, concat(baseText, lit(" drift"))).otherwise(baseText)
+          .as("text"),
+        pick(Langs, "lang", id).as("lang"),
+        concat(lit("src"), hmod("src", 20L, id)).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def embeddings(spark: SparkSession, factor: Int): DataFrame = {
+    val n = 2000L * factor
+    val dim = 64
+    spark.range(n)
+      .repartition(32)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => ((hmod("e", 2000001L, col("id"), j) - lit(1000000L))
+            / lit(1000000.0) * lit(0.2)).cast("float"))
+          .as("embedding"),
+        hmod("lab", 10L, col("id")).cast("int").as("label"))
+  }
+
+  def events(spark: SparkSession, factor: Int): DataFrame = {
+    val n = 100000L * factor
+    // Same 30-day span as the driver tables at every factor: "10× data" is
+    // 10× rows per window (denser traffic), not a longer history — the
+    // shape that stresses per-window state, not the window count.
+    val baseUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val spanUs = 30L * 24 * 3600 * 1000000L
+    val id = col("id")
+    spark.range(n)
+      .repartition(32)
+      .select(
+        id.as("event_id"),
+        timestamp_micros(lit(baseUs) + (id * lit(spanUs / n))
+          + hmod("jit", spanUs / n, id)).as("ts"),
+        hmod("u", 1500L * factor, id).as("user_id"),
+        pick(EventTypes, "et", id).as("event_type"),
+        (hmod("v", 20000L, id).cast("double") / lit(100.0)).as("value"),
+        format_string("{\"k\": %d}", hmod("k", 100L, id)).as("props"))
+  }
+
+  def customer(spark: SparkSession, factor: Int): DataFrame = {
+    val n = 15000L * factor
+    val id = col("id")
+    spark.range(n)
+      .repartition(32)
+      .select(
+        id.as("c_custkey"),
+        format_string("Customer#%09d", id).as("c_name"),
+        hmod("nat", 25L, id).cast("int").as("c_nationkey"),
+        round(hmod("bal", 1000000L, id).cast("double") / lit(100.0), 2)
+          .as("c_acctbal"),
+        pick(Segments, "seg", id).as("c_mktsegment"))
+  }
+
+  def generate(spark: SparkSession, outDir: String, factor: Int): Unit = {
+    val tables = Seq(
+      "documents" -> documents(spark, factor),
+      "embeddings" -> embeddings(spark, factor),
+      "events" -> events(spark, factor),
+      "customer" -> customer(spark, factor))
+    tables.foreach { case (name, df) =>
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scalegen] $name%-10s factor=$factor wrote in $secs%.1f s")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse(
+      sys.error("usage: ScaleGen <outDir> [factor=10]"))
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.core.Sessions.local()
+    // Match the driver testdata's TIMESTAMP(MICROS) encoding — Spark's
+    // legacy INT96 default has no logical annotation, which would push
+    // every EventTime/SchemaContract footer check onto the distributed
+    // scan fallback and make the rehearsal time the guard, not the op.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    generate(spark, outDir, factor)
+    spark.stop()
+  }
+}

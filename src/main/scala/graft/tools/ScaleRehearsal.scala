@@ -1,0 +1,190 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** The 10× scale rehearsal (VERDICT r8 #1): run the heaviest operator
+  * families against a corpus 10× past the bench's sf0.1 and MEASURE the
+  * cost curve instead of asserting it. Every scale claim in the tree was
+  * extrapolated from sf0.1; this main is the first exercise above it.
+  *
+  * For each rehearsed op the harness times `iters` noop-sink runs at the
+  * base dir (sf0.1) and at the ScaleGen dir (10× rows), then reports the
+  * floor-over-floor ratio. A data-linear operator on a fixed-core host
+  * should land ratio ≈ the row factor (10); candidate-pair-shaped ops
+  * (fuzzy join, LSH banding) may bend worse — THAT is the number this
+  * tool exists to surface, per-op, attributably. Failures (budget-guard
+  * refusals included) are recorded verbatim, not absorbed: a guard
+  * engaging at 10× is a rehearsal FINDING, not an error to hide.
+  *
+  * Ops rehearsed (the r8 verdict's list):
+  *  - x104_fuzzy_join        — PPJoin candidate generation vs n²
+  *  - x105_semdedup          — SRP bucket + within-bucket cosine
+  *  - x92_shuffle            — two-level global permutation
+  *  - x38_incremental_dedup  — exact tier + LSH band tier + components
+  *  - x61_event_hourly_stream— streaming twin (AvailableNow, memory sink)
+  *  - ANN IVF with nCells=0  — corpus-derived resolution (autoCells):
+  *    build timed separately from a fixed-200-query probe batch, so
+  *    build cost scales with corpus and query cost with corpus-per-cell.
+  *
+  * Timing follows Bench's conventions: noop sink (no column pruning, no
+  * I/O), cache/persistent-RDD cleanup between runs, floor quoted (host
+  * stalls are additive noise).
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleRehearsal <baseDir> <scaleDir> <outJson>
+  * (scaleDir from `runMain graft.tools.ScaleGen <scaleDir> 10`)
+  */
+object ScaleRehearsal {
+
+  private val OpNames = Seq(
+    "x92_shuffle",
+    "x105_semdedup",
+    "x38_incremental_dedup",
+    "x61_event_hourly_stream",
+    "x104_fuzzy_join")
+
+  private case class Run(
+      op: String,
+      scale: String,
+      secs: Seq[Double],
+      rows: Long,
+      error: Option[String]) {
+    def floor: Double = if (secs.isEmpty) Double.NaN else secs.min
+    def json: String = {
+      val secsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      val err = error.map(e =>
+        s""","error":"${e.replace("\\", "\\\\").replace("\"", "'").take(300)}"""")
+        .getOrElse("")
+      s"""{"op":"$op","scale":"$scale","secs":$secsJson,"rows":$rows$err}"""
+    }
+  }
+
+  private def cleanup(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+  }
+
+  private def timed(spark: SparkSession, op: String, scale: String,
+      iters: Int)(mk: () => org.apache.spark.sql.DataFrame): Run = {
+    val secs = Seq.newBuilder[Double]
+    var rows = -1L
+    var error: Option[String] = None
+    var i = 0
+    while (i < iters && error.isEmpty) {
+      val t0 = System.nanoTime()
+      try mk().write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val s = (System.nanoTime() - t0) / 1e9
+      if (error.isEmpty) {
+        secs += s
+        System.err.println(f"[rehearsal] $op $scale iter=$i $s%.2f s")
+      } else System.err.println(s"[rehearsal] $op $scale iter=$i FAILED: ${error.get}")
+      cleanup(spark)
+      i += 1
+    }
+    if (error.isEmpty) {
+      try rows = mk().count()
+      catch { case _: Throwable => () }
+      cleanup(spark)
+    }
+    Run(op, scale, secs.result(), rows, error)
+  }
+
+  /** IVF with corpus-derived resolution: timed build (nCells = 0 →
+    * autoCells) into a fresh root + timed fixed-size query batch.
+    */
+  private def annRuns(spark: SparkSession, dir: String, scale: String,
+      iters: Int): Seq[(Run, Int)] = {
+    val embs = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    var resolved = 0
+    val build = {
+      val secs = Seq.newBuilder[Double]
+      var error: Option[String] = None
+      var i = 0
+      while (i < iters && error.isEmpty) {
+        val root = Files.createTempDirectory("graft-rehearsal-ivf").toString + "/ivf"
+        val t0 = System.nanoTime()
+        try {
+          val meta = graft.ext.AnnIndex.buildIvfIndex(embs, root, nCells = 0)
+          resolved = meta.nCells
+        } catch { case e: Throwable =>
+          error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        val s = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[rehearsal] ann_ivf_build $scale iter=$i $s%.2f s cells=$resolved")
+        if (error.isEmpty) secs += s
+        cleanup(spark)
+        i += 1
+      }
+      Run("ann_ivf_build_auto", scale, secs.result(), resolved.toLong, error)
+    }
+    // Query phase reuses ONE published index (build-once/query-many):
+    // fixed 200-query batch at both scales, so the measured quantity is
+    // per-query latency against corpus size (ncells grows ~sqrt(n),
+    // members-per-probed-cell ~sqrt(n) — expect ~sqrt(10) ≈ 3.2×, not 10×).
+    val query = if (build.error.isDefined) {
+      Run("ann_ivf_query_auto", scale, Nil, -1, build.error)
+    } else {
+      val root = Files.createTempDirectory("graft-rehearsal-ivfq").toString + "/ivf"
+      graft.ext.AnnIndex.buildIvfIndex(embs, root, nCells = 0)
+      val nprobe = math.max(1, math.round(0.375 * resolved).toInt)
+      val queries = embs.limit(200).cache()
+      queries.count()
+      val r = timed(spark, "ann_ivf_query_auto", scale, iters)(() =>
+        graft.ext.AnnIndex.ivfTopKIndexed(spark, queries, root, k = 5,
+          nprobe = nprobe))
+      queries.unpersist()
+      r.copy(rows = if (r.rows >= 0) r.rows else -1)
+    }
+    Seq((build, resolved), (query, resolved))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val scaleDir = args.lift(1).getOrElse(
+      sys.error("usage: ScaleRehearsal <baseDir> <scaleDir> <outJson>"))
+    val outJson = args.lift(2).getOrElse("SCALE_REHEARSAL.json")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_N", "2").toInt
+    val spark = graft.core.Sessions.local()
+    spark.range(1000000L).selectExpr("sum(id)").collect() // session warmup
+
+    val runs = Seq.newBuilder[Run]
+    var annCells = Map.empty[String, Int]
+    Seq("base" -> baseDir, "x10" -> scaleDir).foreach { case (scale, dir) =>
+      OpNames.foreach { op =>
+        val fn = SparkEntry.queries(op)
+        runs += timed(spark, op, scale, iters)(() => fn(spark, dir))
+      }
+      annRuns(spark, dir, scale, iters).foreach { case (r, cells) =>
+        runs += r
+        annCells += (s"${r.op}_$scale" -> cells)
+      }
+    }
+    val all = runs.result()
+    val byOp = all.groupBy(_.op)
+    val ratios = byOp.collect {
+      case (op, rs) if rs.size == 2 && rs.forall(r => r.error.isEmpty && r.secs.nonEmpty) =>
+        val base = rs.find(_.scale == "base").get.floor
+        val x10 = rs.find(_.scale == "x10").get.floor
+        op -> (x10 / base)
+    }
+    val json =
+      s"""{"runs":[${all.map(_.json).mkString(",")}],""" +
+        s""""floor_ratio_x10_over_base":{${
+          ratios.toSeq.sortBy(_._1)
+            .map { case (op, r) => s""""$op":${f"$r%.2f"}""" }.mkString(",")}},""" +
+        s""""ann_resolved_cells":{${
+          annCells.toSeq.sorted
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+        s""""iters":$iters,"base":"$baseDir","scale10":"$scaleDir"}"""
+    Files.writeString(Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}
