@@ -1012,11 +1012,10 @@ object ExtQueries {
     * batch ≡ stream contract for state maintenance.
     */
   def x88CdcApplyStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val streamDir = graft.streaming.Streams.scratchDir("graft-cdc-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    graft.streaming.Streams.linkSource(
+      streamDir, s"$dir/events.parquet", "events.parquet")
     val lake = Files.createTempDirectory("graft-cdc-lake").toString + "/state"
     val ckpt = graft.streaming.Streams.scratchDir("graft-cdc-ckpt").toString
     graft.streaming.Streams

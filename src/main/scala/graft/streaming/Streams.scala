@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -85,6 +87,38 @@ object Streams extends Serializable {
     else Files.createTempDirectory(prefix)
   }
 
+  /** Expose a parquet table as a file-stream source dir of symlinks.
+    * Handles BOTH physical layouts a table ships in: a single parquet
+    * file (the driver's testdata) and a Spark/engine-written DIRECTORY
+    * of part files (any table a job produced). The 10× scale rehearsal
+    * caught the single-file assumption: every streaming twin refused on
+    * a directory-layout events table with "no readable parquet yet"
+    * because the one symlink pointed at a directory the batch sniff
+    * won't recurse into. Data files are linked flat (marker files like
+    * _SUCCESS carry no .parquet suffix and are skipped); nested
+    * partition directories are linked recursively with their partition
+    * path flattened into the link name, so hive-partitioned tables
+    * stream too (partition-column VALUES are not recovered — the file
+    * stream reads data columns only, same as the batch sniff).
+    */
+  private[graft] def linkSource(
+      streamDir: java.nio.file.Path, source: String,
+      name: String = "events.parquet"): Unit = {
+    val src = java.nio.file.Paths.get(source).toAbsolutePath
+    def linkInto(dir: java.nio.file.Path, prefix: String): Unit = {
+      val entries = Files.list(dir)
+      try entries.iterator().asScala.foreach { p =>
+        val fn = p.getFileName.toString
+        if (Files.isDirectory(p) && !fn.startsWith(".") && !fn.startsWith("_"))
+          linkInto(p, s"$prefix${fn.replace('=', '-')}_")
+        else if (fn.endsWith(".parquet"))
+          Files.createSymbolicLink(streamDir.resolve(s"$prefix$fn"), p)
+      } finally entries.close()
+    }
+    if (Files.isDirectory(src)) linkInto(src, "")
+    else Files.createSymbolicLink(streamDir.resolve(name), src)
+  }
+
   /** Memoized per (parent, partition count, no-data policy): one warm
     * child session serves every one-shot stream instead of a cold
     * SessionState + empty codegen cache per query — repeated streaming
@@ -146,9 +180,7 @@ object Streams extends Serializable {
     // The file-stream source requires a directory; expose the single
     // events.parquet through a temp dir of symlinks (testdata is read-only).
     val streamDir = Streams.scratchDir("graft-stream-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
     val ss = streamSession(spark, noDataBatches = false)
     val raw = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
     val agg = raw
@@ -281,9 +313,7 @@ object Streams extends Serializable {
   def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-dedup-ckpt").toString
     val streamDir = Streams.scratchDir("graft-dedup-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/documents.parquet", "documents.parquet")
     val sinkName = s"graft_dedup_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val agg = ss.readStream
@@ -320,9 +350,7 @@ object Streams extends Serializable {
   def idempotentEventsStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-idem-ckpt").toString
     val streamDir = Streams.scratchDir("graft-idem-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
     val sinkName = s"graft_idem_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val agg = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
@@ -356,9 +384,7 @@ object Streams extends Serializable {
   def enrichedStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-enrich-ckpt").toString
     val streamDir = Streams.scratchDir("graft-enrich-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
     val sinkName = s"graft_enriched_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val userDim = Tables.events(ss, dir)
@@ -391,9 +417,7 @@ object Streams extends Serializable {
   def chunkingStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-chunk-ckpt").toString
     val streamDir = Streams.scratchDir("graft-chunk-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/documents.parquet", "documents.parquet")
     val sinkName = s"graft_chunks_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val chunks = graft.ext.Chunking.chunk(
@@ -454,9 +478,7 @@ object Streams extends Serializable {
   def scd2IngestStreaming(
       spark: SparkSession, dir: String, lakePath: String): DataFrame = {
     val streamDir = Streams.scratchDir("graft-scd2-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
     scd2IngestStreamingFrom(spark, streamDir.toString, lakePath,
       Streams.scratchDir("graft-scd2-ckpt").toString)
   }
@@ -553,9 +575,7 @@ object Streams extends Serializable {
     val ss = streamSession(spark, noDataBatches = false)
     val checkpoint = Streams.scratchDir("graft-ssj-ckpt").toString
     val streamDir = Streams.scratchDir("graft-ssj-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
     val sinkName = s"graft_attrib_${System.nanoTime()}"
     def side(): DataFrame =
       eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
@@ -644,9 +664,7 @@ object Streams extends Serializable {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val checkpoint = Streams.scratchDir("graft-sess-ckpt").toString
     val streamDir = Streams.scratchDir("graft-sess-src")
-    Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
     val sinkName = s"graft_sessions_${System.nanoTime()}"
     val gapUs = gapMinutes * 60L * 1000000L
 

@@ -32,6 +32,25 @@ class StreamsSpec extends SparkSpec {
     assert(latest === batch)
   }
 
+  test("streaming twins accept a directory-layout events table (scale rehearsal fix)") {
+    // The 10× rehearsal caught this: every source table an engine JOB
+    // writes is a DIRECTORY of part files, and the single-symlink staging
+    // refused it with "no readable parquet yet". Re-write the sf0.001
+    // events as a multi-file directory and require stream ≡ batch on it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
+    Tables.events(spark, sfDir)
+      .repartition(3)
+      .write.parquet(s"$dir/events.parquet")
+    val batch = Streams.eventsHourly(spark, dir)
+      .select($"window_start", $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val stream = Streams.hourlyAggStreaming(spark, dir)
+      .select($"window_start", $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(stream === batch)
+  }
+
   test("watermark drops events later than the horizon (bounded-state contract)") {
     import java.nio.file.{Files => JFiles}
     import org.apache.spark.sql.streaming.Trigger
