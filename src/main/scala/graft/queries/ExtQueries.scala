@@ -2945,8 +2945,96 @@ object ExtQueries {
       |       ELSE n_events * 24 != base_sum END AS is_anomaly
       |FROM z ORDER BY event_type, hour_ts""".stripMargin
 
+  /** x118 — seasonal event-rate anomaly gate: x117's trailing-24-hours
+    * baseline flags every daily rush hour as an anomaly on any corpus
+    * with a diurnal cycle; this variant z-scores each (event_type, hour)
+    * count against the SAME CLOCK-HOUR over the trailing 7 observed
+    * days, so "3pm is always busy" is the baseline, not the alarm — the
+    * seasonal twin the r8 verdict named as the one catalog slot worth
+    * spending. Window semantics mirror x117's "observed buckets" rule:
+    * the partition is (event_type, hour-of-day) ordered by hour, rows
+    * [-7, -1] — hours with zero events contribute no bucket, and only
+    * hours with a complete 7-observation baseline emit.
+    *
+    * Exactness across engines: identical discipline to x117 — integer
+    * window moments (count, Σn, Σn²), variance via the sum-of-squares
+    * identity over n−1 = 6, the double spelling identical in both
+    * engines, and the zero-variance branch flagging via exact integer
+    * compare (n·7 ≠ Σ) with z = 0 as sentinel. Scale shape: both
+    * shuffles run on hours × types rows regardless of event volume, and
+    * the seasonal window partitions 24× finer than x117's (type ×
+    * hour-of-day), so the per-partition sort is 24× shorter — at
+    * years-of-history scale the window never sees one giant per-type
+    * partition.
+    */
+  def x118EventSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("hod", hour(col("h")))
+    val w = Window.partitionBy(col("event_type"), col("hod"))
+      .orderBy(col("h")).rowsBetween(-7, -1)
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    hourly
+      .withColumn("base_n", count(lit(1)).over(w))
+      .withColumn("base_sum", sum(col("n_events")).over(w))
+      .withColumn("base_sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .where(col("base_n") === 7)
+      .withColumn("mu", dbl(col("base_sum")) / lit(7.0))
+      .withColumn("variance",
+        (dbl(col("base_sumsq")) - dbl(col("base_sum")) * dbl(col("base_sum")) / lit(7.0))
+          / lit(6.0))
+      .withColumn("z",
+        when(col("variance") > 0,
+          (dbl(col("n_events")) - col("mu")) / sqrt(col("variance")))
+          .otherwise(lit(0.0)))
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"), col("hod"), col("n_events"), col("z"),
+        when(col("variance") > 0, abs(col("z")) > lit(3.0))
+          .otherwise(col("n_events") * lit(7L) =!= col("base_sum"))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
+  val x118Sql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |hh AS (
+      |  SELECT h, event_type, n_events,
+      |    CAST(extract(hour FROM h) AS INTEGER) AS hod
+      |  FROM hourly),
+      |b AS (
+      |  SELECT h, event_type, hod, n_events,
+      |    CAST(count(*) OVER w AS BIGINT) AS base_n,
+      |    CAST(sum(n_events) OVER w AS BIGINT) AS base_sum,
+      |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS base_sumsq
+      |  FROM hh
+      |  WINDOW w AS (PARTITION BY event_type, hod ORDER BY h
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |v AS (
+      |  SELECT h, event_type, hod, n_events, base_sum,
+      |    CAST(base_sum AS DOUBLE) / 7.0 AS mu,
+      |    (CAST(base_sumsq AS DOUBLE)
+      |      - CAST(base_sum AS DOUBLE) * CAST(base_sum AS DOUBLE) / 7.0) / 6.0 AS variance
+      |  FROM b WHERE base_n = 7),
+      |z AS (
+      |  SELECT h, event_type, hod, n_events, variance, base_sum,
+      |    CASE WHEN variance > 0
+      |         THEN (CAST(n_events AS DOUBLE) - mu) / sqrt(variance)
+      |         ELSE 0.0 END AS z
+      |  FROM v)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type, hod, n_events,
+      |  z,
+      |  CASE WHEN variance > 0 THEN abs(z) > 3.0
+      |       ELSE n_events * 7 != base_sum END AS is_anomaly
+      |FROM z ORDER BY event_type, hour_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x117_event_anomaly" -> (x117EventAnomaly _),
+    "x118_event_seasonal" -> (x118EventSeasonal _),
     "x114_script_langid" -> (x114ScriptLangId _),
     "x115_repetition_strip" -> (x115RepetitionStrip _),
     "x116_url_filter" -> (x116UrlFilter _),
@@ -3038,6 +3126,7 @@ object ExtQueries {
 
   val oracles: Map[String, String] = Map(
     "x117_event_anomaly" -> x117Sql,
+    "x118_event_seasonal" -> x118Sql,
     "x114_script_langid" -> x114Sql,
     "x115_repetition_strip" -> x115Sql,
     "x116_url_filter" -> x116Sql,

@@ -1124,4 +1124,47 @@ class ExtSpec extends SparkSpec {
     val noisySpike = out.find(r => r.getString(0) == "noisy" && r.getString(1) == spikeHour).get
     assert(noisySpike.getDouble(3) > 3.0)
   }
+
+  test("x118 seasonal anomaly baselines per clock-hour, flags only the planted spikes") {
+    // 9 full days of hourly events, two planted types:
+    //  - "diurnal": count = 1 + hod % 3 — strongly hour-of-day dependent
+    //    but IDENTICAL across days (zero variance per clock-hour). x117's
+    //    trailing-24h gate would alarm on this shape every day; the
+    //    seasonal gate must flag NOTHING except the planted spike at
+    //    day 8 hour 5 (exact-integer zero-variance branch, z = 0).
+    //  - "drift": count = 1 + 2·(day % 2) — same clock-hour varies across
+    //    days (variance > 0); spike at day 8 hour 3 caught by z-score.
+    val baseUs = 1704067200L * 1000000L // 2024-01-01T00:00:00Z
+    val hourUs = 3600L * 1000000L
+    def events(kind: String, countAt: (Int, Int) => Int): Seq[(Long, Long, String)] =
+      (0 until 9 * 24).flatMap { h =>
+        (0 until countAt(h / 24, h % 24)).map(i =>
+          (h * 1000L + i, baseUs + h * hourUs, kind))
+      }
+    val rows =
+      events("diurnal", (d, hod) => if (d == 8 && hod == 5) 50 else 1 + hod % 3) ++
+        events("drift", (d, hod) => if (d == 8 && hod == 3) 50 else 1 + 2 * (d % 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-x118").toString
+    rows.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        (col("event_id") % 7).as("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.ExtQueries.x118EventSeasonal(spark, dir)
+      .select($"event_type", $"hour_ts", $"hod", $"n_events", $"z", $"is_anomaly")
+      .collect()
+    // only days 7 and 8 emit: earlier rows lack a full 7-observation baseline
+    assert(out.map(_.getString(1)).forall(h =>
+      h.startsWith("2024-01-08") || h.startsWith("2024-01-09")))
+    val flagged = out.filter(_.getBoolean(5)).map(r => (r.getString(0), r.getString(1))).toSet
+    assert(flagged === Set(("diurnal", "2024-01-09 05:00:00"),
+        ("drift", "2024-01-09 03:00:00")),
+      s"exactly the two planted spikes must flag, got ${flagged.mkString(", ")}")
+    val diurnalSpike = out.find(r =>
+      r.getString(0) == "diurnal" && r.getString(1) == "2024-01-09 05:00:00").get
+    assert(diurnalSpike.getDouble(4) === 0.0) // zero-variance sentinel
+    val driftSpike = out.find(r =>
+      r.getString(0) == "drift" && r.getString(1) == "2024-01-09 03:00:00").get
+    assert(driftSpike.getDouble(4) > 3.0)
+  }
 }
