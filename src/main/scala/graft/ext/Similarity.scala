@@ -657,13 +657,34 @@ object Similarity {
     * a groupBy for the earliest witness and a left join back — cost is
     * Σ_b size(b)², the knob being `bits`: more bits → smaller buckets →
     * cheaper join and lower ε-ball recall, the standard SemDeDup trade.
-    * At 100 TB run [[randomProjection]] first (1024→64 dims), raise
-    * `bits` to keep E[bucket size] bounded, and salt giant buckets.
+    * `bits = 0` derives the resolution from the corpus ([[autoBits]]:
+    * E[bucket size] ≈ 64), so a 100× corpus splits into 100× buckets
+    * instead of quadratically fatter ones. At 100 TB run
+    * [[randomProjection]] first (1024→64 dims) and salt giant buckets.
     *
     * Output: one row per vector — (idCol, bucket, witness, removed);
     * `witness` is the smallest earlier in-bucket id within τ (null ⇒
     * kept), so the result both lists the pruned set and certifies why.
     */
+  /** SRP resolution derived from the corpus, the [[autoCells]] analogue
+    * for [[semDedup]]: enough sign bits that the EXPECTED bucket size
+    * stays ≈ `targetBucketRows`, so the within-bucket Σ size(b)² join
+    * cost grows ~linearly with n instead of quadratically at a pinned
+    * resolution. The 100× rehearsal motivated it: bits = 4 (16 buckets,
+    * right for the 2k-vector catalog base) puts 12.5k vectors per bucket
+    * at n = 200k — ~2.4 G within-bucket pairs, a 10-minute join for a
+    * dedup pass that should take seconds. bits = ceil(log2(n / target)),
+    * clamped to [1, 32]; recall per ε-ball shrinks as buckets split (the
+    * standard SemDeDup trade documented on [[semDedup]]) — hold `bits`
+    * fixed when comparing prune sets across corpus sizes.
+    */
+  def autoBits(n: Long, targetBucketRows: Long = 64L): Int = {
+    require(targetBucketRows >= 1, s"targetBucketRows must be >= 1")
+    val b = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0))
+    math.max(1, math.min(32, b.toInt))
+  }
+
   def semDedup(
       df: DataFrame,
       idCol: String,
@@ -671,7 +692,7 @@ object Similarity {
       bits: Int = 4,
       tauNum: Int = 2,
       tauDen: Int = 5): DataFrame = {
-    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    require(bits >= 0 && bits <= 32, s"bits must be in [0,32] (0 = auto), got $bits")
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen && tauDen <= 16,
       s"threshold must be a rational in (0,1] with denominator <= 16, got $tauNum/$tauDen")
     // qv, n2, AND the SRP bucket are all row-local projections (the sign
@@ -686,13 +707,16 @@ object Similarity {
     require(dim <= 128,
       s"semDedup's exact long-arithmetic cosine is only safe for dim <= 128 " +
         s"(got $dim); reduce with randomProjection first")
+    // bits = 0 → corpus-derived resolution (one count job, like the
+    // autoCells path in the IVF builder)
+    val resolvedBits = if (bits > 0) bits else autoBits(df.count())
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Long = {
       val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
         .take(1).map("%02x".format(_)).mkString
       if (hex.head <= '7') 1L else -1L
     }
-    val bucketExpr = (0 until bits).map { j =>
+    val bucketExpr = (0 until resolvedBits).map { j =>
       val signs = Array.tabulate(dim)(i => sign(i, j))
       val yj = aggregate(
         zip_with(col("__qv"), typedLit(signs), (qq, ss) => qq * ss),

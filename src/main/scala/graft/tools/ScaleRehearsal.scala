@@ -148,41 +148,58 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val scaleDir = args.lift(1).getOrElse(
-      sys.error("usage: ScaleRehearsal <baseDir> <scaleDir> <outJson>"))
+      sys.error("usage: ScaleRehearsal <baseDir> <scaleDir> <outJson> [scaleLabel]"))
     val outJson = args.lift(2).getOrElse("SCALE_REHEARSAL.json")
+    val scaleLabel = args.lift(3).getOrElse("x10")
     val iters = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_N", "2").toInt
+    // Comma list to rehearse a subset (e.g. skip the candidate-pair-shaped
+    // ops at factors where their cost is the KNOWN quantity); "ann" and
+    // "x105_semdedup_auto" name the synthetic ops below.
+    val opFilter = sys.env.get("SPARK_GRAFT_REHEARSAL_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(op: String) = opFilter.forall(_.contains(op))
     val spark = graft.core.Sessions.local()
     spark.range(1000000L).selectExpr("sum(id)").collect() // session warmup
 
     val runs = Seq.newBuilder[Run]
     var annCells = Map.empty[String, Int]
-    Seq("base" -> baseDir, "x10" -> scaleDir).foreach { case (scale, dir) =>
-      OpNames.foreach { op =>
+    Seq("base" -> baseDir, scaleLabel -> scaleDir).foreach { case (scale, dir) =>
+      OpNames.filter(wanted).foreach { op =>
         val fn = SparkEntry.queries(op)
         runs += timed(spark, op, scale, iters)(() => fn(spark, dir))
       }
-      annRuns(spark, dir, scale, iters).foreach { case (r, cells) =>
-        runs += r
-        annCells += (s"${r.op}_$scale" -> cells)
-      }
+      // semDedup with corpus-derived SRP resolution (bits = 0 → autoBits):
+      // the catalog's x105 pins bits = 4 for oracle comparability, which
+      // is exactly the pinned-resolution shape that bends quadratic at
+      // 100× — this op is the auto path the scaladoc prescribes at scale.
+      if (wanted("x105_semdedup_auto"))
+        runs += timed(spark, "x105_semdedup_auto", scale, iters)(() =>
+          graft.ext.Similarity.semDedup(
+            graft.core.Tables.embeddings(spark, dir), "vec_id", "embedding",
+            bits = 0, tauNum = 2, tauDen = 5))
+      if (wanted("ann"))
+        annRuns(spark, dir, scale, iters).foreach { case (r, cells) =>
+          runs += r
+          annCells += (s"${r.op}_$scale" -> cells)
+        }
     }
     val all = runs.result()
     val byOp = all.groupBy(_.op)
     val ratios = byOp.collect {
       case (op, rs) if rs.size == 2 && rs.forall(r => r.error.isEmpty && r.secs.nonEmpty) =>
         val base = rs.find(_.scale == "base").get.floor
-        val x10 = rs.find(_.scale == "x10").get.floor
-        op -> (x10 / base)
+        val scaled = rs.find(_.scale == scaleLabel).get.floor
+        op -> (scaled / base)
     }
     val json =
       s"""{"runs":[${all.map(_.json).mkString(",")}],""" +
-        s""""floor_ratio_x10_over_base":{${
+        s""""floor_ratio_${scaleLabel}_over_base":{${
           ratios.toSeq.sortBy(_._1)
             .map { case (op, r) => s""""$op":${f"$r%.2f"}""" }.mkString(",")}},""" +
         s""""ann_resolved_cells":{${
           annCells.toSeq.sorted
             .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
-        s""""iters":$iters,"base":"$baseDir","scale10":"$scaleDir"}"""
+        s""""iters":$iters,"base":"$baseDir","scale_label":"$scaleLabel","scale_dir":"$scaleDir"}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

@@ -305,6 +305,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("null or empty"))
   }
 
+  test("semDedup: bits = 0 derives the SRP resolution from the corpus (autoBits)") {
+    // E[bucket size] ≈ 64 — the within-bucket pair join stays ~linear in n
+    assert(Similarity.autoBits(0L) === 1)
+    assert(Similarity.autoBits(64L) === 1)
+    assert(Similarity.autoBits(2000L) === 5)
+    assert(Similarity.autoBits(200000L) === 12)
+    assert(Similarity.autoBits(1000000000L) === 24)
+    assert(Similarity.autoBits(Long.MaxValue) === 32) // clamp
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.semDedup(vecs, "vec_id", "embedding", bits = 0)
+      .select($"vec_id", $"bucket", $"witness", $"removed")
+      .collect().toSet
+    val pinned = Similarity.semDedup(vecs, "vec_id", "embedding",
+        bits = Similarity.autoBits(300L))
+      .select($"vec_id", $"bucket", $"witness", $"removed")
+      .collect().toSet
+    assert(auto === pinned)
+  }
+
   test("semDedup refuses dim > 128 (long-arithmetic overflow bound)") {
     val wide = Seq((1L, Array.fill(200)(0.1f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
