@@ -96,6 +96,19 @@ object Bpe {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // Each round's eager localCheckpoint SUPERSEDES the previous one —
+    // release the old generation's blocks as soon as the new one is
+    // materialized, or a long merge sequence pins every generation in
+    // storage memory (Bench's max_rdds gauge caught 6+ residues; a real
+    // 32k-merge train would pin thousands). The persisted RDD is
+    // extracted from the checkpointed frame's LogicalRDD — precise, so a
+    // concurrent operator's caches are never touched. Local-checkpoint
+    // fault-tolerance semantics are unchanged: lineage is already
+    // truncated, executor loss was already fatal to the run.
+    def checkpointRdd(frame: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      frame.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     var cur = words.select(col("cnt"), chars("w").as("syms"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
@@ -156,11 +169,15 @@ object Bpe {
           producedEver += (l + r)
           k += 1
         }
+        val prev = checkpointRdd(cur)
         cur = sel.foldLeft(cur) { case (acc, (l, r, _)) =>
           acc.withColumn("syms", BpeMergePair.column(col("syms"), l, r))
         }.localCheckpoint(true)
+        prev.foreach(_.unpersist(false))
       }
     }
+    // merges is pure driver data — the last generation is releasable too
+    checkpointRdd(cur).foreach(_.unpersist(false))
     merges.result()
   }
 
