@@ -45,9 +45,9 @@ object ScaleGen {
   private def hmod(seed: String, m: Long, cols: Column*): Column =
     pmod(h(seed, cols: _*), lit(m))
 
-  private def pick(choices: Seq[String], seed: String, id: Column): Column =
+  private def pick(choices: Seq[String], seed: String, ids: Column*): Column =
     element_at(array(choices.map(lit): _*),
-      (hmod(seed, choices.size.toLong, id) + lit(1)).cast("int"))
+      (hmod(seed, choices.size.toLong, ids: _*) + lit(1)).cast("int"))
 
   def documents(spark: SparkSession, factor: Int): DataFrame = {
     val n = 5000L * factor
@@ -108,6 +108,53 @@ object ScaleGen {
         format_string("{\"k\": %d}", hmod("k", 100L, id)).as("props"))
   }
 
+  def orders(spark: SparkSession, factor: Int): DataFrame = {
+    val n = 150000L * factor
+    val id = col("id")
+    spark.range(n)
+      .repartition(32)
+      .select(
+        id.as("o_orderkey"),
+        hmod("oc", 15000L * factor, id).as("o_custkey"),
+        pick(Seq("O", "F", "P"), "os", id).as("o_orderstatus"),
+        round(lit(1000.0) + hmod("op", 49900000L, id).cast("double") / lit(100.0), 2)
+          .as("o_totalprice"),
+        date_add(to_date(lit("1995-01-01")), hmod("od", 2400L, id).cast("int"))
+          .cast("timestamp").as("o_orderdate"),
+        pick(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          "opr", id).as("o_orderpriority"))
+  }
+
+  /** ~4 lines per order (1-7, the driver's shape); (l_orderkey,
+    * l_linenumber) unique — the flagship's sub-entity numbering needs
+    * (l_linenumber, l_partkey, l_suppkey) to totally order within an
+    * order, which distinct line numbers guarantee alone.
+    */
+  def lineitem(spark: SparkSession, factor: Int): DataFrame = {
+    val nOrders = 150000L * factor
+    val ord = col("o")
+    val ln = col("ln")
+    spark.range(nOrders)
+      .repartition(32)
+      .select(col("id").as("o"),
+        explode(sequence(lit(1), (hmod("nl", 7L, col("id")) + lit(1)).cast("int")))
+          .as("ln"))
+      .select(
+        ord.as("l_orderkey"),
+        hmod("pk", 20000L * factor, ord, ln).as("l_partkey"),
+        hmod("sk", 1000L * factor, ord, ln).as("l_suppkey"),
+        ln.cast("int").as("l_linenumber"),
+        (hmod("q", 50L, ord, ln) + lit(1)).cast("double").as("l_quantity"),
+        round(lit(900.0) + hmod("ep", 10000000L, ord, ln).cast("double") / lit(100.0), 2)
+          .as("l_extendedprice"),
+        (hmod("d", 11L, ord, ln).cast("double") / lit(100.0)).as("l_discount"),
+        (hmod("t", 9L, ord, ln).cast("double") / lit(100.0)).as("l_tax"),
+        pick(Seq("N", "A", "R"), "rf", ord, ln).as("l_returnflag"),
+        pick(Seq("O", "F"), "ls", ord, ln).as("l_linestatus"),
+        date_add(to_date(lit("1995-01-02")), hmod("sd", 2490L, ord, ln).cast("int"))
+          .cast("timestamp").as("l_shipdate"))
+  }
+
   def customer(spark: SparkSession, factor: Int): DataFrame = {
     val n = 15000L * factor
     val id = col("id")
@@ -127,7 +174,13 @@ object ScaleGen {
       "documents" -> documents(spark, factor),
       "embeddings" -> embeddings(spark, factor),
       "events" -> events(spark, factor),
-      "customer" -> customer(spark, factor))
+      "customer" -> customer(spark, factor),
+      "orders" -> orders(spark, factor),
+      "lineitem" -> lineitem(spark, factor),
+      // fixed dimensions: identical content at every factor (TPC-H keeps
+      // nation/region constant too) — copied from the driver's sf0.1
+      "nation" -> spark.read.parquet("/root/testdata/sf0.1/nation.parquet"),
+      "region" -> spark.read.parquet("/root/testdata/sf0.1/region.parquet"))
     tables.foreach { case (name, df) =>
       val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

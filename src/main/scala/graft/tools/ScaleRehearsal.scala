@@ -46,7 +46,13 @@ object ScaleRehearsal {
     "x105_semdedup",
     "x38_incremental_dedup",
     "x61_event_hourly_stream",
-    "x104_fuzzy_join")
+    "x104_fuzzy_join",
+    // relational family (needs the ScaleGen orders/lineitem star):
+    // the flagship nested-document pipeline and the two heaviest
+    // text entries from the bench artifact
+    "q10_flagship_document",
+    "x107_containment",
+    "x37_tfidf")
 
   private case class Run(
       op: String,
