@@ -87,6 +87,43 @@ object ScaleGen {
         hmod("lab", 10L, col("id")).cast("int").as("label"))
   }
 
+  /** Clustered companion corpus (32 Gaussians on the unit sphere, the
+    * shape IVF exploits — [[graft.ClusteredEmbeddings]]'s structure at
+    * rehearsal scale): the near-uniform `embeddings` table answers
+    * "does cost scale" but its recall ≈ probed fraction by
+    * construction; recall-at-scale questions need structure. Generated
+    * DISTRIBUTED with a per-row deterministic RNG (seeded by vec_id),
+    * centers derived once driver-side from the fixed seed — same
+    * (factor) always yields byte-identical vectors.
+    */
+  def embeddingsClustered(spark: SparkSession, factor: Int): DataFrame = {
+    import spark.implicits._
+    val n = 2000L * factor
+    val d = 64
+    val k = 32
+    val sigma = 0.15
+    def normalize(v: Array[Float]): Array[Float] = {
+      var s = 0.0
+      v.foreach(x => s += x.toDouble * x)
+      val inv = (1.0 / math.sqrt(s)).toFloat
+      v.map(_ * inv)
+    }
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(k)(normalize(Array.fill(d)(rnd.nextGaussian().toFloat)))
+    val bc = spark.sparkContext.broadcast(centers)
+    spark.range(n)
+      .repartition(32)
+      .as[Long]
+      .map { id =>
+        val r = new scala.util.Random(id * 2654435761L + 7L)
+        val c = bc.value((id % k).toInt)
+        val v = normalize(Array.tabulate(d)(j =>
+          c(j) + (sigma * r.nextGaussian()).toFloat))
+        (id, v, (id % k).toInt)
+      }
+      .toDF("vec_id", "embedding", "label")
+  }
+
   def events(spark: SparkSession, factor: Int): DataFrame = {
     val n = 100000L * factor
     // Same 30-day span as the driver tables at every factor: "10× data" is
@@ -173,6 +210,7 @@ object ScaleGen {
     val tables = Seq(
       "documents" -> documents(spark, factor),
       "embeddings" -> embeddings(spark, factor),
+      "embeddings_clustered" -> embeddingsClustered(spark, factor),
       "events" -> events(spark, factor),
       "customer" -> customer(spark, factor),
       "orders" -> orders(spark, factor),

@@ -59,14 +59,16 @@ object ScaleRehearsal {
       scale: String,
       secs: Seq[Double],
       rows: Long,
-      error: Option[String]) {
+      error: Option[String],
+      recall: Option[Double] = None) {
     def floor: Double = if (secs.isEmpty) Double.NaN else secs.min
     def json: String = {
       val secsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
       val err = error.map(e =>
         s""","error":"${e.replace("\\", "\\\\").replace("\"", "'").take(300)}"""")
         .getOrElse("")
-      s"""{"op":"$op","scale":"$scale","secs":$secsJson,"rows":$rows$err}"""
+      val rec = recall.map(r => f""","recall":$r%.3f""").getOrElse("")
+      s"""{"op":"$op","scale":"$scale","secs":$secsJson,"rows":$rows$rec$err}"""
     }
   }
 
@@ -102,12 +104,42 @@ object ScaleRehearsal {
     Run(op, scale, secs.result(), rows, error)
   }
 
+  /** Exact top-5 for a query subset by distributed cross join (nQ ×
+    * corpus cosine rows — 40M at the 100× corpus, seconds on 32 cores),
+    * compared against the index's answers → recall@5. UNTIMED: recall
+    * is a quality gauge, the brute-force twin is not part of the
+    * operator under measurement.
+    */
+  private def subsetRecall(queries: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = queries.select(col("vec_id"), col("embedding").as("emb_a"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_b")))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.ext.Similarity.cosineCol(col("emb_a"), col("emb_b")).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("rank") <= 5)
+      .select(col("vec_id"), col("neighbor_id"))
+    val denom = exact.count().toDouble
+    if (denom == 0) 0.0
+    else approx.select(col("vec_id"), col("neighbor_id"))
+      .join(exact, Seq("vec_id", "neighbor_id")).count().toDouble / denom
+  }
+
   /** IVF with corpus-derived resolution: timed build (nCells = 0 →
-    * autoCells) into a fresh root + timed fixed-size query batch.
+    * autoCells) into a fresh root + timed fixed-size query batch +
+    * untimed subset recall@5. `table` picks the corpus shape
+    * (near-uniform `embeddings` or `embeddings_clustered`); `prefix`
+    * namespaces the emitted op names.
     */
   private def annRuns(spark: SparkSession, dir: String, scale: String,
-      iters: Int): Seq[(Run, Int)] = {
-    val embs = graft.core.Tables.embeddings(spark, dir)
+      iters: Int, table: String = "embeddings",
+      prefix: String = "ann"): Seq[(Run, Int)] = {
+    val embs = graft.core.Tables.load(spark, dir, table)
       .select(col("vec_id"), col("embedding"))
     var resolved = 0
     val build = {
@@ -123,30 +155,35 @@ object ScaleRehearsal {
         } catch { case e: Throwable =>
           error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         val s = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[rehearsal] ann_ivf_build $scale iter=$i $s%.2f s cells=$resolved")
+        System.err.println(f"[rehearsal] ${prefix}_ivf_build $scale iter=$i $s%.2f s cells=$resolved")
         if (error.isEmpty) secs += s
         cleanup(spark)
         i += 1
       }
-      Run("ann_ivf_build_auto", scale, secs.result(), resolved.toLong, error)
+      Run(s"${prefix}_ivf_build_auto", scale, secs.result(), resolved.toLong, error)
     }
     // Query phase reuses ONE published index (build-once/query-many):
     // fixed 200-query batch at both scales, so the measured quantity is
     // per-query latency against corpus size (ncells grows ~sqrt(n),
     // members-per-probed-cell ~sqrt(n) — expect ~sqrt(10) ≈ 3.2×, not 10×).
     val query = if (build.error.isDefined) {
-      Run("ann_ivf_query_auto", scale, Nil, -1, build.error)
+      Run(s"${prefix}_ivf_query_auto", scale, Nil, -1, build.error)
     } else {
       val root = Files.createTempDirectory("graft-rehearsal-ivfq").toString + "/ivf"
       graft.ext.AnnIndex.buildIvfIndex(embs, root, nCells = 0)
       val nprobe = math.max(1, math.round(0.375 * resolved).toInt)
       val queries = embs.limit(200).cache()
       queries.count()
-      val r = timed(spark, "ann_ivf_query_auto", scale, iters)(() =>
+      val r = timed(spark, s"${prefix}_ivf_query_auto", scale, iters)(() =>
         graft.ext.AnnIndex.ivfTopKIndexed(spark, queries, root, k = 5,
           nprobe = nprobe))
+      val rec = subsetRecall(queries, embs,
+        graft.ext.AnnIndex.ivfTopKIndexed(spark, queries, root, k = 5,
+          nprobe = nprobe))
+      System.err.println(f"[rehearsal] ${prefix}_ivf_query_auto $scale recall@5=$rec%.3f nprobe=$nprobe/$resolved")
       queries.unpersist()
-      r.copy(rows = if (r.rows >= 0) r.rows else -1)
+      cleanup(spark)
+      r.copy(rows = if (r.rows >= 0) r.rows else -1, recall = Some(rec))
     }
     Seq((build, resolved), (query, resolved))
   }
@@ -185,6 +222,15 @@ object ScaleRehearsal {
             bits = 0, tauNum = 2, tauDen = 5))
       if (wanted("ann"))
         annRuns(spark, dir, scale, iters).foreach { case (r, cells) =>
+          runs += r
+          annCells += (s"${r.op}_$scale" -> cells)
+        }
+      // clustered-corpus twin (recall-meaningful shape) — only where the
+      // ScaleGen table exists (the driver's testdata has no clustered twin)
+      if (wanted("annc") &&
+          new java.io.File(s"$dir/embeddings_clustered.parquet").exists)
+        annRuns(spark, dir, scale, iters, table = "embeddings_clustered",
+            prefix = "annc").foreach { case (r, cells) =>
           runs += r
           annCells += (s"${r.op}_$scale" -> cells)
         }
