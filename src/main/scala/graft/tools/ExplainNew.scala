@@ -8,7 +8,15 @@ object ExplainNew {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // the ENGINE's session settings (Sessions.local), not bare
+      // defaults: a 10 MB default broadcast threshold would report
+      // SMJ flips the engine's 64 MB sessions never see
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
+    graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -22,7 +30,12 @@ object ExplainNew {
         "Exchange SinglePartition".r.findAllIn(plan).length
       val bc = "BroadcastExchange".r.findAllIn(plan).length
       val wsc = "WholeStageCodegen".r.findAllIn(plan).length
-      println(s"[explain] $n: exchanges=$ex broadcasts=$bc codegenSpans=$wsc")
+      val joins =
+        "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+          .findAllIn(plan).toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      println(s"[explain] $n: exchanges=$ex broadcasts=$bc " +
+        s"codegenSpans=$wsc joins=$joins")
     }
     spark.stop()
   }
