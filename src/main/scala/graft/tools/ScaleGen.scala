@@ -206,7 +206,8 @@ object ScaleGen {
         pick(Segments, "seg", id).as("c_mktsegment"))
   }
 
-  def generate(spark: SparkSession, outDir: String, factor: Int): Unit = {
+  def generate(spark: SparkSession, outDir: String, factor: Int,
+      only: Set[String] = Set.empty): Unit = {
     val tables = Seq(
       "documents" -> documents(spark, factor),
       "embeddings" -> embeddings(spark, factor),
@@ -219,7 +220,10 @@ object ScaleGen {
       // nation/region constant too) — copied from the driver's sf0.1
       "nation" -> spark.read.parquet("/root/testdata/sf0.1/nation.parquet"),
       "region" -> spark.read.parquet("/root/testdata/sf0.1/region.parquet"))
-    tables.foreach { case (name, df) =>
+    // `only` trims the set for deep decades: the 1000× relational star
+    // (~25 GB lineitem) serves no rehearsed op the 100× didn't already
+    tables.filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, df) =>
       val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       val secs = (System.nanoTime() - t0) / 1e9
@@ -229,15 +233,17 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
-      sys.error("usage: ScaleGen <outDir> [factor=10]"))
+      sys.error("usage: ScaleGen <outDir> [factor=10] [tables-csv]"))
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty[String])
     val spark = graft.core.Sessions.local()
     // Match the driver testdata's TIMESTAMP(MICROS) encoding — Spark's
     // legacy INT96 default has no logical annotation, which would push
     // every EventTime/SchemaContract footer check onto the distributed
     // scan fallback and make the rehearsal time the guard, not the op.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    generate(spark, outDir, factor)
+    generate(spark, outDir, factor, only)
     spark.stop()
   }
 }
