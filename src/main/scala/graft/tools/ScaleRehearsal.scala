@@ -52,6 +52,10 @@ object ScaleRehearsal {
     // text entries from the bench artifact
     "q10_flagship_document",
     "x107_containment",
+    // the corpus-scale near-dup path x107's refusal points at — rehearsed
+    // so the artifact witnesses the alternative WORKING where the exact
+    // spelling refuses
+    "x32_minhash_pairs",
     "x37_tfidf")
 
   private case class Run(
