@@ -21,23 +21,33 @@ import graft.SparkEntry
   * refusals included) are recorded verbatim, not absorbed: a guard
   * engaging at 10× is a rehearsal FINDING, not an error to hide.
   *
-  * Ops rehearsed (the r8 verdict's list):
+  * Ops rehearsed (the r8 verdict's list, extended with the relational
+  * family and the corpus-scale near-dup path):
   *  - x104_fuzzy_join        — PPJoin candidate generation vs n²
+  *  - x107_containment       — exact co-shingle pairs (budget-guarded)
+  *  - x32_minhash_pairs      — the LSH path the refusals point at
   *  - x105_semdedup          — SRP bucket + within-bucket cosine
+  *    (plus the bits=0 autoBits variant as `x105_semdedup_auto`)
   *  - x92_shuffle            — two-level global permutation
   *  - x38_incremental_dedup  — exact tier + LSH band tier + components
   *  - x61_event_hourly_stream— streaming twin (AvailableNow, memory sink)
+  *  - q10_flagship_document  — the reference-parity flagship over the
+  *    ScaleGen orders/lineitem star
+  *  - x37_tfidf              — df join + per-doc weights
   *  - ANN IVF with nCells=0  — corpus-derived resolution (autoCells):
-  *    build timed separately from a fixed-200-query probe batch, so
-  *    build cost scales with corpus and query cost with corpus-per-cell.
+  *    build timed separately from a fixed-200-query probe batch, plus
+  *    untimed subset recall@5; runs on both corpus shapes ("ann" =
+  *    near-uniform, "annc" = 32-Gaussian clustered).
   *
   * Timing follows Bench's conventions: noop sink (no column pruning, no
   * I/O), cache/persistent-RDD cleanup between runs, floor quoted (host
-  * stalls are additive noise).
+  * stalls are additive noise). Deep decades (100×+) need
+  * `SBT_OPTS=-Xmx48g`: all local[32] executor threads share sbt's JVM
+  * heap, and the 60M-row flagship count OOMs under the ~8 GB default.
   *
   * Usage:
-  *   runMain graft.tools.ScaleRehearsal <baseDir> <scaleDir> <outJson>
-  * (scaleDir from `runMain graft.tools.ScaleGen <scaleDir> 10`)
+  *   runMain graft.tools.ScaleRehearsal <baseDir> <scaleDir> <outJson> [label]
+  * (scaleDir from `runMain graft.tools.ScaleGen <scaleDir> <factor>`)
   */
 object ScaleRehearsal {
 
