@@ -637,6 +637,25 @@ object Similarity {
       .select(col(idCol) +: ys: _*)
   }
 
+  /** SRP resolution derived from the corpus, the [[autoCells]] analogue
+    * for [[semDedup]]: enough sign bits that the EXPECTED bucket size
+    * stays ≈ `targetBucketRows`, so the within-bucket Σ size(b)² join
+    * cost grows ~linearly with n instead of quadratically at a pinned
+    * resolution. The 100× rehearsal motivated it: bits = 4 (16 buckets,
+    * right for the 2k-vector catalog base) puts 12.5k vectors per bucket
+    * at n = 200k — ~2.4 G within-bucket pairs, a 10-minute join for a
+    * dedup pass that should take seconds. bits = ceil(log2(n / target)),
+    * clamped to [1, 32]; recall per ε-ball shrinks as buckets split (the
+    * standard SemDeDup trade documented on [[semDedup]]) — hold `bits`
+    * fixed when comparing prune sets across corpus sizes.
+    */
+  def autoBits(n: Long, targetBucketRows: Long = 64L): Int = {
+    require(targetBucketRows >= 1, s"targetBucketRows must be >= 1")
+    val b = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0))
+    math.max(1, math.min(32, b.toInt))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
     * Spark-first: semantic near-duplicate pruning over an embedding
     * column. Coarse partitioner = the [[randomProjection]] SRP sign
@@ -665,26 +684,14 @@ object Similarity {
     * Output: one row per vector — (idCol, bucket, witness, removed);
     * `witness` is the smallest earlier in-bucket id within τ (null ⇒
     * kept), so the result both lists the pruned set and certifies why.
+    *
+    * Laziness caveat: `bits = 0` makes this call EAGER — [[autoBits]]
+    * needs `df.count()`, so the upstream plan is evaluated once for the
+    * count and again by the dedup job itself. Cache or checkpoint an
+    * expensive input before calling with `bits = 0`, or pre-compute
+    * `autoBits(n)` from a known row count and pass it explicitly;
+    * `bits > 0` keeps semDedup a pure lazy transformation.
     */
-  /** SRP resolution derived from the corpus, the [[autoCells]] analogue
-    * for [[semDedup]]: enough sign bits that the EXPECTED bucket size
-    * stays ≈ `targetBucketRows`, so the within-bucket Σ size(b)² join
-    * cost grows ~linearly with n instead of quadratically at a pinned
-    * resolution. The 100× rehearsal motivated it: bits = 4 (16 buckets,
-    * right for the 2k-vector catalog base) puts 12.5k vectors per bucket
-    * at n = 200k — ~2.4 G within-bucket pairs, a 10-minute join for a
-    * dedup pass that should take seconds. bits = ceil(log2(n / target)),
-    * clamped to [1, 32]; recall per ε-ball shrinks as buckets split (the
-    * standard SemDeDup trade documented on [[semDedup]]) — hold `bits`
-    * fixed when comparing prune sets across corpus sizes.
-    */
-  def autoBits(n: Long, targetBucketRows: Long = 64L): Int = {
-    require(targetBucketRows >= 1, s"targetBucketRows must be >= 1")
-    val b = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketRows)) / math.log(2.0))
-    math.max(1, math.min(32, b.toInt))
-  }
-
   def semDedup(
       df: DataFrame,
       idCol: String,

@@ -96,27 +96,44 @@ object Streams extends Serializable {
     * because the one symlink pointed at a directory the batch sniff
     * won't recurse into. Data files are linked flat (marker files like
     * _SUCCESS carry no .parquet suffix and are skipped); nested
-    * partition directories are linked recursively with their partition
-    * path flattened into the link name, so hive-partitioned tables
-    * stream too (partition-column VALUES are not recovered — the file
-    * stream reads data columns only, same as the batch sniff).
+    * NON-partition directories are linked recursively with their path
+    * flattened into the link name.
+    *
+    * Hive-partitioned sources REFUSE loudly (VERDICT r9 #6): a
+    * `key=value` directory level means the table carries columns that
+    * live only in the directory names — flattening them into link names
+    * would silently DROP those columns from every stream row. Rather
+    * than answer with a narrower schema than the batch reader sees,
+    * throw with the partition column names; materialize them as data
+    * columns (select them and rewrite) before streaming.
     */
   private[graft] def linkSource(
       streamDir: java.nio.file.Path, source: String,
       name: String = "events.parquet"): Unit = {
     val src = java.nio.file.Paths.get(source).toAbsolutePath
+    val partitionCols = scala.collection.mutable.LinkedHashSet[String]()
     def linkInto(dir: java.nio.file.Path, prefix: String): Unit = {
       val entries = Files.list(dir)
       try entries.iterator().asScala.foreach { p =>
         val fn = p.getFileName.toString
-        if (Files.isDirectory(p) && !fn.startsWith(".") && !fn.startsWith("_"))
+        if (Files.isDirectory(p) && !fn.startsWith(".") && !fn.startsWith("_")) {
+          val eq = fn.indexOf('=')
+          if (eq > 0) partitionCols += fn.substring(0, eq)
           linkInto(p, s"$prefix${fn.replace('=', '-')}_")
-        else if (fn.endsWith(".parquet"))
+        } else if (fn.endsWith(".parquet"))
           Files.createSymbolicLink(streamDir.resolve(s"$prefix$fn"), p)
       } finally entries.close()
     }
     if (Files.isDirectory(src)) linkInto(src, "")
     else Files.createSymbolicLink(streamDir.resolve(name), src)
+    if (partitionCols.nonEmpty)
+      throw new IllegalArgumentException(
+        s"stream source '$source' is hive-partitioned on " +
+          s"[${partitionCols.mkString(", ")}] — those columns exist only in " +
+          "directory names and the flat file-stream staging would silently " +
+          "drop them; materialize them as data columns (read the table " +
+          "batch-side, select the partition columns, rewrite unpartitioned) " +
+          "before streaming")
   }
 
   /** Memoized per (parent, partition count, no-data policy): one warm
@@ -150,6 +167,48 @@ object Streams extends Serializable {
         noDataBatches.toString)
       s
     })
+  }
+
+  /** Progress summary of the last finished one-shot stream on the
+    * calling thread — the observable the scale rehearsal needs (VERDICT
+    * r9 #2): per-key-state operators (sessionize, stream-stream join,
+    * dedup-within-watermark) have state ∝ key cardinality, and "bounded"
+    * must be read off the STATE-STORE METRICS, not asserted in scaladoc.
+    * Captured from `recentProgress` (the standard StreamingQueryProgress
+    * feed) right after `awaitTermination`, thread-local so concurrent
+    * orchestrator jobs don't race.
+    */
+  case class StreamRunStats(
+      batches: Int,
+      inputRows: Long,
+      stateRowsLast: Long,
+      stateRowsMax: Long,
+      stateMemoryBytesMax: Long,
+      droppedByWatermark: Long)
+
+  private val lastRunStats = new ThreadLocal[Option[StreamRunStats]] {
+    override def initialValue(): Option[StreamRunStats] = None
+  }
+
+  /** Stats of the most recent one-shot stream run by THIS thread. */
+  def lastStreamRunStats: Option[StreamRunStats] = lastRunStats.get()
+
+  /** Reset the thread's stats so a harness can attribute what follows. */
+  private[graft] def clearLastStreamRunStats(): Unit = lastRunStats.set(None)
+
+  private def awaitAndRecord(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val ps = q.recentProgress.toSeq
+    def stateSum(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long) =
+      ps.map(_.stateOperators.map(f).sum)
+    lastRunStats.set(Some(StreamRunStats(
+      batches = ps.count(_.numInputRows > 0),
+      inputRows = ps.map(_.numInputRows).sum,
+      stateRowsLast = stateSum(_.numRowsTotal).lastOption.getOrElse(0L),
+      stateRowsMax = stateSum(_.numRowsTotal).maxOption.getOrElse(0L),
+      stateMemoryBytesMax = stateSum(_.memoryUsedBytes).maxOption.getOrElse(0L),
+      droppedByWatermark = stateSum(_.numRowsDroppedByWatermark).sum)))
   }
 
   /** Hourly tumbling-window aggregation per event type (batch form). */
@@ -199,7 +258,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
   }
 
@@ -242,7 +301,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     graft.ext.IncrementalDedup.survivors(spark, stateRoot, "doc_id", "text")
   }
 
@@ -296,7 +355,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     spark.read.parquet(lakePath)
   }
 
@@ -331,7 +390,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
   }
 
@@ -370,8 +429,94 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
+  }
+
+  /** x110's idempotency-window dedup with state actually BOUNDED by a
+    * watermark — the production spelling the complete-mode twin's
+    * scaladoc prescribes, rehearsed instead of asserted (VERDICT r9 #2).
+    * Differences from [[idempotentEventsStreaming]]: the grain's hour
+    * bucket is a `window(ts, "1 hour")` group (watermark-EVICTABLE —
+    * Spark cannot map a derived long bucket back to event time), the
+    * stream carries `withWatermark(ts, delay)`, and output is APPEND
+    * mode, so a bucket emits exactly once, when the watermark passes its
+    * end, and its state row is dropped. State is then ~(active keys ×
+    * buckets inside the horizon), independent of stream length.
+    *
+    * Contract: delivery must be time-ordered with disorder < `delay`
+    * (stage with [[stageTimeSliced]]); later-than-horizon events are
+    * DROPPED (counted in [[StreamRunStats.droppedByWatermark]]), and the
+    * final `delay` worth of buckets never emits (the watermark never
+    * passes the end of a finite stream) — the result equals the batch
+    * [[graft.ops.Temporal.idempotentEvents]] restricted to buckets whose
+    * end precedes the final watermark.
+    */
+  def idempotentEventsStreamingBounded(
+      spark: SparkSession,
+      sourceDir: String,
+      delay: String = "2 hours",
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val ss = streamSession(spark)
+    val rawBatch = ss.read.parquet(sourceDir)
+    graft.core.EventTime.assertPlausible(rawBatch, sourceDir)
+    val checkpoint = Streams.scratchDir("graft-idemb-ckpt").toString
+    val sinkName = s"graft_idemb_${System.nanoTime()}"
+    val raw = graft.core.EventTime.canonicalTs(
+      ss.readStream.schema(rawBatch.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(sourceDir))
+    val agg = raw
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        count(lit(1)).as("n"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"),
+        floor(unix_timestamp(col("w.start")) / lit(3600)).cast("long")
+          .as("bucket"),
+        (col("n") - lit(1L)).as("n_suppressed"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitAndRecord(q)
+    ss.table(sinkName)
+  }
+
+  /** Ordered-delivery simulator for watermark rehearsals: rewrite a
+    * table as `slices` consecutive time-range files with ASCENDING
+    * mtimes (the file source batches oldest-mtime-first), so
+    * `maxFilesPerTrigger = 1` replays the corpus as `slices` in-order
+    * micro-batches — the shape under which a watermark actually advances
+    * mid-stream and evicts state, instead of jumping to the end on a
+    * single all-at-once batch. Returns the staged directory.
+    */
+  def stageTimeSliced(df: DataFrame, tsCol: String, slices: Int): String = {
+    val staged = Files.createTempDirectory("graft-staged")
+      .resolve("events.parquet")
+    df.repartitionByRange(slices, col(tsCol)).sortWithinPartitions(tsCol)
+      .write.parquet(staged.toString)
+    val parts = {
+      val entries = Files.list(staged)
+      try entries.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally entries.close()
+    }
+    // part-file NAME order == range-partition order == time order;
+    // 2 s spacing clears any filesystem mtime granularity
+    val base = System.currentTimeMillis() - parts.size * 2000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+    staged.toString
   }
 
   /** Stream-static enrichment join: the event stream joined per
@@ -404,7 +549,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
   }
 
@@ -432,7 +577,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
   }
 
@@ -536,7 +681,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.read.parquet(lakePath)
   }
 
@@ -600,7 +745,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
   }
 
@@ -707,7 +852,7 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     ss.table(sinkName)
   }
 }

@@ -25,7 +25,18 @@ import org.apache.spark.sql.functions._
   * so x38's exact tier, LSH band tier, and component closure all engage
   * at every factor, with expected survivor counts ≈ n·(1 − 1/50 − 1/97).
   *
-  * Usage: `runMain graft.tools.ScaleGen <outDir> [factor=10]`
+  * The `zipf` variant (VERDICT r9 #1) is the SKEWED twin of the same
+  * corpus — same schemas, same row counts, heavy-tailed distributions:
+  * event_type "click" ~30% of events, user 0 ~10% of events with a
+  * Zipf(1) user tail, customer 0 ~10% of orders with a Zipf(1) customer
+  * tail, and a Zipf token distribution over the document vocabulary
+  * (head word ~25% of tokens). Everything measured on the uniform twin
+  * is a no-skew cost curve; at 100 TB the first thing that kills a plan
+  * is a hot key — the skew rehearsal compares floors at the SAME factor
+  * across the two twins.
+  *
+  * Usage: `runMain graft.tools.ScaleGen <outDir> [factor=10] [tables-csv]
+  * [variant: uniform|zipf] [dimDir]`
   */
 object ScaleGen {
 
@@ -49,9 +60,39 @@ object ScaleGen {
     element_at(array(choices.map(lit): _*),
       (hmod(seed, choices.size.toLong, ids: _*) + lit(1)).cast("int"))
 
-  def documents(spark: SparkSession, factor: Int): DataFrame = {
+  /** Zipf(α≈1) key in [0, n): inverse-CDF of p(x) ∝ 1/x over [1, n]
+    * (x = exp(U·ln n)), seeded-hash-driven so the skew twin is as
+    * deterministic as the uniform one. Rank 1 carries ln(2)/ln(n) of the
+    * mass (~6% at n = 150k) with a true heavy tail behind it — the
+    * "every key is a little hot" half of production skew; pin an
+    * explicit head on top for the "one key is VERY hot" half.
+    */
+  private def zipfKey(seed: String, n: Long, ids: Column*): Column = {
+    val u = hmod(seed, 1000000L, ids: _*).cast("double") / lit(1000000.0)
+    least(floor(exp(u * lit(math.log(n.toDouble)))) - lit(1), lit(n - 1))
+      .cast("long")
+  }
+
+  /** Quantized-CDF lookup (1024 cells) for a Zipfian pick over `choices`
+    * with p(rank r) ∝ 1/(r+1): head word ~25% of tokens over the 30-word
+    * vocab — the head-heavy token distribution that skews df-join keys.
+    */
+  private def zipfLookup(choices: Seq[String]): Array[String] = {
+    val w = choices.indices.map(r => 1.0 / (r + 1))
+    val total = w.sum
+    val cdf = w.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    Array.tabulate(1024) { q =>
+      val u = (q + 0.5) / 1024.0
+      choices(cdf.indexWhere(u < _) match { case -1 => choices.size - 1; case i => i })
+    }
+  }
+
+  def documents(spark: SparkSession, factor: Int, zipf: Boolean = false): DataFrame = {
     val n = 5000L * factor
-    val vocabCol = array(Vocab.map(lit): _*)
+    val vocabCol =
+      if (zipf) array(zipfLookup(Vocab).toSeq.map(lit): _*)
+      else array(Vocab.map(lit): _*)
+    val vocabCells = if (zipf) 1024L else Vocab.size.toLong
     val id = col("id")
     // Planted dup structure: copies draw their word stream from id-1's seed.
     val isExact = id % 97 === 3 && id > 0
@@ -60,7 +101,7 @@ object ScaleGen {
     val nWords = (hmod("nw", 80L, seedId) + lit(10)).cast("int")
     val words = transform(sequence(lit(0), nWords - lit(1)),
       i => element_at(vocabCol,
-        (hmod("w", Vocab.size.toLong, seedId, i) + lit(1)).cast("int")))
+        (hmod("w", vocabCells, seedId, i) + lit(1)).cast("int")))
     val baseText = concat_ws(" ", words)
     spark.range(n)
       .repartition(32)
@@ -124,7 +165,7 @@ object ScaleGen {
       .toDF("vec_id", "embedding", "label")
   }
 
-  def events(spark: SparkSession, factor: Int): DataFrame = {
+  def events(spark: SparkSession, factor: Int, zipf: Boolean = false): DataFrame = {
     val n = 100000L * factor
     // Same 30-day span as the driver tables at every factor: "10× data" is
     // 10× rows per window (denser traffic), not a longer history — the
@@ -139,20 +180,35 @@ object ScaleGen {
         id.as("event_id"),
         timestamp_micros(lit(baseUs) + (id * lit(spanUs / n))
           + hmod("jit", spanUs / n, id)).as("ts"),
-        hmod("u", 1500L * factor, id).as("user_id"),
-        pick(EventTypes, "et", id).as("event_type"),
+        // Zipf twin (VERDICT r9 #1): user 0 pinned to ~10% of all events
+        // (sessionize's per-key window skew), the tail Zipf(1); hot
+        // event_type "click" carrying ~30% (the x61/x110 grain skew).
+        (if (zipf)
+           when(hmod("hotu", 100L, id) < 10, lit(0L))
+             .otherwise(zipfKey("uz", 1500L * factor, id))
+         else hmod("u", 1500L * factor, id)).as("user_id"),
+        (if (zipf)
+           when(hmod("hote", 100L, id) < 30, lit("click"))
+             .otherwise(pick(EventTypes.filterNot(_ == "click"), "etz", id))
+         else pick(EventTypes, "et", id)).as("event_type"),
         (hmod("v", 20000L, id).cast("double") / lit(100.0)).as("value"),
         format_string("{\"k\": %d}", hmod("k", 100L, id)).as("props"))
   }
 
-  def orders(spark: SparkSession, factor: Int): DataFrame = {
+  def orders(spark: SparkSession, factor: Int, zipf: Boolean = false): DataFrame = {
     val n = 150000L * factor
     val id = col("id")
     spark.range(n)
       .repartition(32)
       .select(
         id.as("o_orderkey"),
-        hmod("oc", 15000L * factor, id).as("o_custkey"),
+        // Zipf twin: customer 0 pinned to ~10% of all orders (the hot
+        // policyholder shape over the flagship's customer-grained keys),
+        // Zipf(1) tail behind it.
+        (if (zipf)
+           when(hmod("hotc", 100L, id) < 10, lit(0L))
+             .otherwise(zipfKey("cz", 15000L * factor, id))
+         else hmod("oc", 15000L * factor, id)).as("o_custkey"),
         pick(Seq("O", "F", "P"), "os", id).as("o_orderstatus"),
         round(lit(1000.0) + hmod("op", 49900000L, id).cast("double") / lit(100.0), 2)
           .as("o_totalprice"),
@@ -207,19 +263,21 @@ object ScaleGen {
   }
 
   def generate(spark: SparkSession, outDir: String, factor: Int,
-      only: Set[String] = Set.empty): Unit = {
+      only: Set[String] = Set.empty, zipf: Boolean = false,
+      dimDir: String = "/root/testdata/sf0.1"): Unit = {
     val tables = Seq(
-      "documents" -> documents(spark, factor),
+      "documents" -> documents(spark, factor, zipf),
       "embeddings" -> embeddings(spark, factor),
       "embeddings_clustered" -> embeddingsClustered(spark, factor),
-      "events" -> events(spark, factor),
+      "events" -> events(spark, factor, zipf),
       "customer" -> customer(spark, factor),
-      "orders" -> orders(spark, factor),
+      "orders" -> orders(spark, factor, zipf),
       "lineitem" -> lineitem(spark, factor),
       // fixed dimensions: identical content at every factor (TPC-H keeps
-      // nation/region constant too) — copied from the driver's sf0.1
-      "nation" -> spark.read.parquet("/root/testdata/sf0.1/nation.parquet"),
-      "region" -> spark.read.parquet("/root/testdata/sf0.1/region.parquet"))
+      // nation/region constant too) — copied from `dimDir` (defaults to
+      // the driver's sf0.1; parameterized so the tool is relocatable)
+      "nation" -> spark.read.parquet(s"$dimDir/nation.parquet"),
+      "region" -> spark.read.parquet(s"$dimDir/region.parquet"))
     // `only` trims the set for deep decades: the 1000× relational star
     // (~25 GB lineitem) serves no rehearsed op the 100× didn't already
     tables.filter { case (n, _) => only.isEmpty || only(n) }
@@ -233,17 +291,24 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
-      sys.error("usage: ScaleGen <outDir> [factor=10] [tables-csv]"))
+      sys.error("usage: ScaleGen <outDir> [factor=10] [tables-csv] " +
+        "[variant: uniform|zipf] [dimDir=/root/testdata/sf0.1]"))
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set.empty[String])
+    val zipf = args.lift(3) match {
+      case Some("zipf")              => true
+      case Some("uniform") | None    => false
+      case Some(other) => sys.error(s"unknown variant '$other' (uniform|zipf)")
+    }
+    val dimDir = args.lift(4).getOrElse("/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local()
     // Match the driver testdata's TIMESTAMP(MICROS) encoding — Spark's
     // legacy INT96 default has no logical annotation, which would push
     // every EventTime/SchemaContract footer check onto the distributed
     // scan fallback and make the rehearsal time the guard, not the op.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    generate(spark, outDir, factor, only)
+    generate(spark, outDir, factor, only, zipf, dimDir)
     spark.stop()
   }
 }

@@ -51,6 +51,54 @@ class StreamsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("linkSource refuses hive-partitioned sources loudly (no silent column drop)") {
+    // Partition-column VALUES live only in the directory names; the flat
+    // file-stream staging cannot recover them, so a stream over such a
+    // table would answer with a NARROWER schema than the batch reader —
+    // refuse with the column names instead (VERDICT r9 #6).
+    val dir = java.nio.file.Files.createTempDirectory("graft-hivepart").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").parquet(s"$dir/events.parquet")
+    val streamDir = Streams.scratchDir("graft-hivepart-src")
+    val e = intercept[IllegalArgumentException] {
+      Streams.linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+    assert(e.getMessage.contains("day")) // names the dropped column
+  }
+
+  test("watermark-bounded event dedup: batch-equal on finalized buckets, nothing dropped, state evicted") {
+    val events = Tables.events(spark, sfDir)
+    // Ordered delivery in 5 slices, one micro-batch each: the watermark
+    // advances 4 times mid-stream instead of once at the end.
+    val staged = Streams.stageTimeSliced(events, "ts", slices = 5)
+    val bounded = Streams
+      .idempotentEventsStreamingBounded(spark, staged, delay = "2 hours")
+      .select($"event_id", $"user_id", $"event_type", $"bucket", $"n_suppressed")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val stats = Streams.lastStreamRunStats.get
+    val batch = graft.ops.Temporal
+      .idempotentEvents(events, "event_id", "ts", 3600, "user_id", "event_type")
+      .select($"event_id", $"user_id", $"event_type", $"bucket", $"n_suppressed")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    // Ordered delivery ⇒ no event ever arrives behind the watermark.
+    assert(stats.droppedByWatermark === 0L)
+    assert(stats.batches >= 5)
+    // Append mode emits each finalized bucket exactly once, equal to the
+    // batch row; only buckets inside the final horizon may be missing.
+    assert(bounded.subsetOf(batch))
+    val wmCeil = events.agg(max(unix_timestamp($"ts"))).as[Long].head() - 7200L
+    val missing = batch -- bounded
+    assert(missing.forall { case (_, _, _, bucket, _) =>
+      (bucket + 1) * 3600L > wmCeil - 3600L
+    }, s"non-tail buckets missing: ${missing.take(5)}")
+    // State eviction engaged: peak state stays well below one-row-per-
+    // bucket (the complete-mode twin's footprint ≈ batch row count).
+    assert(stats.stateRowsMax < batch.size,
+      s"state never evicted: peak ${stats.stateRowsMax} vs ${batch.size} buckets")
+  }
+
   test("watermark drops events later than the horizon (bounded-state contract)") {
     import java.nio.file.{Files => JFiles}
     import org.apache.spark.sql.streaming.Trigger
