@@ -34,6 +34,14 @@ import graft.SparkEntry
   *  - q10_flagship_document  — the reference-parity flagship over the
   *    ScaleGen orders/lineitem star
   *  - x37_tfidf              — df join + per-doc weights
+  *  - x68_sessionize         — gap-based sessions (skew-sensitive: a hot
+  *    user is one fat window partition on the Zipf twin)
+  *  - x69_sessionize_stream / x110_event_dedup_stream — per-key-state
+  *    streaming twins; state-store rows/memory land in the artifact via
+  *    [[graft.streaming.Streams.lastStreamRunStats]]
+  *  - x110_bounded (synthetic) — the watermark-bounded append-mode x110
+  *    over a time-sliced staged delivery: state_rows_max witnesses
+  *    EVICTION, vs the complete-mode twin whose state is all buckets
   *  - ANN IVF with nCells=0  — corpus-derived resolution (autoCells):
   *    build timed separately from a fixed-200-query probe batch, plus
   *    untimed subset recall@5; runs on both corpus shapes ("ann" =
@@ -66,7 +74,39 @@ object ScaleRehearsal {
     // so the artifact witnesses the alternative WORKING where the exact
     // spelling refuses
     "x32_minhash_pairs",
-    "x37_tfidf")
+    "x37_tfidf",
+    // skew-sensitive batch op (single hot user ⇒ one fat window
+    // partition) — in the list for the Zipf-twin rehearsal (r9 #1)
+    "x68_sessionize",
+    // per-key-state streaming twins (r9 #2): state ∝ key cardinality,
+    // recorded from the progress metrics via Streams.lastStreamRunStats
+    "x69_sessionize_stream",
+    "x110_event_dedup_stream")
+
+  /** Locale-pinned numeric formatting: the `f` interpolator uses the JVM
+    * default locale, which under a comma-decimal locale would emit
+    * `1,234` inside the artifact and break JSON parsing.
+    */
+  private[tools] def num(d: Double, decimals: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
+  /** Minimal JSON string escaper: Spark stage-failure messages are
+    * routinely multi-line, and a literal newline inside a JSON string
+    * makes the whole artifact unparseable.
+    */
+  private[tools] def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append("\\u%04x".format(c.toInt))
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
 
   private case class Run(
       op: String,
@@ -74,15 +114,20 @@ object ScaleRehearsal {
       secs: Seq[Double],
       rows: Long,
       error: Option[String],
-      recall: Option[Double] = None) {
+      recall: Option[Double] = None,
+      state: Option[graft.streaming.Streams.StreamRunStats] = None) {
     def floor: Double = if (secs.isEmpty) Double.NaN else secs.min
     def json: String = {
-      val secsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      val secsJson = secs.map(s => num(s)).mkString("[", ",", "]")
       val err = error.map(e =>
-        s""","error":"${e.replace("\\", "\\\\").replace("\"", "'").take(300)}"""")
-        .getOrElse("")
-      val rec = recall.map(r => f""","recall":$r%.3f""").getOrElse("")
-      s"""{"op":"$op","scale":"$scale","secs":$secsJson,"rows":$rows$rec$err}"""
+        s""","error":"${jsonStr(e.take(300))}"""").getOrElse("")
+      val rec = recall.map(r => s""","recall":${num(r)}""").getOrElse("")
+      val st = state.map(s =>
+        s""","state":{"batches":${s.batches},"input_rows":${s.inputRows},""" +
+          s""""state_rows_last":${s.stateRowsLast},"state_rows_max":${s.stateRowsMax},""" +
+          s""""state_mem_bytes_max":${s.stateMemoryBytesMax},""" +
+          s""""dropped_by_watermark":${s.droppedByWatermark}}""").getOrElse("")
+      s"""{"op":"$op","scale":"$scale","secs":$secsJson,"rows":$rows$rec$st$err}"""
     }
   }
 
@@ -97,14 +142,24 @@ object ScaleRehearsal {
     val secs = Seq.newBuilder[Double]
     var rows = -1L
     var error: Option[String] = None
+    // One-shot streaming ops record progress metrics on the calling
+    // thread (Streams.lastStreamRunStats); clear before each run so a
+    // captured value is attributable to THIS op, keep the last one.
+    var state: Option[graft.streaming.Streams.StreamRunStats] = None
     var i = 0
     while (i < iters && error.isEmpty) {
+      graft.streaming.Streams.clearLastStreamRunStats()
       val t0 = System.nanoTime()
       try mk().write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val s = (System.nanoTime() - t0) / 1e9
       if (error.isEmpty) {
         secs += s
+        graft.streaming.Streams.lastStreamRunStats.foreach { st =>
+          state = Some(st)
+          System.err.println(s"[rehearsal] $op $scale iter=$i state_rows_max=${st.stateRowsMax} " +
+            s"state_mem_max=${st.stateMemoryBytesMax} dropped=${st.droppedByWatermark}")
+        }
         System.err.println(f"[rehearsal] $op $scale iter=$i $s%.2f s")
       } else System.err.println(s"[rehearsal] $op $scale iter=$i FAILED: ${error.get}")
       cleanup(spark)
@@ -115,7 +170,119 @@ object ScaleRehearsal {
       catch { case _: Throwable => () }
       cleanup(spark)
     }
+    Run(op, scale, secs.result(), rows, error, state = state)
+  }
+
+  /** [[timed]] for side-effecting phases (the lakehouse WRITE path): the
+    * thunk IS the operation, no noop sink; it returns a result gauge
+    * (rows published / files produced / rows read) recorded as `rows`.
+    */
+  private def timedU(spark: SparkSession, op: String, scale: String,
+      iters: Int)(run: () => Long): Run = {
+    val secs = Seq.newBuilder[Double]
+    var rows = -1L
+    var error: Option[String] = None
+    var i = 0
+    while (i < iters && error.isEmpty) {
+      val t0 = System.nanoTime()
+      try rows = run()
+      catch { case e: Throwable =>
+        error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val s = (System.nanoTime() - t0) / 1e9
+      if (error.isEmpty) {
+        secs += s
+        System.err.println(f"[rehearsal] $op $scale iter=$i $s%.2f s rows=$rows")
+      } else System.err.println(s"[rehearsal] $op $scale iter=$i FAILED: ${error.get}")
+      cleanup(spark)
+      i += 1
+    }
     Run(op, scale, secs.result(), rows, error)
+  }
+
+  /** Lakehouse WRITE-path rehearsal (VERDICT r9 #3): every other op here
+    * reads with a noop sink, but the discipline the reference is actually
+    * about is the write side — partitioned append, bounded file sizes,
+    * compaction, stat-pruned reads. Per scale this times:
+    *  - lake_publish_delta — FOUR publishDelta deliveries of the events
+    *    table split by time quartile (the daily-append shape), each
+    *    range-laid-out on the epoch column so file footers carry tight
+    *    [min,max] ranges, footer stats recorded on `ts_sec`
+    *  - lake_read_pruned  — readWhere over the LAST ~5% of the time range
+    *    against the 4-delta chain: manifest-level data skipping (the
+    *    selected-vs-total file counts land in the artifact)
+    *  - lake_compact      — compact(256 MB) of a fresh 4-delta chain per
+    *    iteration (chains pre-built OUTSIDE the timed region)
+    * and records the compacted file-count/size distribution against the
+    * reference's 128–512 MB file-size guidance
+    * (all_from_gemini.txt:262-268,364-368 ≙ LakeWriter defaults).
+    */
+  private def lakeRuns(spark: SparkSession, dir: String, scale: String,
+      iters: Int): (Seq[Run], String) = {
+    import graft.lake.Versioned
+    val events = graft.core.Tables.events(spark, dir)
+      .withColumn("ts_sec",
+        graft.core.EventTime.epochUs(col("ts")).cast("double") / lit(1e6))
+    // Quartile cuts + the pruned-read window: one driver-side quantile
+    // pass, harness setup (the deltas a daily append would receive).
+    val q = events.stat.approxQuantile(
+      "ts_sec", Array(0.25, 0.5, 0.75, 0.95), 0.001)
+    val cuts = Array(Double.NegativeInfinity, q(0), q(1), q(2),
+      Double.PositiveInfinity)
+    def slice(i: Int) =
+      events.where(col("ts_sec") > cuts(i) && col("ts_sec") <= cuts(i + 1))
+        .repartitionByRange(8, col("ts_sec"))
+    def freshRoot() =
+      Files.createTempDirectory("graft-lake").toString + "/events"
+    def publishChain(root: String): Long = {
+      (0 until 4).foreach(i =>
+        Versioned.publishDelta(slice(i), root, statsCols = Seq("ts_sec")))
+      Versioned.publishedRows(root).getOrElse(-1L)
+    }
+    val pub = timedU(spark, "lake_publish_delta", scale, iters)(() =>
+      publishChain(freshRoot()))
+    if (pub.error.isDefined) {
+      val e = pub.error
+      return (Seq(pub, Run("lake_read_pruned", scale, Nil, -1, e),
+        Run("lake_compact", scale, Nil, -1, e)), "null")
+    }
+    // one canonical chain for the pruned-read phase
+    val chainRoot = freshRoot()
+    publishChain(chainRoot)
+    val totalFiles = Versioned.read(spark, chainRoot).inputFiles.length
+    var selectedFiles = -1
+    var prunedRows = -1L
+    val readPruned = timedU(spark, "lake_read_pruned", scale, iters) { () =>
+      val df = Versioned.readWhere(spark, chainRoot, "ts_sec",
+        q(3), Double.MaxValue)
+      selectedFiles = df.inputFiles.length
+      prunedRows = df.count()
+      prunedRows
+    }
+    // compaction chains pre-built OUTSIDE the timed region (compacting an
+    // already-compacted table would measure different work)
+    val compactRoots = (0 until iters).map { _ =>
+      val r = freshRoot(); publishChain(r); r
+    }
+    var ci = 0
+    val comp = timedU(spark, "lake_compact", scale, iters) { () =>
+      val r = compactRoots(ci); ci += 1
+      Versioned.compact(spark, r)
+      Versioned.read(spark, r).inputFiles.length.toLong
+    }
+    val filesJson = {
+      val sizes = Versioned.read(spark, compactRoots.head).inputFiles
+        .map(f => Files.size(Paths.get(new java.net.URI(f)))).sorted
+      val mb = sizes.map(_ / 1048576.0)
+      val inBand = mb.count(s => s >= 128.0 && s <= 512.0)
+      s"""{"chain_files":$totalFiles,"pruned_selected_files":$selectedFiles,""" +
+        s""""pruned_rows":$prunedRows,"compacted_files":${sizes.length},""" +
+        s""""compacted_total_mb":${num(mb.sum, 1)},""" +
+        s""""compacted_min_mb":${num(mb.head, 1)},""" +
+        s""""compacted_median_mb":${num(mb(mb.length / 2), 1)},""" +
+        s""""compacted_max_mb":${num(mb.last, 1)},""" +
+        s""""n_in_128_512mb":$inBand,"target_mb":256}"""
+    }
+    (Seq(pub, readPruned, comp), filesJson)
   }
 
   /** Exact top-5 for a query subset by distributed cross join (nQ ×
@@ -210,8 +377,9 @@ object ScaleRehearsal {
     val scaleLabel = args.lift(3).getOrElse("x10")
     val iters = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_N", "2").toInt
     // Comma list to rehearse a subset (e.g. skip the candidate-pair-shaped
-    // ops at factors where their cost is the KNOWN quantity); "ann" and
-    // "x105_semdedup_auto" name the synthetic ops below.
+    // ops at factors where their cost is the KNOWN quantity); "ann",
+    // "annc", "x105_semdedup_auto", and "x110_bounded" name the synthetic
+    // ops below.
     val opFilter = sys.env.get("SPARK_GRAFT_REHEARSAL_OPS")
       .map(_.split(",").map(_.trim).toSet)
     def wanted(op: String) = opFilter.forall(_.contains(op))
@@ -220,6 +388,7 @@ object ScaleRehearsal {
 
     val runs = Seq.newBuilder[Run]
     var annCells = Map.empty[String, Int]
+    var lakeFiles = Map.empty[String, String]
     Seq("base" -> baseDir, scaleLabel -> scaleDir).foreach { case (scale, dir) =>
       OpNames.filter(wanted).foreach { op =>
         val fn = SparkEntry.queries(op)
@@ -229,6 +398,28 @@ object ScaleRehearsal {
       // the catalog's x105 pins bits = 4 for oracle comparability, which
       // is exactly the pinned-resolution shape that bends quadratic at
       // 100× — this op is the auto path the scaladoc prescribes at scale.
+      // Watermark-BOUNDED x110 twin (r9 #2: "bounded" must be read off
+      // the state-store metrics, not asserted): append mode + 2h
+      // watermark over a time-sliced ordered delivery, so the recorded
+      // state_rows_max witnesses eviction — the complete-mode catalog
+      // x110 above holds one state row per bucket forever by design.
+      // Staging (a one-time table rewrite with ascending mtimes) is
+      // harness setup, outside the timed region; 8 slices ⇒ the
+      // watermark advances 7 times mid-stream.
+      if (wanted("x110_bounded")) {
+        val staged = graft.streaming.Streams.stageTimeSliced(
+          graft.core.Tables.events(spark, dir), "ts", slices = 8)
+        runs += timed(spark, "x110_bounded", scale, iters)(() =>
+          graft.streaming.Streams.idempotentEventsStreamingBounded(
+            spark, staged, delay = "2 hours"))
+      }
+      // lakehouse WRITE path (r9 #3): publish/compact/pruned-read timings
+      // + compacted file-size distribution
+      if (wanted("lake")) {
+        val (rs, filesJson) = lakeRuns(spark, dir, scale, iters)
+        runs ++= rs
+        lakeFiles += (scale -> filesJson)
+      }
       if (wanted("x105_semdedup_auto"))
         runs += timed(spark, "x105_semdedup_auto", scale, iters)(() =>
           graft.ext.Similarity.semDedup(
@@ -261,11 +452,15 @@ object ScaleRehearsal {
       s"""{"runs":[${all.map(_.json).mkString(",")}],""" +
         s""""floor_ratio_${scaleLabel}_over_base":{${
           ratios.toSeq.sortBy(_._1)
-            .map { case (op, r) => s""""$op":${f"$r%.2f"}""" }.mkString(",")}},""" +
+            .map { case (op, r) => s""""$op":${num(r, 2)}""" }.mkString(",")}},""" +
         s""""ann_resolved_cells":{${
           annCells.toSeq.sorted
             .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
-        s""""iters":$iters,"base":"$baseDir","scale_label":"$scaleLabel","scale_dir":"$scaleDir"}"""
+        s""""lake_files":{${
+          lakeFiles.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""${jsonStr(k)}":$v""" }.mkString(",")}},""" +
+        s""""iters":$iters,"base":"${jsonStr(baseDir)}",""" +
+        s""""scale_label":"${jsonStr(scaleLabel)}","scale_dir":"${jsonStr(scaleDir)}"}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()
