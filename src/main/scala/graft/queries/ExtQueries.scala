@@ -1500,8 +1500,13 @@ object ExtQueries {
 
   /** x68 — batch gap-sessionization ([[Streams.sessionsBatch]], 30-min
     * gap): lag + running sum + per-session aggregate, microsecond-exact
-    * gap comparison. One shuffle on user_id serves both windows and the
-    * final aggregate (same key).
+    * gap comparison. Default path is the skew-split two-phase spelling
+    * (window over (user_id, 24h bucket) + volume-free stitch): the zipf
+    * rehearsal showed the single-window spelling funnels a hot user's
+    * whole history into one task (floor 2.38× at identical volume); the
+    * bucketed default reads 0.73× on the same corpus pair. Costs ~0.5 s
+    * of fixed extra stages at sf0.1 — the insurance a 100 TB default
+    * wants, deliberate and documented.
     */
   def x68Sessionize(s: SparkSession, dir: String): DataFrame =
     Streams.sessionsBatch(Tables.events(s, dir), gapMinutes = 30)

@@ -32,6 +32,59 @@ class StreamsSpec extends SparkSpec {
     assert(latest === batch)
   }
 
+  test("bucketed (skew-split) sessionization ≡ single-window spelling") {
+    // The zipf rehearsal's one real bend: partitionBy(user_id) sorts a hot
+    // key's whole history in one task. The default two-phase path windows
+    // over (user_id, time-bucket) and stitches across boundaries; it must
+    // be value-identical to the legacy spelling for ANY bucket size —
+    // including buckets SHORTER than the gap (sessions spanning 3+
+    // buckets) and much longer than the data (single-bucket degenerate).
+    val ev = Tables.events(spark, sfDir)
+    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = 0)
+      .as[(Long, Int, Long, String, String)].collect().toSet
+    for (bh <- Seq(24, 6, 1, 1000000)) {
+      val bucketed = Streams.sessionsBatch(ev, 30, bucketHours = bh)
+        .as[(Long, Int, Long, String, String)].collect().toSet
+      assert(bucketed === legacy, s"bucketHours=$bh diverged")
+    }
+  }
+
+  test("bucketed sessionization: exact-gap boundaries and empty-bucket holes") {
+    // Adversarial fixture: gaps exactly == gapUs straddling a bucket
+    // boundary (<= continues, +1us starts a new session), a session
+    // spanning three 1-hour buckets, and multi-bucket holes between
+    // events — the stitch window must lag over NON-EMPTY buckets only.
+    val gapUs = 30L * 60000000L
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val hourUs = 3600000000L
+    val rows = Seq(
+      // user 1: chain of exact-gap events crossing each 1h bucket edge
+      (1L, 1L, base + hourUs - 1000000L),
+      (1L, 2L, base + hourUs - 1000000L + gapUs),        // == gap: same session
+      (1L, 3L, base + hourUs - 1000000L + 2 * gapUs),    // crosses next edge
+      (1L, 4L, base + hourUs - 1000000L + 3 * gapUs + 1L), // gap+1us: NEW session
+      // user 2: 4-day hole between events (empty buckets in between)
+      (2L, 5L, base + 1000L),
+      (2L, 6L, base + 96L * hourUs + 1000L),
+      // user 3: dense session spanning three 1h buckets (event every 20min)
+      (3L, 7L, base), (3L, 8L, base + gapUs * 2 / 3),
+      (3L, 9L, base + gapUs * 4 / 3), (3L, 10L, base + gapUs * 2),
+      (3L, 11L, base + gapUs * 8 / 3), (3L, 12L, base + gapUs * 10 / 3),
+      (3L, 13L, base + gapUs * 4))
+    val ev = rows.toDF("user_id", "event_id", "ts_raw")
+      .select($"user_id", $"event_id", timestamp_micros($"ts_raw").as("ts"))
+    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = 0)
+      .as[(Long, Int, Long, String, String)].collect().toSet
+    val bucketed = Streams.sessionsBatch(ev, 30, bucketHours = 1)
+      .as[(Long, Int, Long, String, String)].collect().toSet
+    assert(bucketed === legacy)
+    // and the fixture really exercises what it claims:
+    val byUser = legacy.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byUser(1L) === 2, "exact-gap chain should form 2 sessions")
+    assert(byUser(2L) === 2, "4-day hole should split sessions")
+    assert(byUser(3L) === 1, "dense 2h chain should stay ONE session")
+  }
+
   test("streaming twins accept a directory-layout events table (scale rehearsal fix)") {
     // The 10× rehearsal caught this: every source table an engine JOB
     // writes is a DIRECTORY of part files, and the single-symlink staging
