@@ -107,10 +107,28 @@ object LakeWriter {
     import java.nio.file.{Files, Paths}
     recoverSwap(path)
     val df = spark.read.parquet(path)
-    val totalBytes = df.inputFiles.map(f =>
+    val files = df.inputFiles
+    val totalBytes = files.map(f =>
       Files.size(Paths.get(new java.net.URI(f)))).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val staging = path.stripSuffix("/") + ".compacting"
+    // Per-folder file sizing from the table's OWN bytes/row, not a flat
+    // record cap: 2M records of a narrow schema is ~50 MB on disk, far
+    // under the 128–512 MB guidance the cap is meant to serve. Row counts
+    // come from the parquet footers — O(files) metadata reads, no scan.
+    lazy val recordsPerFile = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sparkContext.hadoopConfiguration
+      val totalRows = files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      if (totalRows > 0 && totalBytes > 0)
+        math.max(1L, (totalRows.toDouble * targetBytes / totalBytes).toLong)
+      else ProductionMaxRecordsPerFile
+    }
     // Partitioned tables keep their hive layout: repartition by the
     // partition key (one writer task per folder, AQE re-splits skew) and
     // bound file sizes per folder instead of globally.
@@ -118,7 +136,7 @@ object LakeWriter {
       if (partitionCols.isEmpty) df.repartition(nFiles).write
       else df.repartition(partitionCols.map(col): _*)
         .write
-        .option("maxRecordsPerFile", ProductionMaxRecordsPerFile)
+        .option("maxRecordsPerFile", recordsPerFile)
         .partitionBy(partitionCols: _*)
     writer.mode("overwrite").option("compression", "snappy").parquet(staging)
     swapIn(path, staging)

@@ -583,8 +583,47 @@ object Versioned {
     val totalBytes = df.inputFiles.map(f =>
       Files.size(Paths.get(new java.net.URI(f)))).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    publish(df.repartition(nFiles), tableRoot)
+    // Reconcile the byte target with the record cap: a flat 2M-record cap
+    // re-splits each byte-targeted partition of a NARROW schema into
+    // undersized files — the 100× write-path rehearsal measured 6 × ≤53 MB
+    // against a 256 MB target because 2M rows of the events schema is only
+    // ~53 MB on disk. Derive records-per-file from the observed on-disk
+    // bytes/row (meta row counts — no scan), with 20% headroom over the
+    // even split so repartition imbalance doesn't shave off a tiny tail
+    // file; worst case ≈ 1.2 × target, inside the 128–512 MB guidance.
+    val recordsPerFile = publishedRows(tableRoot) match {
+      case Some(rows) if rows > 0 && totalBytes > 0 =>
+        math.max(1L, (rows.toDouble * targetBytes / totalBytes * 1.2).toLong)
+      case _ => LakeWriter.ProductionMaxRecordsPerFile
+    }
+    // and fold the chain WITHOUT losing readWhere's file skipping: re-record
+    // per-file pruning stats for every column the live chain had stats for,
+    // and RE-CLUSTER on them — round-robin folding scatters each file's
+    // min/max across the whole domain, which keeps the stats while making
+    // every one unprunable. Range partitioning restores contiguous
+    // per-file ranges (first column dominates; multi-column rectangles
+    // are [[ZOrder]]'s job, not compact's).
+    val statsCols = liveStatsColumns(tableRoot)
+    val folded =
+      if (statsCols.nonEmpty) df.repartitionByRange(nFiles, statsCols.map(col): _*)
+      else df.repartition(nFiles)
+    publish(folded, tableRoot,
+      maxRecordsPerFile = recordsPerFile, statsCols = statsCols)
   }
+
+  /** Columns with recorded per-file pruning stats anywhere in the LIVE
+    * manifest (union over the version dirs' stats files) — what [[compact]]
+    * re-records, so folding a delta chain doesn't silently demote
+    * [[readWhere]] from file-skipping to full scans.
+    */
+  private def liveStatsColumns(tableRoot: String): Seq[String] =
+    manifest(tableRoot).flatMap { v =>
+      val f = root(tableRoot).resolve(dirName(v)).resolve(StatsFile)
+      if (!Files.exists(f)) Nil
+      else new String(Files.readAllBytes(f), "UTF-8").linesIterator
+        .filter(_.nonEmpty).map(_.split('\t'))
+        .collect { case a if a.length == 4 => a(1) }.toSeq
+    }.distinct
 
   /** Delete version directories the manifest no longer references,
     * retaining the `keep - 1` most recent unreferenced ones (so readers

@@ -73,6 +73,42 @@ class VersionedSpec extends SparkSpec {
     assert(after.agg(sum($"x")).as[Long].head === 10000L * 9999 / 2)
   }
 
+  test("compact hits the byte target on narrow schemas and keeps pruning stats") {
+    // The 100× write-path rehearsal found compact producing 6 × ≤53 MB
+    // files against a 256 MB target: the flat 2M-record cap re-split
+    // every byte-targeted partition of a narrow schema. compact must
+    // derive records-per-file from the table's own bytes/row — files
+    // land within [0.5×, 1.3×] of target — and must re-record the live
+    // chain's stats columns so readWhere still file-skips afterwards.
+    val root = tmpRoot("versioned-compact-target")
+    // two deltas, stats on x; many small files (narrow long column)
+    Versioned.publishDelta(
+      spark.range(0, 300000).select($"id".as("x")).repartition(24), root,
+      statsCols = Seq("x"))
+    Versioned.publishDelta(
+      spark.range(300000, 600000).select($"id".as("x")).repartition(24), root,
+      statsCols = Seq("x"))
+    val before = Versioned.read(spark, root)
+    val beforeBytes = before.inputFiles.map(f =>
+      Files.size(Paths.get(new java.net.URI(f)))).sum
+    val target = beforeBytes / 3 // force ~3 output files whatever snappy does
+    Versioned.compact(spark, root, targetBytes = target)
+    val files = Versioned.read(spark, root).inputFiles
+    val sizes = files.map(f => Files.size(Paths.get(new java.net.URI(f))))
+    assert(files.length <= 4, s"expected ~3 target-sized files, got ${files.length}")
+    // no undersized shards: every file at least half the target (the old
+    // record-cap bug produced thirds of it)
+    assert(sizes.forall(_ >= target / 2),
+      s"undersized compacted file: ${sizes.mkString(",")} vs target $target")
+    assert(sizes.forall(_ <= (target * 1.4).toLong),
+      s"oversized compacted file: ${sizes.mkString(",")} vs target $target")
+    // stats survived the fold: a 1000-row slice must not read every file
+    val slice = Versioned.readWhere(spark, root, "x", 100, 1099)
+    assert(slice.count() === 1000L)
+    assert(slice.inputFiles.length < files.length,
+      "readWhere stopped file-skipping after compact — stats were dropped")
+  }
+
   test("log table: O(delta) appends, manifest union read, compact folds") {
     val root = tmpRoot("versioned-log")
     Versioned.publishDelta(Seq(1, 2).toDF("x"), root)
