@@ -414,8 +414,11 @@ object ExtQueries {
     * threshold but real for borderline pairs.
     */
   def x38IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-x38-state").toString + "/state"
+    // per-call demo state, reaped at JVM exit (survivors() reads it
+    // lazily, so deletion can't happen any earlier); real deployments
+    // pass their own durable state root to IncrementalDedup directly
+    val root = graft.core.Scratch.reapAtExit(java.nio.file.Files
+      .createTempDirectory("graft-x38-state").toString) + "/state"
     graft.ext.IncrementalDedup.ingest(
       docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", root)
     graft.ext.IncrementalDedup.survivors(s, root, "doc_id", "text")

@@ -50,8 +50,13 @@ import graft.SparkEntry
   * Timing follows Bench's conventions: noop sink (no column pruning, no
   * I/O), cache/persistent-RDD cleanup between runs, floor quoted (host
   * stalls are additive noise). Deep decades (100×+) need
-  * `SBT_OPTS=-Xmx48g`: all local[32] executor threads share sbt's JVM
-  * heap, and the 60M-row flagship count OOMs under the ~8 GB default.
+  * `SPARK_DRIVER_MEM=48g` — build.sbt forks `run` with
+  * `-Xmx${SPARK_DRIVER_MEM:-8g}`, so `SBT_OPTS` never reaches the forked
+  * JVM; all local[32] executor threads share that one heap and the
+  * 60M-row flagship count OOMs under the 8 GB default. Budget DISK too:
+  * the 1000× star's shuffle spill runs tens of GB — clear scratch
+  * orphans first (everything this harness creates reaps at JVM exit via
+  * [[graft.core.Scratch]]).
   *
   * Usage:
   *   runMain graft.tools.ScaleRehearsal <baseDir> <scaleDir> <outJson> [label]
@@ -232,7 +237,8 @@ object ScaleRehearsal {
       events.where(col("ts_sec") > cuts(i) && col("ts_sec") <= cuts(i + 1))
         .repartitionByRange(8, col("ts_sec"))
     def freshRoot() =
-      Files.createTempDirectory("graft-lake").toString + "/events"
+      graft.core.Scratch.reapAtExit(
+        Files.createTempDirectory("graft-lake").toString) + "/events"
     def publishChain(root: String): Long = {
       (0 until 4).foreach(i =>
         Versioned.publishDelta(slice(i), root, statsCols = Seq("ts_sec")))
@@ -328,7 +334,8 @@ object ScaleRehearsal {
       var error: Option[String] = None
       var i = 0
       while (i < iters && error.isEmpty) {
-        val root = Files.createTempDirectory("graft-rehearsal-ivf").toString + "/ivf"
+        val root = graft.core.Scratch.reapAtExit(
+          Files.createTempDirectory("graft-rehearsal-ivf").toString) + "/ivf"
         val t0 = System.nanoTime()
         try {
           val meta = graft.ext.AnnIndex.buildIvfIndex(embs, root, nCells = 0)
@@ -350,7 +357,8 @@ object ScaleRehearsal {
     val query = if (build.error.isDefined) {
       Run(s"${prefix}_ivf_query_auto", scale, Nil, -1, build.error)
     } else {
-      val root = Files.createTempDirectory("graft-rehearsal-ivfq").toString + "/ivf"
+      val root = graft.core.Scratch.reapAtExit(
+        Files.createTempDirectory("graft-rehearsal-ivfq").toString) + "/ivf"
       graft.ext.AnnIndex.buildIvfIndex(embs, root, nCells = 0)
       val nprobe = math.max(1, math.round(0.375 * resolved).toInt)
       val queries = embs.limit(200).cache()
