@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *    are the same RATIO to the rehearsal's partition sizes that the
   *    defaults are to a 1000-executor cluster's, so "does AQE split the
   *    hot key" is answerable without 100 TB of disk.
+  *
+  * `--no-broadcast` disables auto-broadcast (threshold -1): at true
+  * scale a dim table outgrows broadcast range and the hot-key join
+  * becomes a shuffle join — this flag audits THAT regime at rehearsal
+  * size, where broadcasts would otherwise neutralize the skew before
+  * AQE's splitter ever sees it.
   */
 object ExplainNew {
   def main(args: Array[String]): Unit = {
@@ -24,6 +30,7 @@ object ExplainNew {
     val rest = args.filterNot(_.startsWith("--"))
     val exec = flags.contains("--exec")
     val skewScaled = flags.contains("--skew-scaled")
+    val noBroadcast = flags.contains("--no-broadcast")
     val builder = SparkSession.builder()
       .master(if (exec) "local[32]" else "local[4]")
       .config("spark.sql.shuffle.partitions", if (exec) "32" else "4")
@@ -31,7 +38,7 @@ object ExplainNew {
       // defaults: a 10 MB default broadcast threshold would report
       // SMJ flips the engine's 64 MB sessions never see
       .config("spark.sql.autoBroadcastJoinThreshold",
-        (64 * 1024 * 1024).toString)
+        if (noBroadcast) "-1" else (64 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,6 +49,11 @@ object ExplainNew {
           (8 * 1024 * 1024).toString)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
           (8 * 1024 * 1024).toString)
+        // without force, AQE declines any split that would ADD a shuffle —
+        // q10's hot-key join feeds a same-key aggregate, so the decline is
+        // the CORRECT production answer; force exists here to witness the
+        // splitter itself engaging on the hot partition
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     }
     val spark = builder.getOrCreate()
     graft.core.Sessions.tune(spark)
@@ -52,15 +64,34 @@ object ExplainNew {
         "x93_bigram_rarity", "x94_inverted_index", "x96_normalize")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
-      if (exec) df.write.format("noop").mode("overwrite").save()
-      // after execution the AdaptiveSparkPlan stringifies its FINAL plan
-      val plan = df.queryExecution.executedPlan.toString
+      // execute df's OWN QueryExecution: `df.write` clones a new one, so
+      // the audited plan would stay isFinalPlan=false and every AQE
+      // decision (skew splits, SMJ→BHJ demotions) would be invisible —
+      // exactly the pre-execution plan static mode already shows
+      if (exec) df.queryExecution.toRdd.count()
+      // after execution the AdaptiveSparkPlan stringifies BOTH sections
+      // ("== Final Plan ==" then "== Initial Plan =="); count only the
+      // final one or every node is double-counted
+      val raw = df.queryExecution.executedPlan.toString
+      val plan = {
+        val f = raw.indexOf("== Final Plan ==")
+        val i = raw.indexOf("== Initial Plan ==")
+        if (f >= 0 && i > f) raw.substring(f, i) else raw
+      }
       val ex = "Exchange hashpartitioning".r.findAllIn(plan).length +
         "Exchange rangepartitioning".r.findAllIn(plan).length +
         "Exchange SinglePartition".r.findAllIn(plan).length
       val bc = "BroadcastExchange".r.findAllIn(plan).length
       val wsc = "WholeStageCodegen".r.findAllIn(plan).length
-      val skewed = "skew=true".r.findAllIn(plan).length
+      // two spellings: joins print `skew=true`, AQE's reader nodes print
+      // `AQEShuffleRead skewed`
+      val skewed = "skew=true".r.findAllIn(plan).length +
+        "AQEShuffleRead skewed".r.findAllIn(plan).length
+      if (flags.contains("--dump"))
+        plan.linesIterator
+          .filter(l => l.contains("Join") || l.contains("AQEShuffleRead")
+            || l.contains("Exchange"))
+          .foreach(l => println(s"[plan] ${l.trim.take(200)}"))
       val joins =
         "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
           .findAllIn(plan).toSeq
