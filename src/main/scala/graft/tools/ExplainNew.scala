@@ -82,7 +82,11 @@ object ExplainNew {
         "Exchange rangepartitioning".r.findAllIn(plan).length +
         "Exchange SinglePartition".r.findAllIn(plan).length
       val bc = "BroadcastExchange".r.findAllIn(plan).length
-      val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+      // static plans print WholeStageCodegen nodes; finalized adaptive
+      // sections print codegen as `*(n)` star prefixes — count distinct
+      // span ids there
+      val wsc = math.max("WholeStageCodegen".r.findAllIn(plan).length,
+        "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size)
       // two spellings: joins print `skew=true`, AQE's reader nodes print
       // `AQEShuffleRead skewed`
       val skewed = "skew=true".r.findAllIn(plan).length +
