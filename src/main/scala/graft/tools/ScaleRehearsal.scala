@@ -86,7 +86,11 @@ object ScaleRehearsal {
     // per-key-state streaming twins (r9 #2): state ∝ key cardinality,
     // recorded from the progress metrics via Streams.lastStreamRunStats
     "x69_sessionize_stream",
-    "x110_event_dedup_stream")
+    "x110_event_dedup_stream",
+    // the other bare-user_id window ops (x68's pre-fix exposure class):
+    // lag chain and hour-range frame over the hot key's whole timeline
+    "x84_transitions",
+    "x80_rolling_window")
 
   /** Locale-pinned numeric formatting: the `f` interpolator uses the JVM
     * default locale, which under a comma-decimal locale would emit

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * AQE under the engine's session settings, the splitter engages.
   */
 class SkewSpec extends SparkSpec {
+  import spark.implicits._
 
   test("AQE splits a genuinely skewed shuffle join under engine sessions") {
     val ss = spark.newSession()
@@ -47,5 +48,80 @@ class SkewSpec extends SparkSpec {
     // hot key 0 matches one right row → 500k output; the uniform tail
     // (ids ≥ 500000) has no match among right keys [0, 1000)
     assert(n === 500000L)
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("skewLag ≡ single-window lag on real events, any bucket size") {
+    import graft.core.{EventTime, Tables}
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(EventTime.epochUs(col("ts")), col("event_id"))
+    val expected = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("prev_type"))
+      .as[(Long, Option[String])].collect().toMap
+    for (bucketUs <- Seq(24L * 3600000000L, 3600000000L, 123456789L)) {
+      val got = graft.ops.Windows.skewLag(ev, "prev_type", col("event_type"),
+          "user_id", EventTime.epochUs(col("ts")), col("event_id"), bucketUs)
+        .select(col("event_id"), col("prev_type"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got === expected, s"bucketUs=$bucketUs diverged")
+    }
+  }
+
+  test("skewRangeApply ≡ single-window range frame, incl. exact-boundary ghosts") {
+    import graft.core.{EventTime, Tables}
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(EventTime.epochUs(col("ts")))
+      .rangeBetween(-hourUs, 0L)
+    val expected = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("n"), col("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    // bucket = exactly the window length (tightest legal: maximal ghost
+    // traffic, every frame straddles) and the 24h default
+    for (bucketUs <- Seq(hourUs, 24L * hourUs)) {
+      val got = graft.ops.Windows.skewRangeApply(ev, "user_id",
+          EventTime.epochUs(col("ts")), hourUs, bucketUs) { spec =>
+        Seq("n" -> count(lit(1)).over(spec),
+          "s" -> sum(col("value").cast("decimal(18,2)")).over(spec).cast("double"))
+      }
+        .select(col("event_id"), col("n"), col("s"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected, s"bucketUs=$bucketUs diverged")
+    }
+    // and the guard: a frame longer than the bucket must refuse
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Windows.skewRangeApply(ev, "user_id",
+        EventTime.epochUs(col("ts")), hourUs, bucketUs = hourUs / 2)(_ => Nil)
+    }
+    assert(err.getMessage.contains("must be >= windowUs"))
+  }
+
+  test("skewLag: synthetic fixture with events exactly on bucket boundaries") {
+    // rows AT a boundary belong to the later bucket; their lag must come
+    // from the stitch, and multi-bucket holes must not break it
+    val hourUs = 3600000000L
+    val base = 1704067200000000L
+    val rows = Seq(
+      (1L, 1L, base - 1L, "a"), // last µs of bucket -1
+      (1L, 2L, base, "b"), // first µs of bucket 0 — lag via stitch = a
+      (1L, 3L, base + hourUs, "c"), // boundary again — stitch = b
+      (1L, 4L, base + 10L * hourUs, "d"), // 9-bucket hole — stitch = c
+      (2L, 5L, base, "x")) // other key: no predecessor
+    val ev = rows.toDF("user_id", "event_id", "ts_us", "et")
+    val got = graft.ops.Windows.skewLag(ev, "prev", col("et"), "user_id",
+        col("ts_us"), col("event_id"), hourUs)
+      .select(col("event_id"), col("prev"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some("a"), 3L -> Some("b"),
+      4L -> Some("c"), 5L -> None))
   }
 }
