@@ -1368,24 +1368,21 @@ object ExtQueries {
 
   /** x80 — rolling time-range window: per event, the count and exact sum
     * of the same user's events in the trailing hour (inclusive range
-    * frame over event-time micros). Computed via the skew-split
-    * [[graft.ops.Windows.skewRangeApply]] (ghost-replicated bucket
-    * boundaries): the bare-user_id spelling runs a hot key's whole
-    * history as one task's O(n) two-pointer; the bucketed spelling
-    * bounds every task at ~a day of one key, exact because the 1 h
-    * frame reaches at most one 24 h bucket back.
+    * frame over event-time micros). Computed via
+    * [[graft.ops.Windows.skewTrailingCountSum]] — the O(n) prefix-sum /
+    * two-pointer kernel over ghost-replicated (user, 24 h-bucket)
+    * partitions. The declarative spellings both bend on a hot key
+    * (zipf rehearsal: bare window 169.8×, bucketed window 18.5×)
+    * because Spark's bounded-frame processor re-aggregates the frame on
+    * every slide; the kernel removes the rows × frame factor entirely
+    * while staying hash-exact to the declarative spelling (spec-pinned).
     */
   def x80RollingWindow(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    graft.ops.Windows.skewRangeApply(ev, "user_id",
-        graft.core.EventTime.epochUs(col("ts")),
-        windowUs = 3600L * 1000000L) { w =>
-      Seq(
-        "n_last_hour" -> count(lit(1)).over(w),
-        "sum_last_hour" ->
-          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
-    }
+    graft.ops.Windows.skewTrailingCountSum(ev, "user_id",
+        graft.core.EventTime.epochUs(col("ts")), col("value"),
+        "n_last_hour", "sum_last_hour", windowUs = 3600L * 1000000L)
       .select(col("event_id"), col("user_id"), col("n_last_hour"), col("sum_last_hour"))
       .orderBy(col("event_id"))
   }

@@ -105,6 +105,61 @@ class SkewSpec extends SparkSpec {
     assert(err.getMessage.contains("must be >= windowUs"))
   }
 
+  test("skewTrailingCountSum ≡ declarative range frame on real events") {
+    import graft.core.{EventTime, Tables}
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(EventTime.epochUs(col("ts")))
+      .rangeBetween(-hourUs, 0L)
+    val expected = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("n"), col("s"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    for (bucketUs <- Seq(hourUs, 24L * hourUs)) {
+      val got = graft.ops.Windows.skewTrailingCountSum(ev, "user_id",
+          EventTime.epochUs(col("ts")), col("value"), "n", "s", hourUs, bucketUs)
+        .select(col("event_id"), col("n"), col("s"))
+        .as[(Long, Long, Option[Double])].collect().toSet
+      assert(got === expected, s"bucketUs=$bucketUs diverged")
+    }
+  }
+
+  test("skewTrailingCountSum: ties, nulls, and boundary ghosts") {
+    // adversarial shape the real data lacks: duplicate timestamps (a
+    // RANGE frame includes ties AHEAD of the current row), null values
+    // (count(*) counts them, sum skips; all-null frame → null sum), and
+    // rows exactly windowUs apart straddling a bucket edge
+    val hourUs = 3600000000L
+    val base = 1704067200000000L
+    val rows = Seq(
+      (1L, 1L, base - 1000000L, Some(1.005)), // rounds to 1.01 (HALF_UP)
+      (1L, 2L, base + 10L, Some(2.0)), // next bucket; prev row in frame via ghost
+      (1L, 3L, base + 10L, None), // TIE with row 2, null value
+      (1L, 4L, base + 10L, Some(3.0)), // second tie — all three mutual in-frame
+      (1L, 5L, base + 10L + hourUs, Some(4.0)), // exactly windowUs later: ties 2-4 still in-frame
+      (1L, 6L, base + 11L + hourUs, Some(5.0)), // 1µs past: ties 2-4 evicted
+      (2L, 7L, base, None), // lone null: n=1, sum null
+      (2L, 8L, base + 1L, None)) // two nulls in frame: n=2, sum null
+    val ev = rows.toDF("user_id", "event_id", "ts_us", "value")
+    val got = graft.ops.Windows.skewTrailingCountSum(ev, "user_id",
+        col("ts_us"), col("value"), "n", "s", hourUs)
+      .select(col("event_id"), col("n"), col("s"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, Some(1.01))))
+    assert(got(2L) === ((4L, Some(6.01)))) // rows 1-4: 1.01+2.0+3.0, null skipped
+    assert(got(3L) === ((4L, Some(6.01)))) // tie sees identical frame
+    assert(got(4L) === ((4L, Some(6.01))))
+    assert(got(5L) === ((4L, Some(9.0)))) // rows 2-5 (row 1 evicted): 2+3+4
+    assert(got(6L) === ((2L, Some(9.0)))) // rows 5-6: 4+5
+    assert(got(7L) === ((1L, None)))
+    assert(got(8L) === ((2L, None)))
+  }
+
   test("skewLag: synthetic fixture with events exactly on bucket boundaries") {
     // rows AT a boundary belong to the later bucket; their lag must come
     // from the stitch, and multi-bucket holes must not break it
