@@ -19,13 +19,29 @@ import org.apache.spark.sql.functions._
   *    128-512 MB reader sweet spot (`all_from_gemini.txt:262-268`).
   *  - Never `coalesce(1)`: a single writer task OOMs on >1 GB outputs
   *    (the reference's G.1X incident, `all_from_gemini.txt:264-266`).
-  *    `repartition(partitionCols)` aligns writer tasks with output
-  *    folders so each folder is written by one task, while AQE re-splits
-  *    skewed partitions.
+  *    Writer tasks align with output folders via the REBALANCE hint,
+  *    NOT plain `repartition(partitionCols)`: AQE's skew splitter only
+  *    acts on RebalancePartitions nodes, so the plain spelling would
+  *    serialize a hot partition value (a 30%-of-events event_type on
+  *    the zipf rehearsal corpus) into ONE writer task. Rebalance both
+  *    coalesces small folders' tasks and splits hot ones — a split
+  *    folder simply gets several part files, which the hive layout and
+  *    `maxRecordsPerFile` already expect.
   */
 object LakeWriter {
 
   val ProductionMaxRecordsPerFile: Long = 2000000L
+
+  /** Align writer tasks with output folders, skew-safely: the REBALANCE
+    * hint emits a `RebalancePartitions` node, the only shuffle shape
+    * AQE's splitter will break up when one partition value is hot
+    * (`spark.sql.adaptive.optimizeSkewsInRebalancePartitions`, on by
+    * default). Plain `repartition(cols)` promises exactly-one partition
+    * per key and is therefore never split — a 30%-hot folder key would
+    * bottleneck the whole write on one task.
+    */
+  private def alignToFolders(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.hint("rebalance", cols.map(col): _*)
 
   /** Run-index partition key: `format_string("%s_%s", yyyy-MM-dd, idx)`
     * (`pyspark_add_index_on_s3.py:31-41`). Input tolerated as int-like or
@@ -42,7 +58,7 @@ object LakeWriter {
       path: String,
       partitionCol: String,
       maxRecordsPerFile: Long = ProductionMaxRecordsPerFile): Unit =
-    df.repartition(col(partitionCol))
+    alignToFolders(df, Seq(partitionCol))
       .write
       .mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -69,7 +85,7 @@ object LakeWriter {
       path: String,
       partitionCol: String,
       maxRecordsPerFile: Long = ProductionMaxRecordsPerFile): Unit =
-    df.repartition(col(partitionCol))
+    alignToFolders(df, Seq(partitionCol))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -129,12 +145,12 @@ object LakeWriter {
         math.max(1L, (totalRows.toDouble * targetBytes / totalBytes).toLong)
       else ProductionMaxRecordsPerFile
     }
-    // Partitioned tables keep their hive layout: repartition by the
-    // partition key (one writer task per folder, AQE re-splits skew) and
+    // Partitioned tables keep their hive layout: rebalance on the
+    // partition key (folder-aligned tasks, hot folders split by AQE) and
     // bound file sizes per folder instead of globally.
     val writer =
       if (partitionCols.isEmpty) df.repartition(nFiles).write
-      else df.repartition(partitionCols.map(col): _*)
+      else alignToFolders(df, partitionCols)
         .write
         .option("maxRecordsPerFile", recordsPerFile)
         .partitionBy(partitionCols: _*)

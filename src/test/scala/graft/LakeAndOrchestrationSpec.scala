@@ -24,6 +24,37 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     (2L, "gadget", 200L, 20260123),
     (3L, "doohickey", 300L, 20260123)).toDF("id", "product", "amount", "transactiondate")
 
+  test("partitioned writes rebalance: hint resolves and a hot folder splits") {
+    // Plain repartition(partitionCol) serializes a hot partition value
+    // into one writer task (AQE never splits user-specified hash
+    // partitioning); the writers must go through the REBALANCE hint. A
+    // typo'd hint name silently no-ops with a warning, so pin BOTH the
+    // plan node and the behavior.
+    val ss = spark.newSession()
+    graft.core.Sessions.tune(ss)
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    ss.conf.set("spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor", "0.2")
+    import ss.implicits._
+    // ~90% of rows in one folder, payload large enough to exceed several
+    // 64 KB advisory partitions
+    val df = ss.range(20000)
+      .select(
+        (when($"id" < 18000, lit("hot")).otherwise(lit("cold"))).as("part"),
+        concat(lit("x" * 200), $"id".cast("string")).as("payload"))
+    // plan shape: the hint must survive analysis as RebalancePartitions
+    val hinted = df.hint("rebalance", col("part"))
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("RebalancePartitions"),
+      "rebalance hint did not resolve — writers would fall back to single-task folders")
+    val out = Files.createTempDirectory("graft-rebal").toString + "/t"
+    LakeWriter.appendPartitioned(df.toDF(), out, "part")
+    val hotFiles = new java.io.File(s"$out/part=hot").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(hotFiles > 1,
+      s"hot folder written by a single task ($hotFiles file) — skew split did not engage")
+    // and the data is intact
+    assert(ss.read.parquet(out).count() === 20000L)
+  }
+
   test("run-index partition write produces the reference layout and survives read-back") {
     val out = Files.createTempDirectory("graft-lake").toString
     val df = writeFixture.withColumn("transactiondate_index",
