@@ -39,6 +39,10 @@ import graft.SparkEntry
   *  - x69_sessionize_stream / x110_event_dedup_stream — per-key-state
   *    streaming twins; state-store rows/memory land in the artifact via
   *    [[graft.streaming.Streams.lastStreamRunStats]]
+  *  - x84_transitions / x80_rolling_window — the other bare-user_id
+  *    window shapes (lag chain, trailing range frame): the zipf twin
+  *    measured them at 2.77× / 169.8× pre-fix, 0.81 / 1.08 after the
+  *    [[graft.ops.Windows]] skew-split primitives
   *  - x110_bounded (synthetic) — the watermark-bounded append-mode x110
   *    over a time-sliced staged delivery: state_rows_max witnesses
   *    EVICTION, vs the complete-mode twin whose state is all buckets
