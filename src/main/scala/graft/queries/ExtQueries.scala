@@ -921,16 +921,19 @@ object ExtQueries {
   /** x84 — event transition matrix: per-user consecutive (prev → next)
     * event-type pairs via a lag over the user's own timeline (total
     * order pinned by (ts, event_id)), counted corpus-wide. The lag is
-    * the skew-split [[graft.ops.Windows.skewLag]] (zipf rehearsal
-    * measured the bare-user_id spelling at 2.77× when one user carries
-    * 15% of events; the bucketed spelling reads ~1× at identical
-    * volume) — note ts ordering equals epochUs ordering, so the
-    * bucketed stitch preserves the original (ts, event_id) total order.
+    * the size-aware [[graft.ops.Windows.lagAuto]]: small inputs take
+    * the plain single-window plan, anything at rehearsal scale and
+    * beyond the skew-split [[graft.ops.Windows.skewLag]] (zipf
+    * rehearsal measured the bare-user_id spelling at 2.77× when one
+    * user carries 15% of events; the bucketed spelling reads ~1× at
+    * identical volume) — note ts ordering equals epochUs ordering, so
+    * the bucketed stitch preserves the original (ts, event_id) total
+    * order.
     */
   def x84Transitions(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-    graft.ops.Windows.skewLag(ev, "prev_type", col("event_type"), "user_id",
+    graft.ops.Windows.lagAuto(ev, "prev_type", col("event_type"), "user_id",
         graft.core.EventTime.epochUs(col("ts")), col("event_id"))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
@@ -1508,13 +1511,15 @@ object ExtQueries {
 
   /** x68 — batch gap-sessionization ([[Streams.sessionsBatch]], 30-min
     * gap): lag + running sum + per-session aggregate, microsecond-exact
-    * gap comparison. Default path is the skew-split two-phase spelling
-    * (window over (user_id, 24h bucket) + volume-free stitch): the zipf
-    * rehearsal showed the single-window spelling funnels a hot user's
-    * whole history into one task (floor 2.38× at identical volume); the
-    * bucketed default reads 0.73× on the same corpus pair. Costs ~0.5 s
-    * of fixed extra stages at sf0.1 — the insurance a 100 TB default
-    * wants, deliberate and documented.
+    * gap comparison. The default is SIZE-AWARE (VERDICT r10 #6): inputs
+    * under 64 MB of scan bytes take the plain single-window plan (no
+    * fixed stitch-stage cost at sf0.1-class sizes); larger inputs take
+    * the skew-split two-phase spelling (window over (user_id, 24h
+    * bucket) + volume-free stitch) — the zipf rehearsal showed the
+    * single-window spelling funnels a hot user's whole history into one
+    * task (floor 2.38× at identical volume); the bucketed spelling
+    * reads 0.75× on the same corpus pair. Both regimes are spec-pinned
+    * value-identical.
     */
   def x68Sessionize(s: SparkSession, dir: String): DataFrame =
     Streams.sessionsBatch(Tables.events(s, dir), gapMinutes = 30)

@@ -779,7 +779,7 @@ object Streams extends Serializable {
     * Skew posture: the naive spelling windows over `partitionBy(user_id)`,
     * which funnels a hot key's entire history into ONE task's sort — the
     * one real bend the zipf rehearsal found (x68 floor 2.38× at identical
-    * volume when one user carries 15% of events). The default path is
+    * volume when one user carries 15% of events). The at-scale path is
     * therefore two-phase: window over `(user_id, time-bucket)` so the hot
     * key's sort splits across `bucketHours` slices, then stitch sessions
     * across bucket boundaries with a second window over per-bucket
@@ -790,14 +790,26 @@ object Streams extends Serializable {
     * and a session spanning 2+ buckets is re-merged by the `cont` chain
     * (bucket b's first in-bucket segment joins the previous non-empty
     * bucket's last session iff the boundary gap ≤ gapUs; every in-bucket
-    * segment index then shifts down by `cont`). `bucketHours <= 0` keeps
-    * the single-window spelling (spec pins the two paths equal).
+    * segment index then shifts down by `cont`).
+    *
+    * `bucketHours` picks the regime: negative forces the single-window
+    * spelling, positive forces bucketing at that width, and 0 (the
+    * default) is SIZE-AWARE — inputs under
+    * [[graft.ops.Windows.autoSplitThresholdBytes]] (a plan-only stats
+    * read) take the single-window plan, sparing small callers the
+    * bucketed path's ~0.7-0.8 s of fixed stitch stages, while anything
+    * at rehearsal scale and beyond keeps the 24h-bucketed skew
+    * insurance. The spec pins both regimes value-identical.
     */
   def sessionsBatch(events: DataFrame, gapMinutes: Int,
-      bucketHours: Int = 24): DataFrame = {
+      bucketHours: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapUs = gapMinutes * 60000000L
-    if (bucketHours <= 0) {
+    val effBucketHours =
+      if (bucketHours != 0) bucketHours
+      else if (graft.ops.Windows.wantsSkewSplit(events)) 24
+      else -1
+    if (effBucketHours < 0) {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val marked = events
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
@@ -810,13 +822,20 @@ object Streams extends Serializable {
           sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       sessionsFinish(marked.withColumn("session_seq_l", col("session_seq")))
     } else {
-      val bucketUs = bucketHours * 3600000000L
+      val bucketUs = effBucketHours * 3600000000L
       // integer `div` (not double /): ts_us ~1.7e15 would round through a
-      // double and could mis-bin an event sitting exactly on a boundary
+      // double and could mis-bin an event sitting exactly on a boundary.
+      // `uk = struct(user_id)` is the stitch key: a null user_id forms
+      // its own partition in the single-window spelling, and a plain
+      // equi-join would drop it — struct values compare null-safe, so
+      // keying windows, fragments, and the stitch join all on `uk` keeps
+      // null-key rows while the join stays a plain hash join aligned
+      // with the window exchange (same pattern as Windows.skewLag).
       val ev = events.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("uk", struct(col("user_id")))
         .withColumn("ts_us", graft.core.EventTime.epochUs(col("ts")))
         .withColumn("bkt", expr(s"ts_us div ${bucketUs}L"))
-      val w2 = Window.partitionBy(col("user_id"), col("bkt"))
+      val w2 = Window.partitionBy(col("uk"), col("bkt"))
         .orderBy(col("ts_us"), col("event_id"))
       val marked = ev
         .withColumn("prev_us", lag(col("ts_us"), 1).over(w2))
@@ -826,21 +845,21 @@ object Streams extends Serializable {
         .withColumn("s",
           sum(col("ns")).over(w2.rowsBetween(Window.unboundedPreceding, 0)))
       // collapse events → per-(user, bucket, segment) FRAGMENTS right
-      // here, while still on the window's (user_id, bkt) partitioning (no
+      // here, while still on the window's (uk, bkt) partitioning (no
       // exchange): everything downstream — stitch join, final aggregate —
       // now moves session-proportional rows, not event-proportional ones,
       // so the event-volume path is exactly one shuffle + sort, same as
       // the legacy spelling
-      val frags = marked.groupBy(col("user_id"), col("bkt"), col("s"))
+      val frags = marked.groupBy(col("uk"), col("bkt"), col("s"))
         .agg(count(lit(1)).as("n_ev"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
       // one row per (user, bucket): first/last event time + segment count
-      val summary = frags.groupBy(col("user_id"), col("bkt"))
+      val summary = frags.groupBy(col("uk"), col("bkt"))
         .agg(min(col("min_ts")).as("first_ts"), max(col("max_ts")).as("last_ts"),
           count(lit(1)).as("k"))
       // stitch: sessions started before bucket b = Σ_{b'<b} (k - cont);
       // the per-user row count here is #non-empty buckets, volume-free
-      val w3 = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      val w3 = Window.partitionBy(col("uk")).orderBy(col("bkt"))
       val off = summary
         .withColumn("prev_last_ts", lag(col("last_ts"), 1).over(w3))
         .withColumn("cont",
@@ -851,14 +870,14 @@ object Streams extends Serializable {
         .withColumn("off",
           coalesce(sum(col("k") - col("cont"))
             .over(w3.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("user_id"), col("bkt"), col("off"), col("cont"))
-      // frags is already hash-partitioned on (user_id, bkt), so the join
+        .select(col("uk"), col("bkt"), col("off"), col("cont"))
+      // frags is already hash-partitioned on (uk, bkt), so the join
       // adds no exchange on the probe side; hash-build on the tiny off
       // side so nothing re-sorts
-      val seqd = frags.join(off.hint("shuffle_hash"), Seq("user_id", "bkt"))
+      val seqd = frags.join(off.hint("shuffle_hash"), Seq("uk", "bkt"))
         .withColumn("session_seq_l", col("off") + col("s") - col("cont"))
       seqd
-        .groupBy(col("user_id"),
+        .groupBy(col("uk")("user_id").as("user_id"),
           col("session_seq_l").cast(IntegerType).as("session_seq"))
         .agg(
           sum(col("n_ev")).as("n_events"),

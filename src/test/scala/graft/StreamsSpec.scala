@@ -40,7 +40,7 @@ class StreamsSpec extends SparkSpec {
     // including buckets SHORTER than the gap (sessions spanning 3+
     // buckets) and much longer than the data (single-bucket degenerate).
     val ev = Tables.events(spark, sfDir)
-    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = 0)
+    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = -1)
       .as[(Long, Int, Long, String, String)].collect().toSet
     for (bh <- Seq(24, 6, 1, 1000000)) {
       val bucketed = Streams.sessionsBatch(ev, 30, bucketHours = bh)
@@ -73,7 +73,7 @@ class StreamsSpec extends SparkSpec {
       (3L, 13L, base + gapUs * 4))
     val ev = rows.toDF("user_id", "event_id", "ts_raw")
       .select($"user_id", $"event_id", timestamp_micros($"ts_raw").as("ts"))
-    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = 0)
+    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = -1)
       .as[(Long, Int, Long, String, String)].collect().toSet
     val bucketed = Streams.sessionsBatch(ev, 30, bucketHours = 1)
       .as[(Long, Int, Long, String, String)].collect().toSet
@@ -83,6 +83,30 @@ class StreamsSpec extends SparkSpec {
     assert(byUser(1L) === 2, "exact-gap chain should form 2 sessions")
     assert(byUser(2L) === 2, "4-day hole should split sessions")
     assert(byUser(3L) === 1, "dense 2h chain should stay ONE session")
+  }
+
+  test("bucketed sessionization keeps NULL-key rows (stitch join is null-safe)") {
+    // ADVICE r10: the stitch join on Seq(user_id, bkt) silently dropped
+    // rows whose key is NULL, which the single-window spelling keeps
+    // (null forms its own window partition). The struct-keyed stitch
+    // must reproduce them exactly.
+    val base = 1704067200000000L
+    val hourUs = 3600000000L
+    val rows = Seq(
+      (Some(1L), 1L, base), (Some(1L), 2L, base + 1000000L),
+      // null user: 3 events, a gap splitting them into 2 sessions,
+      // straddling a 1h bucket edge so the stitch itself must match null
+      (None, 3L, base + hourUs - 1000000L),
+      (None, 4L, base + hourUs + 1000000L),
+      (None, 5L, base + hourUs + 1000000L + 31L * 60000000L))
+    val ev = rows.toDF("user_id", "event_id", "ts_raw")
+      .select($"user_id", $"event_id", timestamp_micros($"ts_raw").as("ts"))
+    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = -1)
+      .as[(Option[Long], Int, Long, String, String)].collect().toSet
+    val bucketed = Streams.sessionsBatch(ev, 30, bucketHours = 1)
+      .as[(Option[Long], Int, Long, String, String)].collect().toSet
+    assert(bucketed === legacy)
+    assert(legacy.count(_._1.isEmpty) === 2, "null user should yield 2 sessions")
   }
 
   test("streaming twins accept a directory-layout events table (scale rehearsal fix)") {
