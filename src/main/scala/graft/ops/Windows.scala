@@ -194,7 +194,12 @@ object Windows {
     *
     * Exactness: the sum accumulates `java.math.BigDecimal.valueOf(v)
     * .setScale(2, HALF_UP)` — precisely Spark's double→DECIMAL(18,2)
-    * cast — with exact decimal addition, so results hash-match the
+    * cast as of Spark 4.1.2 (non-ANSI `Cast` delegates to
+    * `Decimal.fromDouble` = `BigDecimal.decimal(v)` on the
+    * `valueOf`-style string form, then `changePrecision` rounds
+    * HALF_UP); `SkewSpec` sweeps generated values against the engine's
+    * own cast and fails loudly if a Spark upgrade ever diverges — with
+    * exact decimal addition, so results hash-match the
     * declarative spelling including tie groups (all rows sharing the
     * current timestamp are in-frame, as a RANGE frame requires) and
     * SQL semantics for nulls (count(*) counts them, sum skips them and

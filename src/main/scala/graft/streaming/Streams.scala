@@ -112,20 +112,25 @@ object Streams extends Serializable {
       name: String = "events.parquet"): Unit = {
     val src = java.nio.file.Paths.get(source).toAbsolutePath
     val partitionCols = scala.collection.mutable.LinkedHashSet[String]()
-    def linkInto(dir: java.nio.file.Path, prefix: String): Unit = {
+    // two-pass (ADVICE r10): WALK first, refuse before the first link is
+    // created — the refusal must not leave a partially populated staging
+    // directory a retry (or a concurrent reader) could mistake for the
+    // full table
+    val planned = scala.collection.mutable.ArrayBuffer[(String, java.nio.file.Path)]()
+    def walk(dir: java.nio.file.Path, prefix: String): Unit = {
       val entries = Files.list(dir)
       try entries.iterator().asScala.foreach { p =>
         val fn = p.getFileName.toString
         if (Files.isDirectory(p) && !fn.startsWith(".") && !fn.startsWith("_")) {
           val eq = fn.indexOf('=')
           if (eq > 0) partitionCols += fn.substring(0, eq)
-          linkInto(p, s"$prefix${fn.replace('=', '-')}_")
+          walk(p, s"$prefix${fn.replace('=', '-')}_")
         } else if (fn.endsWith(".parquet"))
-          Files.createSymbolicLink(streamDir.resolve(s"$prefix$fn"), p)
+          planned += ((s"$prefix$fn", p))
       } finally entries.close()
     }
-    if (Files.isDirectory(src)) linkInto(src, "")
-    else Files.createSymbolicLink(streamDir.resolve(name), src)
+    if (Files.isDirectory(src)) walk(src, "")
+    else planned += ((name, src))
     if (partitionCols.nonEmpty)
       throw new IllegalArgumentException(
         s"stream source '$source' is hive-partitioned on " +
@@ -134,6 +139,9 @@ object Streams extends Serializable {
           "drop them; materialize them as data columns (read the table " +
           "batch-side, select the partition columns, rewrite unpartitioned) " +
           "before streaming")
+    planned.foreach { case (linkName, target) =>
+      Files.createSymbolicLink(streamDir.resolve(linkName), target)
+    }
   }
 
   /** Memoized per (parent, partition count, no-data policy): one warm
@@ -165,6 +173,11 @@ object Streams extends Serializable {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
         noDataBatches.toString)
+      // awaitAndRecord sums recentProgress, which this conf caps (default
+      // 100): a one-shot stream with more micro-batches would silently
+      // under-report inputRows/batches/state peaks — the exact numbers
+      // the scale rehearsal's bounded-state gates read (ADVICE r10)
+      s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
       s
     })
   }
@@ -498,8 +511,9 @@ object Streams extends Serializable {
     * single all-at-once batch. Returns the staged directory.
     */
   def stageTimeSliced(df: DataFrame, tsCol: String, slices: Int): String = {
-    val staged = Files.createTempDirectory("graft-staged")
-      .resolve("events.parquet")
+    val stagedRoot = Files.createTempDirectory("graft-staged")
+    graft.core.Scratch.reapAtExit(stagedRoot.toString)
+    val staged = stagedRoot.resolve("events.parquet")
     df.repartitionByRange(slices, col(tsCol)).sortWithinPartitions(tsCol)
       .write.parquet(staged.toString)
     val parts = {

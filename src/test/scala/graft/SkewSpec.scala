@@ -185,6 +185,36 @@ class SkewSpec extends SparkSpec {
       4L -> Some("c"), 5L -> None, 6L -> None, 7L -> Some("n1")))
   }
 
+  test("kernel's BigDecimal mirror == the engine's double→DECIMAL(18,2) cast (version contract)") {
+    // skewTrailingCountSum is the tree's only hand-rolled SQL semantics:
+    // it accumulates BigDecimal.valueOf(v).setScale(2, HALF_UP), claimed
+    // identical to Spark 4.1.2's non-ANSI Cast(Double→Decimal(18,2)).
+    // Sweep adversarial values through the ENGINE's cast and fail loudly
+    // if an upgrade ever diverges: representable-half ties (x.005 is
+    // usually NOT exactly half in binary — valueOf sees the shortest
+    // decimal form), true binary halves (k + 0.125 scaled), negatives,
+    // large magnitudes near the 16-digit precision edge, and subnormals.
+    val sweep: Seq[Double] =
+      (-2000 to 2000).map(_ * 0.005) ++
+        (-50 to 50).map(_ * 0.125) ++
+        Seq(1.005, 2.675, 0.015, -1.005, -2.675,
+          1234567890123.455, -1234567890123.455, 9.999999999999998E12,
+          1e-12, -1e-12, 4.9E-324, 0.0, -0.0)
+    val df = sweep.toDF("v")
+      .select(col("v"), col("v").cast("decimal(18,2)").as("c"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val v = r.getDouble(0)
+      val engine = Option(r.getDecimal(1)).map(_.stripTrailingZeros)
+      val mirror = Option(java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)).map(_.stripTrailingZeros)
+      assert(engine.map(_.compareTo(mirror.get) == 0).getOrElse(mirror.isEmpty),
+        s"cast divergence at v=$v: engine=$engine mirror=$mirror — " +
+          "Spark's Double→Decimal cast changed; update Windows.skewTrailingCountSum")
+    }
+    assert(rows.length === sweep.length)
+  }
+
   test("size-aware regime pick: small inputs single-window, large inputs skew-split") {
     // VERDICT r10 #6: the bucketed spellings cost ~0.7-0.8 s of fixed
     // stitch stages that sf0.1-class inputs never earn back. The pick is

@@ -143,6 +143,12 @@ class StreamsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("hive-partitioned"))
     assert(e.getMessage.contains("day")) // names the dropped column
+    // the refusal must not leave a partially populated staging dir a
+    // retry could mistake for the full table (ADVICE r10)
+    val leftovers = java.nio.file.Files.list(streamDir)
+    try assert(!leftovers.iterator().hasNext,
+      "refusal left symlinks behind in the staging directory")
+    finally leftovers.close()
   }
 
   test("watermark-bounded event dedup: batch-equal on finalized buckets, nothing dropped, state evicted") {
