@@ -155,25 +155,12 @@ object Dedup {
     // job per intermediate costs more than it saves (the fuzzyJoin
     // profiling precedent). Only the final thresholded result is
     // materialized.
-    val sh = (
-      if (maxDocFreq <= 0) sh0
-      else {
-        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDocFreq).select("shingle")
-        sh0.join(broadcast(freq), "shingle")
-      }).cache()
+    val sh = prunedShingles(sh0, maxDocFreq).cache()
     try {
       if (maxCandidatePairs > 0) {
         // estimated from the cached post-prune rows (one map-side-
-        // combinable aggregation — cheap relative to the join it guards).
-        // Doubles, not longs: the estimate of a run worth refusing can
-        // overflow 64-bit integer arithmetic (that is the point of it)
-        val est = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
-          .head().getAs[Any](0) match {
-            case null => 0.0
-            case d: java.lang.Double => d.doubleValue
-          }
+        // combinable aggregation — cheap relative to the join it guards)
+        val est = candidatePairEstimate(sh)
         require(est <= maxCandidatePairs.toDouble,
           f"$opName would generate ~$est%.3g candidate pairs " +
             f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
@@ -191,6 +178,82 @@ object Dedup {
         .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       finish(raw).localCheckpoint(true)
     } finally sh.unpersist(false)
+  }
+
+  /** Stop-shingle pruning shared by the exact pair ops and the auto
+    * front door: drop shingles whose document frequency exceeds
+    * `maxDocFreq` (0 = keep all).
+    */
+  private def prunedShingles(sh0: DataFrame, maxDocFreq: Long): DataFrame =
+    if (maxDocFreq <= 0) sh0
+    else {
+      val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDocFreq).select("shingle")
+      sh0.join(broadcast(freq), "shingle")
+    }
+
+  /** Estimated inverted-index candidate pairs Σ df·(df−1)/2 over the
+    * given (id, shingle) rows — one map-side-combinable aggregation.
+    * Doubles, not longs: the estimate of a run worth refusing can
+    * overflow 64-bit integer arithmetic (that is the point of it).
+    */
+  private[ext] def candidatePairEstimate(sh: DataFrame): Double =
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df").cast(DoubleType) * (col("df") - 1).cast(DoubleType) / 2.0))
+      .head().getAs[Any](0) match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue
+      }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Scale-adaptive near-dup front door (VERDICT r10 #5): run the same
+    * candidate-pair pre-count the exact path's budget guard uses, then
+    * ROUTE — within budget, the exact inverted-index Jaccard
+    * ([[jaccardPairs]], full recall); over budget, the banded
+    * MinHash+LSH path ([[minhashPairs]], O(rows) candidates, recall
+    * governed by bands/rowsPerBand — measured 1.000 on this corpus's
+    * planted pairs and 0.887 band-recall at threshold 0.3). A user at
+    * an unknown scale gets the exact answer whenever it is affordable
+    * and the corpus-scale plan instead of a refusal when it is not;
+    * the choice is logged. Output schema is the routing-stable
+    * `(id_a, id_b, jaccard)`: exact-path rows are BIT-IDENTICAL to
+    * `jaccardPairs(...).select(id_a, id_b, jaccard)` (both verify with
+    * the same exact-Jaccard arithmetic; spec-pinned), banded-path rows
+    * to `minhashPairs(...)`.
+    *
+    * The pre-count costs one tokenize+shingle pass + map-side agg —
+    * cheap relative to either join it steers, and the over-budget path
+    * never materializes exact shingle postings at all.
+    */
+  def nearDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Long = 0L,
+      maxCandidatePairs: Long = 200000000L,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(maxCandidatePairs > 0,
+      "nearDupPairsAuto needs a positive budget to route on")
+    val est = candidatePairEstimate(
+      prunedShingles(shingles(df, idCol, textCol, n), maxDocFreq))
+    if (est <= maxCandidatePairs.toDouble) {
+      log.info(f"nearDupPairsAuto: ~$est%.3g candidate pairs within budget " +
+        f"$maxCandidatePairs — exact inverted-index jaccard (full recall)")
+      // guard off: the routing pre-count IS the guard, already passed
+      jaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq,
+          maxCandidatePairs = 0L)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      log.warn(f"nearDupPairsAuto: ~$est%.3g candidate pairs exceeds budget " +
+        f"$maxCandidatePairs — banded MinHash+LSH ($numHashes hashes, " +
+        f"$bands bands); recall on true ≥$threshold%.2f pairs is governed " +
+        "by the banding (not exhaustive), no false positives (exact-verified)")
+      minhashPairs(df, idCol, textCol, n, threshold, numHashes, bands)
+    }
   }
 
   /** MinHash signatures from pre-exploded (idCol, shingle) rows: ONE

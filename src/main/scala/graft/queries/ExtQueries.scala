@@ -298,6 +298,40 @@ object ExtQueries {
     Dedup.minhashPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** x119 — scale-adaptive near-dup front door
+    * ([[Dedup.nearDupPairsAuto]]): the same candidate-pair pre-count
+    * the exact path's budget guard runs, used to ROUTE instead of
+    * refuse — within budget the exact inverted-index Jaccard (x31's
+    * spelling, full recall), over budget the banded MinHash+LSH
+    * (x32's spelling, O(rows) candidates). At oracle scale the corpus
+    * routes exact, so the entry is oracle-checkable (x31's SQL
+    * projected to the routing-stable columns); the over-budget route
+    * and exact-route bit-equality are spec-pinned, and the 100×
+    * rehearsal exercises the banded route on the corpus that made
+    * x31/x107 refuse.
+    */
+  def x119NearDupAuto(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairsAuto(docs(s, dir), "doc_id", "text", n = 3,
+        threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val x119Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      |  FROM t WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** x33 — SimHash signatures + banded hamming near-dup pairs. No oracle
     * (xxhash64-derived); covered by ScalaTest. Recall note: 4-quarter
     * banding GUARANTEES a shared band only for hamming ≤ 3 (pigeonhole);
@@ -3114,6 +3148,7 @@ object ExtQueries {
     "x30_dedup_exact" -> (x30DedupExact _),
     "x31_jaccard_pairs" -> (x31JaccardPairs _),
     "x32_minhash_pairs" -> (x32MinhashPairs _),
+    "x119_neardup_auto" -> (x119NearDupAuto _),
     "x33_simhash_pairs" -> (x33SimhashPairs _),
     "x34_dedup_clusters" -> (x34DedupClusters _),
     "x35_curation" -> (x35Curation _),
@@ -3202,6 +3237,7 @@ object ExtQueries {
     "x23_fingerprint" -> x23Sql,
     "x30_dedup_exact" -> x30Sql,
     "x31_jaccard_pairs" -> x31Sql,
+    "x119_neardup_auto" -> x119Sql,
     "x34_dedup_clusters" -> x34Sql,
     "x35_curation" -> x35Sql,
     "x40_cosine_topk" -> x40Sql,

@@ -47,6 +47,32 @@ class ExtSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)) && lsh.contains((1L, 3L)))
   }
 
+  test("nearDupPairsAuto routes exact within budget, banded over it (both ≡ their spellings)") {
+    // VERDICT r10 #5: the auto front door must be a pure ROUTER — no
+    // third semantics. Below budget its rows are bit-identical to the
+    // exact spelling's (id_a, id_b, jaccard) projection; with the budget
+    // forced tiny, to minhashPairs. Real-data pin: x119 at sf0.001 ==
+    // x31's projection (the corpus routes exact at oracle scale).
+    val exact = Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val autoExact = Dedup.nearDupPairsAuto(docsFixture, "doc_id", "text", 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(autoExact === exact)
+    val banded = Dedup.minhashPairs(docsFixture, "doc_id", "text", 2, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val autoBanded = Dedup.nearDupPairsAuto(docsFixture, "doc_id", "text", 2, 0.5,
+        maxCandidatePairs = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(autoBanded === banded)
+    val real = graft.queries.ExtQueries.x119NearDupAuto(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSeq
+    val realExact = graft.queries.ExtQueries.x31JaccardPairs(spark, "/root/testdata/sf0.001")
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(real === realExact)
+  }
+
   test("MinHashMins aggregate signatures equal the single-pass expression signatures") {
     val viaAgg = Dedup
       .minhashSignatures(Dedup.shingles(docsFixture, "doc_id", "text", 2), "doc_id", 16)
