@@ -86,13 +86,19 @@ object Dedup {
       maxDocFreq: Long = 0L,
       maxCandidatePairs: Long = 200000000L): DataFrame =
     coShingledPairs(df, idCol, textCol, n, maxDocFreq, maxCandidatePairs,
-      "jaccardPairs")(
-      _.withColumn("jaccard",
-        col("n_common").cast(DoubleType)
-          / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
-        .where(col("jaccard") >= lit(threshold))
-        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
-          col("n_b"), col("jaccard")))
+      "jaccardPairs")(jaccardFinish(threshold))
+
+  /** The exact-Jaccard score+threshold projection shared by
+    * [[jaccardPairs]] and the auto front door (identical arithmetic =
+    * bit-identical rows on the exact route).
+    */
+  private def jaccardFinish(threshold: Double): DataFrame => DataFrame =
+    _.withColumn("jaccard",
+      col("n_common").cast(DoubleType)
+        / (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("jaccard"))
 
   /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|)
     * over distinct n-gram shingles — the quote/snippet detector. Jaccard
@@ -147,37 +153,58 @@ object Dedup {
       maxCandidatePairs: Long,
       opName: String)(finish: DataFrame => DataFrame): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, n)
-    // Cache the (pruned) shingle rows ONCE: they are consumed by the
-    // budget estimate, the per-doc sizes, and BOTH sides of the
-    // inverted-index join — without it the tokenize+shingle pipeline
-    // re-evaluates per consumer. Lazy cache, not an eager checkpoint of
-    // the INTERMEDIATE: the plan is shallow (no iteration) and an eager
-    // job per intermediate costs more than it saves (the fuzzyJoin
-    // profiling precedent). Only the final thresholded result is
-    // materialized.
-    val sh = prunedShingles(sh0, maxDocFreq).cache()
-    try {
-      if (maxCandidatePairs > 0) {
-        // estimated from the cached post-prune rows (one map-side-
-        // combinable aggregation — cheap relative to the join it guards)
-        val est = candidatePairEstimate(sh)
-        require(est <= maxCandidatePairs.toDouble,
-          f"$opName would generate ~$est%.3g candidate pairs " +
-            f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
-            "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
-      }
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-      val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-      val inter = a.join(b, Seq("shingle"))
-        .where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n_common"))
-      val raw = inter
-        .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-        .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      finish(raw).localCheckpoint(true)
-    } finally sh.unpersist(false)
+    // Cache the raw shingle rows when pruning (prunedShingles consumes
+    // sh0 TWICE — once building the doc-frequency table, once as the
+    // join probe — so an uncached sh0 would run the tokenize+shingle
+    // pipeline twice), then cache the (pruned) rows ONCE: they are
+    // consumed by the budget estimate, the per-doc sizes, and BOTH
+    // sides of the inverted-index join. Lazy cache, not an eager
+    // checkpoint of the INTERMEDIATE: the plan is shallow (no
+    // iteration) and an eager job per intermediate costs more than it
+    // saves (the fuzzyJoin profiling precedent). Only the final
+    // thresholded result is materialized.
+    val sh0c = if (maxDocFreq > 0) sh0.cache() else sh0
+    val sh = prunedShingles(sh0c, maxDocFreq).cache()
+    try coShingledPairsFrom(sh, idCol, maxCandidatePairs, opName)(finish)
+    finally {
+      sh.unpersist(false)
+      if (maxDocFreq > 0) sh0c.unpersist(false)
+    }
+  }
+
+  /** Post-prune core of [[coShingledPairs]], reusable from a shingle
+    * frame the caller already holds (the auto front door estimates and
+    * routes off ONE cached shingle frame — VERDICT r11 advice). `sh`
+    * must be (idCol, shingle) rows; the caller owns its cache lifecycle.
+    * The result is eagerly materialized (`localCheckpoint` truncates the
+    * lineage) so the returned frame no longer references the caller's
+    * cache.
+    */
+  private def coShingledPairsFrom(
+      sh: DataFrame,
+      idCol: String,
+      maxCandidatePairs: Long,
+      opName: String)(finish: DataFrame => DataFrame): DataFrame = {
+    if (maxCandidatePairs > 0) {
+      // estimated from the cached post-prune rows (one map-side-
+      // combinable aggregation — cheap relative to the join it guards)
+      val est = candidatePairEstimate(sh)
+      require(est <= maxCandidatePairs.toDouble,
+        f"$opName would generate ~$est%.3g candidate pairs " +
+          f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
+          "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val raw = inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    finish(raw).localCheckpoint(true)
   }
 
   /** Stop-shingle pruning shared by the exact pair ops and the auto
@@ -211,20 +238,30 @@ object Dedup {
     * candidate-pair pre-count the exact path's budget guard uses, then
     * ROUTE — within budget, the exact inverted-index Jaccard
     * ([[jaccardPairs]], full recall); over budget, the banded
-    * MinHash+LSH path ([[minhashPairs]], O(rows) candidates, recall
-    * governed by bands/rowsPerBand — measured 1.000 on this corpus's
-    * planted pairs and 0.887 band-recall at threshold 0.3). A user at
-    * an unknown scale gets the exact answer whenever it is affordable
-    * and the corpus-scale plan instead of a refusal when it is not;
-    * the choice is logged. Output schema is the routing-stable
+    * MinHash+LSH path (O(rows) candidates, recall governed by
+    * bands/rowsPerBand — measured 1.000 on this corpus's planted pairs
+    * and 0.887 band-recall at threshold 0.3). A user at an unknown
+    * scale gets the exact answer whenever it is affordable and the
+    * corpus-scale plan instead of a refusal when it is not; the choice
+    * is logged. Output schema is the routing-stable
     * `(id_a, id_b, jaccard)`: exact-path rows are BIT-IDENTICAL to
     * `jaccardPairs(...).select(id_a, id_b, jaccard)` (both verify with
     * the same exact-Jaccard arithmetic; spec-pinned), banded-path rows
-    * to `minhashPairs(...)`.
+    * to `minhashPairs(...)` when `maxDocFreq == 0`.
     *
-    * The pre-count costs one tokenize+shingle pass + map-side agg —
-    * cheap relative to either join it steers, and the over-budget path
-    * never materializes exact shingle postings at all.
+    * `maxDocFreq` means the SAME thing on both routes (VERDICT r11
+    * advice): with pruning on, signatures, banding, and the exact
+    * verification all run over the PRUNED shingle space
+    * ([[minhashPairsFromShingles]]), so crossing the budget changes
+    * recall (banding) but never which shingle set jaccard is computed
+    * over.
+    *
+    * Cost: ONE tokenize+shingle pass feeds the routing estimate and
+    * whichever route wins (the shingle frame is cached for the call and
+    * the result eagerly materialized, [[coShingledPairs]]'s lifecycle) —
+    * except the unpruned over-budget route, where [[minhashPairs]]'s
+    * compiled whole-signature pass (no explode, no aggregation exchange)
+    * re-reads the text once more and is still the cheaper plan.
     */
   def nearDupPairsAuto(
       df: DataFrame,
@@ -238,22 +275,75 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(maxCandidatePairs > 0,
       "nearDupPairsAuto needs a positive budget to route on")
-    val est = candidatePairEstimate(
-      prunedShingles(shingles(df, idCol, textCol, n), maxDocFreq))
-    if (est <= maxCandidatePairs.toDouble) {
-      log.info(f"nearDupPairsAuto: ~$est%.3g candidate pairs within budget " +
-        f"$maxCandidatePairs — exact inverted-index jaccard (full recall)")
-      // guard off: the routing pre-count IS the guard, already passed
-      jaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq,
-          maxCandidatePairs = 0L)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-    } else {
-      log.warn(f"nearDupPairsAuto: ~$est%.3g candidate pairs exceeds budget " +
-        f"$maxCandidatePairs — banded MinHash+LSH ($numHashes hashes, " +
-        f"$bands bands); recall on true ≥$threshold%.2f pairs is governed " +
-        "by the banding (not exhaustive), no false positives (exact-verified)")
-      minhashPairs(df, idCol, textCol, n, threshold, numHashes, bands)
+    val sh0 = shingles(df, idCol, textCol, n)
+    val sh0c = if (maxDocFreq > 0) sh0.cache() else sh0
+    val sh = prunedShingles(sh0c, maxDocFreq).cache()
+    try {
+      val est = candidatePairEstimate(sh)
+      if (est <= maxCandidatePairs.toDouble) {
+        log.info(f"nearDupPairsAuto: ~$est%.3g candidate pairs within budget " +
+          f"$maxCandidatePairs — exact inverted-index jaccard (full recall)")
+        // guard off: the routing pre-count IS the guard, already passed
+        coShingledPairsFrom(sh, idCol, maxCandidatePairs = 0L,
+          "nearDupPairsAuto")(raw => jaccardFinish(threshold)(raw)
+            .select(col("id_a"), col("id_b"), col("jaccard")))
+      } else if (maxDocFreq > 0) {
+        log.warn(f"nearDupPairsAuto: ~$est%.3g candidate pairs exceeds budget " +
+          f"$maxCandidatePairs — banded MinHash+LSH over the df≤$maxDocFreq " +
+          f"pruned shingle space ($numHashes hashes, $bands bands); recall " +
+          f"on true ≥$threshold%.2f pairs is governed by the banding (not " +
+          "exhaustive), no false positives (exact-verified on pruned sets)")
+        minhashPairsFromShingles(sh, idCol, threshold, numHashes, bands)
+          .localCheckpoint(true)
+      } else {
+        log.warn(f"nearDupPairsAuto: ~$est%.3g candidate pairs exceeds budget " +
+          f"$maxCandidatePairs — banded MinHash+LSH ($numHashes hashes, " +
+          f"$bands bands); recall on true ≥$threshold%.2f pairs is governed " +
+          "by the banding (not exhaustive), no false positives (exact-verified)")
+        minhashPairs(df, idCol, textCol, n, threshold, numHashes, bands)
+      }
+    } finally {
+      sh.unpersist(false)
+      if (maxDocFreq > 0) sh0c.unpersist(false)
     }
+  }
+
+  /** Banded MinHash+LSH near-dup pairs over a caller-supplied
+    * (idCol, shingle) frame — the pruned-space twin of [[minhashPairs]],
+    * used by [[nearDupPairsAuto]] so `maxDocFreq` keeps one meaning on
+    * both routes. Signatures come from the single-pass MinHashMins
+    * aggregate (map-side combinable; the shuffle carries one
+    * numHashes-long array per doc), banding/candidates/verification are
+    * the [[minhashPairs]] machinery, with verification sets built from
+    * the SAME shingle rows (collect_set rides the signature exchange's
+    * partitioning). Caller owns `sh`'s cache lifecycle and must
+    * materialize the result before unpersisting.
+    */
+  private[ext] def minhashPairsFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(sh, idCol, numHashes)
+    val banded = lshBands(sigs, idCol, bands, numHashes / bands)
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh_set"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType)
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash signatures from pre-exploded (idCol, shingle) rows: ONE

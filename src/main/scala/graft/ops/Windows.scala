@@ -101,14 +101,19 @@ object Windows {
     * order rows within a key (ties across rows make lag nondeterministic
     * in the single-window spelling too).
     *
-    * NULL keys are preserved: a null key forms its own window partition
-    * in the single-window spelling, so the stitch must match it too. A
-    * plain equi-join would silently DROP null-key rows; instead both
-    * sides key on `struct(key)` — Spark compares struct values with its
-    * ordering (null fields equal), so the join is null-safe while
-    * staying a hash-joinable equi-join whose keys line up with the
-    * window's `(struct(key), bucket)` exchange (no extra shuffle of the
-    * event-proportional side; probed empirically and spec-pinned).
+    * NULL keys AND null timestamps are preserved: a null key forms its
+    * own window partition in the single-window spelling, and a null
+    * `tsUs` sorts FIRST within its partition (ascending nulls-first) —
+    * the stitch must match both. A plain equi-join would silently DROP
+    * rows where either join column is null, so both sides key on ONE
+    * `struct(key, bucket)` column — Spark compares struct values with
+    * its ordering (null fields equal), so the join is null-safe on both
+    * fields while staying a hash-joinable equi-join whose key lines up
+    * with the window's `struct(key, bucket)` exchange (no extra shuffle
+    * of the event-proportional side; probed empirically and
+    * spec-pinned). A null timestamp yields a null bucket, which the
+    * stitch window's `orderBy(bucket)` sorts before every numeric
+    * bucket — exactly where null timestamps sort in the single window.
     */
   def skewLag(df: DataFrame, out: String, value: Column, keyName: String,
       tsUs: Column, tie: Column,
@@ -118,24 +123,24 @@ object Windows {
       .withColumn("__sl_ts", tsUs)
       .withColumn("__sl_tie", tie)
       .withColumn("__sl_v", value)
-      .withColumn("__sl_k", struct(col(keyName)))
-      .withColumn("__sl_bkt", bucketOf(col("__sl_ts"), bucketUs))
-    val w2 = Window.partitionBy(col("__sl_k"), col("__sl_bkt"))
+      .withColumn("__sl_kb", struct(col(keyName).as("k"),
+        bucketOf(col("__sl_ts"), bucketUs).as("b")))
+    val w2 = Window.partitionBy(col("__sl_kb"))
       .orderBy(col("__sl_ts"), col("__sl_tie"))
     val inBucket = base
       .withColumn("__sl_lag", lag(col("__sl_v"), 1).over(w2))
       .withColumn("__sl_rn", row_number().over(w2))
     // one row per (key, non-empty bucket): the bucket-LAST value
-    val summary = base.groupBy(col("__sl_k"), col("__sl_bkt"))
+    val summary = base.groupBy(col("__sl_kb"))
       .agg(max(struct(col("__sl_ts"), col("__sl_tie"), col("__sl_v"))).as("__sl_last"))
-    val w3 = Window.partitionBy(col("__sl_k")).orderBy(col("__sl_bkt"))
+    val w3 = Window.partitionBy(col("__sl_kb")("k")).orderBy(col("__sl_kb")("b"))
     val stitched = summary
       .withColumn("__sl_pv", lag(col("__sl_last")("__sl_v"), 1).over(w3))
-      .select(col("__sl_k"), col("__sl_bkt"), col("__sl_pv"))
-    inBucket.join(stitched.hint("shuffle_hash"), Seq("__sl_k", "__sl_bkt"))
+      .select(col("__sl_kb"), col("__sl_pv"))
+    inBucket.join(stitched.hint("shuffle_hash"), Seq("__sl_kb"))
       .withColumn(out,
         when(col("__sl_rn") === 1, col("__sl_pv")).otherwise(col("__sl_lag")))
-      .drop("__sl_ts", "__sl_tie", "__sl_v", "__sl_k", "__sl_bkt", "__sl_lag",
+      .drop("__sl_ts", "__sl_tie", "__sl_v", "__sl_kb", "__sl_lag",
         "__sl_rn", "__sl_pv")
   }
 

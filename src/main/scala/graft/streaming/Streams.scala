@@ -839,17 +839,21 @@ object Streams extends Serializable {
       val bucketUs = effBucketHours * 3600000000L
       // integer `div` (not double /): ts_us ~1.7e15 would round through a
       // double and could mis-bin an event sitting exactly on a boundary.
-      // `uk = struct(user_id)` is the stitch key: a null user_id forms
-      // its own partition in the single-window spelling, and a plain
-      // equi-join would drop it — struct values compare null-safe, so
-      // keying windows, fragments, and the stitch join all on `uk` keeps
-      // null-key rows while the join stays a plain hash join aligned
-      // with the window exchange (same pattern as Windows.skewLag).
+      // `ukb = struct(user_id, bkt)` is the stitch key: a null user_id
+      // forms its own partition in the single-window spelling, and a
+      // null ts yields a NULL bucket (which must sort before every
+      // numeric bucket — exactly where null timestamps sort in the
+      // single window's ascending nulls-first order). A plain equi-join
+      // would drop rows where either column is null — struct values
+      // compare null-safe on every field, so keying windows, fragments,
+      // and the stitch join all on `ukb` keeps null-key AND null-ts rows
+      // while the join stays a plain hash join aligned with the window
+      // exchange (same pattern as Windows.skewLag).
       val ev = events.select(col("user_id"), col("event_id"), col("ts"))
-        .withColumn("uk", struct(col("user_id")))
         .withColumn("ts_us", graft.core.EventTime.epochUs(col("ts")))
-        .withColumn("bkt", expr(s"ts_us div ${bucketUs}L"))
-      val w2 = Window.partitionBy(col("uk"), col("bkt"))
+        .withColumn("ukb", struct(col("user_id").as("u"),
+          expr(s"ts_us div ${bucketUs}L").as("b")))
+      val w2 = Window.partitionBy(col("ukb"))
         .orderBy(col("ts_us"), col("event_id"))
       val marked = ev
         .withColumn("prev_us", lag(col("ts_us"), 1).over(w2))
@@ -859,21 +863,24 @@ object Streams extends Serializable {
         .withColumn("s",
           sum(col("ns")).over(w2.rowsBetween(Window.unboundedPreceding, 0)))
       // collapse events → per-(user, bucket, segment) FRAGMENTS right
-      // here, while still on the window's (uk, bkt) partitioning (no
+      // here, while still on the window's ukb partitioning (no
       // exchange): everything downstream — stitch join, final aggregate —
       // now moves session-proportional rows, not event-proportional ones,
       // so the event-volume path is exactly one shuffle + sort, same as
       // the legacy spelling
-      val frags = marked.groupBy(col("uk"), col("bkt"), col("s"))
+      val frags = marked.groupBy(col("ukb"), col("s"))
         .agg(count(lit(1)).as("n_ev"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
       // one row per (user, bucket): first/last event time + segment count
-      val summary = frags.groupBy(col("uk"), col("bkt"))
+      val summary = frags.groupBy(col("ukb"))
         .agg(min(col("min_ts")).as("first_ts"), max(col("max_ts")).as("last_ts"),
           count(lit(1)).as("k"))
       // stitch: sessions started before bucket b = Σ_{b'<b} (k - cont);
-      // the per-user row count here is #non-empty buckets, volume-free
-      val w3 = Window.partitionBy(col("uk")).orderBy(col("bkt"))
+      // the per-user row count here is #non-empty buckets, volume-free.
+      // orderBy(b) is ascending nulls-first, so the null bucket (null-ts
+      // rows) stitches in FIRST — matching the single-window sort, where
+      // a null-ts row never continues a session (its gap is null).
+      val w3 = Window.partitionBy(col("ukb")("u")).orderBy(col("ukb")("b"))
       val off = summary
         .withColumn("prev_last_ts", lag(col("last_ts"), 1).over(w3))
         .withColumn("cont",
@@ -884,14 +891,14 @@ object Streams extends Serializable {
         .withColumn("off",
           coalesce(sum(col("k") - col("cont"))
             .over(w3.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("uk"), col("bkt"), col("off"), col("cont"))
-      // frags is already hash-partitioned on (uk, bkt), so the join
+        .select(col("ukb"), col("off"), col("cont"))
+      // frags is already hash-partitioned on ukb, so the join
       // adds no exchange on the probe side; hash-build on the tiny off
       // side so nothing re-sorts
-      val seqd = frags.join(off.hint("shuffle_hash"), Seq("uk", "bkt"))
+      val seqd = frags.join(off.hint("shuffle_hash"), Seq("ukb"))
         .withColumn("session_seq_l", col("off") + col("s") - col("cont"))
       seqd
-        .groupBy(col("uk")("user_id").as("user_id"),
+        .groupBy(col("ukb")("u").as("user_id"),
           col("session_seq_l").cast(IntegerType).as("session_seq"))
         .agg(
           sum(col("n_ev")).as("n_events"),

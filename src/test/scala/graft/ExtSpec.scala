@@ -73,6 +73,26 @@ class ExtSpec extends SparkSpec {
     assert(real === realExact)
   }
 
+  test("nearDupPairsAuto with maxDocFreq: banded route scores on the PRUNED shingle space") {
+    // ADVICE r11: maxDocFreq must mean the same thing on both routes.
+    // With df<=3, the six 2-shingles shared by docs 1-4 are pruned; the
+    // pruned jaccard(1,4) is 0 (no shared rare shingles), while the
+    // UNPRUNED minhashPairs would report (1,4) at 0.6 — so this fixture
+    // detects a banded route that ignores the pruning.
+    val exactPruned = Dedup.jaccardPairs(docsFixture, "doc_id", "text", 2, 0.5,
+        maxDocFreq = 3)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(!exactPruned.contains((1L, 4L)) && exactPruned((1L, 2L)) === 1.0)
+    val autoPruned = Dedup.nearDupPairsAuto(docsFixture, "doc_id", "text", 2, 0.5,
+        maxDocFreq = 3, maxCandidatePairs = 1L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // all surviving pairs here have IDENTICAL pruned shingle sets, so the
+    // banded route recalls every one of them — full equality, not subset
+    assert(autoPruned === exactPruned)
+  }
+
   test("MinHashMins aggregate signatures equal the single-pass expression signatures") {
     val viaAgg = Dedup
       .minhashSignatures(Dedup.shingles(docsFixture, "doc_id", "text", 2), "doc_id", 16)

@@ -165,24 +165,40 @@ class SkewSpec extends SparkSpec {
     // from the stitch, and multi-bucket holes must not break it. NULL
     // keys form their own lag partition (single-window semantics) and
     // must survive the stitch join (ADVICE r10: a plain equi-join
-    // dropped them; the struct-keyed join matches null = null).
+    // dropped them). NULL timestamps yield a NULL bucket, which must
+    // also survive the stitch AND sort before every numeric bucket —
+    // exactly where null timestamps sort in the single window (ADVICE
+    // r11: the plain-bkt-column equi-join dropped them; the
+    // struct(key, bucket) join matches null = null on both fields).
     val hourUs = 3600000000L
     val base = 1704067200000000L
     val rows = Seq(
-      (Some(1L), 1L, base - 1L, "a"), // last µs of bucket -1
-      (Some(1L), 2L, base, "b"), // first µs of bucket 0 — lag via stitch = a
-      (Some(1L), 3L, base + hourUs, "c"), // boundary again — stitch = b
-      (Some(1L), 4L, base + 10L * hourUs, "d"), // 9-bucket hole — stitch = c
-      (Some(2L), 5L, base, "x"), // other key: no predecessor
-      (None, 6L, base - 1L, "n1"), // null key, bucket -1
-      (None, 7L, base, "n2")) // null key crossing the boundary — stitch = n1
+      (Some(1L), 1L, Some(base - 1L), "a"), // last µs of bucket -1 — stitch = z2
+      (Some(1L), 2L, Some(base), "b"), // first µs of bucket 0 — lag via stitch = a
+      (Some(1L), 3L, Some(base + hourUs), "c"), // boundary again — stitch = b
+      (Some(1L), 4L, Some(base + 10L * hourUs), "d"), // 9-bucket hole — stitch = c
+      (Some(2L), 5L, Some(base), "x"), // other key: no predecessor
+      (None, 6L, Some(base - 1L), "n1"), // null key, bucket -1
+      (None, 7L, Some(base), "n2"), // null key crossing the boundary — stitch = n1
+      (Some(1L), 8L, None, "z1"), // null ts: key 1's FIRST row globally
+      (Some(1L), 9L, None, "z2"), // null-ts tie broken by event_id — prev = z1
+      (Some(3L), 10L, None, "z3")) // lone null-ts key
     val ev = rows.toDF("user_id", "event_id", "ts_us", "et")
     val got = graft.ops.Windows.skewLag(ev, "prev", col("et"), "user_id",
         col("ts_us"), col("event_id"), hourUs)
       .select(col("event_id"), col("prev"))
       .as[(Long, Option[String])].collect().toMap
-    assert(got === Map(1L -> None, 2L -> Some("a"), 3L -> Some("b"),
-      4L -> Some("c"), 5L -> None, 6L -> None, 7L -> Some("n1")))
+    val expected = Map(1L -> Some("z2"), 2L -> Some("a"), 3L -> Some("b"),
+      4L -> Some("c"), 5L -> None, 6L -> None, 7L -> Some("n1"),
+      8L -> None, 9L -> Some("z1"), 10L -> None)
+    assert(got === expected)
+    // and the hand-computed map IS the single-window semantics
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val single = ev.withColumn("prev", lag(col("et"), 1).over(w))
+      .select(col("event_id"), col("prev"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(single === expected)
   }
 
   test("kernel's BigDecimal mirror == the engine's double→DECIMAL(18,2) cast (version contract)") {

@@ -109,6 +109,36 @@ class StreamsSpec extends SparkSpec {
     assert(legacy.count(_._1.isEmpty) === 2, "null user should yield 2 sessions")
   }
 
+  test("bucketed sessionization keeps NULL-timestamp rows (stitch key includes the bucket)") {
+    // ADVICE r11: a null ts yields a NULL bucket; the former equi-join
+    // on the plain bkt column dropped those rows while the single-window
+    // spelling keeps them (a null ts sorts FIRST in its key's
+    // partition, each forming its own session — its gap is null). The
+    // struct(user, bucket) stitch key must reproduce them exactly,
+    // including the session NUMBERING of the real-ts sessions that
+    // follow them.
+    val base = 1704067200000000L
+    val hourUs = 3600000000L
+    val rows = Seq(
+      (Some(1L), 1L, Some(base)), (Some(1L), 2L, Some(base + 1000000L)),
+      (Some(1L), 3L, None), (Some(1L), 4L, None), // null ts on a keyed user
+      (Some(2L), 5L, None), // lone null-ts user
+      (None, 6L, None), // null key AND null ts
+      (None, 7L, Some(base + hourUs))) // null key, real ts
+    val ev = rows.toDF("user_id", "event_id", "ts_raw")
+      .select($"user_id", $"event_id", timestamp_micros($"ts_raw").as("ts"))
+    val legacy = Streams.sessionsBatch(ev, 30, bucketHours = -1)
+      .as[(Option[Long], Int, Long, Option[String], Option[String])].collect().toSet
+    val bucketed = Streams.sessionsBatch(ev, 30, bucketHours = 1)
+      .as[(Option[Long], Int, Long, Option[String], Option[String])].collect().toSet
+    assert(bucketed === legacy)
+    // every input row survives both spellings, and the null-ts sessions
+    // are numbered BEFORE the real-ts ones within their key
+    assert(legacy.toSeq.map(_._3).sum === rows.size)
+    assert(legacy((Some(1L), 3, 2L,
+      Some("2024-01-01 00:00:00"), Some("2024-01-01 00:00:01"))))
+  }
+
   test("streaming twins accept a directory-layout events table (scale rehearsal fix)") {
     // The 10× rehearsal caught this: every source table an engine JOB
     // writes is a DIRECTORY of part files, and the single-symlink staging
