@@ -22,6 +22,23 @@ import scala.util.Try
   */
 object Orchestrator {
 
+  /** Run `body` with this thread's Spark jobs assigned to FAIR scheduler
+    * pool `name`. `spark.scheduler.mode=FAIR` alone is NOT enough for
+    * parallel orchestrator jobs to share executors fairly: every job
+    * lands in the "default" pool, whose INTERNAL scheduling is FIFO — a
+    * long stage of job A starves job B's stages until it drains. One
+    * pool per job (undeclared pools get equal weight and FAIR treatment
+    * BETWEEN pools) restores round-robin between concurrent jobs. The
+    * property is thread-local and the orchestrator's pool threads are
+    * reused across jobs, so it is set around the body and cleared after.
+    */
+  def inSparkPool[A](spark: org.apache.spark.sql.SparkSession, name: String)(
+      body: => A): A = {
+    val sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", name)
+    try body finally sc.setLocalProperty("spark.scheduler.pool", null)
+  }
+
   /** O1: job-control row (`{table_id, target_table, piority, parallel_run}`
     * — reference misspelling preserved in the source concept, not the API).
     */

@@ -46,6 +46,10 @@ import graft.SparkEntry
   *  - x110_bounded (synthetic) — the watermark-bounded append-mode x110
   *    over a time-sliced staged delivery: state_rows_max witnesses
   *    EVICTION, vs the complete-mode twin whose state is all buckets
+  *  - lakeskew (synthetic)   — hot-folder WRITE path: partitioned
+  *    append / dynamic overwrite / hive compact under a ~30%-hot
+  *    partition value, with per-folder file distributions and the
+  *    exec-mode rebalance skew-split audit (VERDICT r10 #1)
   *  - ANN IVF with nCells=0  — corpus-derived resolution (autoCells):
   *    build timed separately from a fixed-200-query probe batch, plus
   *    untimed subset recall@5; runs on both corpus shapes ("ann" =
@@ -299,6 +303,112 @@ object ScaleRehearsal {
     (Seq(pub, readPruned, comp), filesJson)
   }
 
+  /** Hot-folder WRITE-path rehearsal (VERDICT r10 #1): round 10 routed
+    * every partitioned writer through the REBALANCE hint so AQE can
+    * split a hot folder across writer tasks — spec-pinned at plan-node
+    * level but never TIMED under a hot key. Partitioned by `event_type`
+    * (~30% hot on the zipf twin), per scale this times:
+    *  - lake_append_hot    — [[graft.lake.LakeWriter.appendPartitioned]]
+    *    into a fresh root (gauge: files written)
+    *  - lake_overwrite_hot — [[graft.lake.LakeWriter.overwritePartitionsDynamic]]
+    *    re-delivering the same folders over the appended root
+    *  - lake_compact_hive  — hive-layout
+    *    [[graft.lake.LakeWriter.compact]] of a pre-fragmented table
+    *    (fragmentation built OUTSIDE the timed region)
+    * and records the per-folder file-count/size distribution of the
+    * append output (hot folder vs rest, against the reference's
+    * 128–512 MB guidance) plus an EXEC-MODE audit of the writer's
+    * aligned plan: executing the rebalance-hinted frame's own
+    * QueryExecution and counting skewed `AQEShuffleRead`s on its
+    * RebalancePartitions exchange — the runtime evidence (not just node
+    * presence) that a hot folder splits instead of serializing one
+    * writer task.
+    */
+  private def lakeSkewRuns(spark: SparkSession, dir: String, scale: String,
+      iters: Int): (Seq[Run], String) = {
+    import graft.lake.LakeWriter
+    val events = graft.core.Tables.events(spark, dir)
+    def freshRoot() =
+      graft.core.Scratch.reapAtExit(
+        Files.createTempDirectory("graft-lakeskew").toString) + "/events"
+    def fileCount(root: String): Long =
+      spark.read.parquet(root).inputFiles.length.toLong
+    var appendRoot: String = null
+    val app = timedU(spark, "lake_append_hot", scale, iters) { () =>
+      appendRoot = freshRoot()
+      LakeWriter.appendPartitioned(events, appendRoot, "event_type")
+      fileCount(appendRoot)
+    }
+    if (app.error.isDefined) {
+      val e = app.error
+      return (Seq(app, Run("lake_overwrite_hot", scale, Nil, -1, e),
+        Run("lake_compact_hive", scale, Nil, -1, e)), "null")
+    }
+    val ow = timedU(spark, "lake_overwrite_hot", scale, iters) { () =>
+      LakeWriter.overwritePartitionsDynamic(events, appendRoot, "event_type")
+      fileCount(appendRoot)
+    }
+    // fragmented hive tables for compaction, built outside the timed
+    // region: a low record cap forces ~40 files/folder — the small-file
+    // shape the reference flags as reader-slow (all_from_gemini.txt:458-486)
+    val nRows = events.count()
+    val fragCap = math.max(1L, nRows / 200)
+    val compactRoots = (0 until iters).map { _ =>
+      val r = freshRoot()
+      LakeWriter.appendPartitioned(events, r, "event_type",
+        maxRecordsPerFile = fragCap)
+      r
+    }
+    val fragFilesBefore = fileCount(compactRoots.head)
+    var ci = 0
+    val comp = timedU(spark, "lake_compact_hive", scale, iters) { () =>
+      val r = compactRoots(ci); ci += 1
+      LakeWriter.compact(spark, r, partitionCols = Seq("event_type"))
+      fileCount(r)
+    }
+    // per-folder distribution of the append output: hot-vs-rest file
+    // counts and sizes are the write-path skew gauge
+    def folderStats(root: String): Seq[(String, Int, Double)] = {
+      val byFolder = spark.read.parquet(root).inputFiles
+        .groupBy(f => new java.net.URI(f).getPath
+          .split("/").takeRight(2).head)
+      byFolder.toSeq.map { case (folder, fs) =>
+        val mb = fs.map(f => Files.size(Paths.get(new java.net.URI(f)))).sum / 1048576.0
+        (folder, fs.length, mb)
+      }.sortBy(-_._3)
+    }
+    // exec-mode rebalance audit under the ENGINE session's AQE settings:
+    // run the writer's exact pre-write plan (the rebalance hint on the
+    // partition column) through ITS OWN QueryExecution — df.write would
+    // clone a fresh one and leave AQE decisions invisible — and count
+    // skewed AQEShuffleReads in the final section
+    val aligned = events.hint("rebalance", col("event_type"))
+    aligned.queryExecution.toRdd.count()
+    val rawPlan = aligned.queryExecution.executedPlan.toString
+    val planFinal = {
+      val f = rawPlan.indexOf("== Final Plan ==")
+      val i = rawPlan.indexOf("== Initial Plan ==")
+      if (f >= 0 && i > f) rawPlan.substring(f, i) else rawPlan
+    }
+    val skewedReads = "AQEShuffleRead [^\\n]*skewed".r.findAllIn(planFinal).length
+    val hasRebalance = rawPlan.contains("REBALANCE_PARTITIONS_BY_COL")
+    System.err.println(s"[rehearsal] lake_skew $scale rebalance_skewed_reads=$skewedReads " +
+      s"rebalance_node=$hasRebalance")
+    cleanup(spark)
+    val appendJson = folderStats(appendRoot).map { case (folder, n, mb) =>
+      s"""{"folder":"${jsonStr(folder)}","files":$n,"mb":${num(mb, 1)}}"""
+    }.mkString("[", ",", "]")
+    val compactJson = folderStats(compactRoots.head).map { case (folder, n, mb) =>
+      s"""{"folder":"${jsonStr(folder)}","files":$n,"mb":${num(mb, 1)}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"append_folders":$appendJson,"compacted_folders":$compactJson,""" +
+        s""""frag_cap_rows":$fragCap,"frag_files_before":$fragFilesBefore,""" +
+        s""""rebalance_skewed_reads":$skewedReads,""" +
+        s""""rebalance_node_present":$hasRebalance}"""
+    (Seq(app, ow, comp), json)
+  }
+
   /** Exact top-5 for a query subset by distributed cross join (nQ ×
     * corpus cosine rows — 40M at the 100× corpus, seconds on 32 cores),
     * compared against the index's answers → recall@5. UNTIMED: recall
@@ -435,6 +545,13 @@ object ScaleRehearsal {
         val (rs, filesJson) = lakeRuns(spark, dir, scale, iters)
         runs ++= rs
         lakeFiles += (scale -> filesJson)
+      }
+      // hot-folder write path (r10 #1): partitioned writers under a 30%-hot
+      // partition value, with the exec-mode rebalance skew-split audit
+      if (wanted("lakeskew")) {
+        val (rs, skewJson) = lakeSkewRuns(spark, dir, scale, iters)
+        runs ++= rs
+        lakeFiles += (s"${scale}_hot" -> skewJson)
       }
       if (wanted("x105_semdedup_auto"))
         runs += timed(spark, "x105_semdedup_auto", scale, iters)(() =>

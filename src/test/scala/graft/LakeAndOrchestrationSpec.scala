@@ -470,4 +470,34 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     }
     assert(counts.values.toSet === Set(143L))
   }
+
+  test("concurrent dispatch of REAL engine jobs returns sequential-identical results") {
+    // VERDICT r10 #2: the mock-job specs never pinned result-equality
+    // when heavy catalog families actually RACE on one session. Run
+    // three real families sequentially, then 3-wide parallel (each in
+    // its own FAIR pool — mode=FAIR alone leaves every job in the
+    // FIFO-internal default pool), and require identical collected
+    // results. OrchestratorRehearsal measures the same shape at a
+    // rehearsal decade; this is the value pin at spec scale.
+    val dir = "/root/testdata/sf0.001"
+    val jobs = Seq("q10_flagship_document", "x37_tfidf", "x38_incremental_dedup")
+    def rows(name: String): Set[String] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).groupBy(identity).view
+        .mapValues(_.length).toMap.map { case (r, n) => s"$n x $r" }.toSet
+    val sequential = jobs.map(n => n -> rows(n)).toMap
+    val concurrent = new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    val specs = jobs.zipWithIndex.map { case (n, i) =>
+      JobSpec(i, n, priority = 1, parallelRun = true)
+    }
+    val results = Orchestrator.run(specs, maxConcurrentThreads = 3) { spec =>
+      concurrent.put(spec.targetTable,
+        Orchestrator.inSparkPool(spark, spec.targetTable)(rows(spec.targetTable)))
+    }
+    assert(results.forall(_.outcome.isSuccess),
+      results.filter(_.outcome.isFailure).map(_.outcome).mkString("; "))
+    jobs.foreach { n =>
+      assert(concurrent.get(n) === sequential(n), s"$n diverged under concurrency")
+    }
+  }
 }

@@ -15,7 +15,7 @@ object ProfileX32 {
       .config("spark.ui.enabled","false").getOrCreate()
     graft.core.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val docs = Tables.documents(spark, dir)
     val sigs = t("signatures (expression path)"){
