@@ -30,13 +30,16 @@ object Orchestrator {
     * pool per job (undeclared pools get equal weight and FAIR treatment
     * BETWEEN pools) restores round-robin between concurrent jobs. The
     * property is thread-local and the orchestrator's pool threads are
-    * reused across jobs, so it is set around the body and cleared after.
+    * reused across jobs, so it is set around the body and the PREVIOUS
+    * value restored after — a nested call (or a caller that already
+    * assigned a pool on this thread) keeps its own assignment.
     */
   def inSparkPool[A](spark: org.apache.spark.sql.SparkSession, name: String)(
       body: => A): A = {
     val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
     sc.setLocalProperty("spark.scheduler.pool", name)
-    try body finally sc.setLocalProperty("spark.scheduler.pool", null)
+    try body finally sc.setLocalProperty("spark.scheduler.pool", prev)
   }
 
   /** O1: job-control row (`{table_id, target_table, piority, parallel_run}`

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkEntry
 import graft.orchestrate.Orchestrator
 import graft.orchestrate.Orchestrator.JobSpec
+import graft.tools.ScaleRehearsal.{jsonStr, num}
 
 /** Concurrent-dispatch rehearsal for the reference's orchestrator shape
   * (VERDICT r10 #2): the priority-group dispatcher
@@ -35,6 +36,11 @@ import graft.orchestrate.Orchestrator.JobSpec
   *  - result checksums (order-independent xxhash64 sum + row count)
   *    computed sequentially and then again under concurrent dispatch —
   *    `hash_match` pins result-equality at the rehearsal decade.
+  *  - a SECOND concurrent phase with every job left in the default pool
+  *    (`mode=FAIR` alone — the misconfiguration inSparkPool exists to
+  *    fix), plus per-job start→finish spans for both phases: all three
+  *    dispatcher threads fire at t≈0, so FIFO-in-pool starvation shows
+  *    as a stretched finish spread, not a late start.
   *
   * Usage: runMain graft.tools.OrchestratorRehearsal [dir] [outJson] [iters]
   * (defaults: target/scale10, ORCH_REHEARSAL.json, SPARK_GRAFT_REHEARSAL_N
@@ -45,11 +51,13 @@ object OrchestratorRehearsal {
   private val Jobs = Seq("q10_flagship_document", "x37_tfidf",
     "x38_incremental_dedup")
 
-  private def runJob(spark: SparkSession, name: String, dir: String): Unit =
-    Orchestrator.inSparkPool(spark, name) {
+  private def runJob(spark: SparkSession, name: String, dir: String,
+      pooled: Boolean = true): Unit = {
+    def body(): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-    }
+    if (pooled) Orchestrator.inSparkPool(spark, name)(body()) else body()
+  }
 
   /** Order-independent result checksum: sum of per-row xxhash64 over all
     * columns (sorted names, cast to string) + row count. Commutative, so
@@ -98,42 +106,79 @@ object OrchestratorRehearsal {
     }
     val seqJob = Jobs.map(_ -> Seq.newBuilder[Double]).toMap
     val concJob = Jobs.map(_ -> Seq.newBuilder[Double]).toMap
-    val seqWall, concWall = Seq.newBuilder[Double]
+    val nopoolJob = Jobs.map(_ -> Seq.newBuilder[Double]).toMap
+    val seqWall, concWall, nopoolWall = Seq.newBuilder[Double]
     val failures = Seq.newBuilder[String]
+    val seqFailed = Seq.newBuilder[String]
+    // per-iteration start→finish offsets (s, relative to group start) for
+    // each job under concurrent dispatch — the starvation gauge: FIFO
+    // inside one pool lets a long stage of job A push job B's FINISH out
+    // even though B started immediately (all 3 dispatcher threads fire at
+    // t≈0); FAIR pools should pull the finish spread back in
+    val spanJson = Map("pool" -> Seq.newBuilder[String],
+      "nopool" -> Seq.newBuilder[String])
     var maxRdds = 0
 
+    def concPhase(label: String, pooled: Boolean, iter: Int,
+        wall: scala.collection.mutable.Builder[Double, Seq[Double]],
+        perJob: Map[String, scala.collection.mutable.Builder[Double, Seq[Double]]])
+        : Unit = {
+      val sampler = new RddSampler(spark)
+      sampler.start()
+      val spans = new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+      val t1 = System.nanoTime()
+      val results = Orchestrator.run(specs, maxConcurrentThreads = threads) { s =>
+        val a = (System.nanoTime() - t1) / 1e9
+        try runJob(spark, s.targetTable, dir, pooled)
+        finally spans.put(s.targetTable, (a, (System.nanoTime() - t1) / 1e9))
+      }
+      val cw = (System.nanoTime() - t1) / 1e9
+      wall += cw
+      maxRdds = math.max(maxRdds, sampler.finish())
+      results.foreach { r =>
+        if (r.outcome.isSuccess) perJob(r.spec.targetTable) += r.durationMs / 1000.0
+        else failures += s"[$label] ${r.spec.targetTable}: ${r.outcome.failed.get.getMessage}"
+        System.err.println(f"[orch] $label iter=$iter ${r.spec.targetTable} " +
+          f"${r.durationMs / 1000.0}%.2f s ok=${r.outcome.isSuccess}")
+      }
+      spanJson(label) += Jobs.map { n =>
+        Option(spans.get(n)) match {
+          case Some((a, b)) => s""""$n":{"start":${num(a, 2)},"end":${num(b, 2)}}"""
+          case None => s""""$n":null"""
+        }
+      }.mkString("{", ",", "}")
+      System.err.println(f"[orch] $label iter=$iter wall $cw%.2f s max_rdds=${sampler.max}")
+      cleanup(spark)
+    }
+
     (0 until iters).foreach { i =>
-      // sequential baseline: same jobs, one at a time
+      // sequential baseline: same jobs, one at a time. Guarded per job so
+      // a single failure still leaves an artifact (the concurrent phase
+      // records failures; the baseline must not be the weaker link).
       val t0 = System.nanoTime()
       Jobs.foreach { n =>
         val t = System.nanoTime()
-        runJob(spark, n, dir)
-        val s = (System.nanoTime() - t) / 1e9
-        seqJob(n) += s
-        System.err.println(f"[orch] seq  iter=$i $n $s%.2f s")
+        scala.util.Try(runJob(spark, n, dir)) match {
+          case scala.util.Success(_) =>
+            val s = (System.nanoTime() - t) / 1e9
+            seqJob(n) += s
+            System.err.println(f"[orch] seq  iter=$i $n $s%.2f s")
+          case scala.util.Failure(e) =>
+            seqFailed += s"$n: ${e.getMessage}"
+            System.err.println(s"[orch] seq  iter=$i $n FAILED: ${e.getMessage}")
+        }
       }
       val sw = (System.nanoTime() - t0) / 1e9
       seqWall += sw
       System.err.println(f"[orch] seq  iter=$i wall $sw%.2f s")
       cleanup(spark)
 
-      // concurrent group: the reference's parallel dispatch, real jobs
-      val sampler = new RddSampler(spark)
-      sampler.start()
-      val t1 = System.nanoTime()
-      val results = Orchestrator.run(specs, maxConcurrentThreads = threads)(
-        s => runJob(spark, s.targetTable, dir))
-      val cw = (System.nanoTime() - t1) / 1e9
-      concWall += cw
-      maxRdds = math.max(maxRdds, sampler.finish())
-      results.foreach { r =>
-        if (r.outcome.isSuccess) concJob(r.spec.targetTable) += r.durationMs / 1000.0
-        else failures += s"${r.spec.targetTable}: ${r.outcome.failed.get.getMessage}"
-        System.err.println(f"[orch] conc iter=$i ${r.spec.targetTable} " +
-          f"${r.durationMs / 1000.0}%.2f s ok=${r.outcome.isSuccess}")
-      }
-      System.err.println(f"[orch] conc iter=$i wall $cw%.2f s max_rdds=${sampler.max}")
-      cleanup(spark)
+      // concurrent group: the reference's parallel dispatch, real jobs —
+      // once per-job FAIR pools (the engine posture), once with every job
+      // left in the FIFO-internal default pool (mode=FAIR alone), so the
+      // inSparkPool scaladoc's starvation claim carries a measured delta
+      concPhase("pool", pooled = true, i, concWall, concJob)
+      concPhase("nopool", pooled = false, i, nopoolWall, nopoolJob)
     }
 
     // result-equality under concurrent dispatch (untimed): checksum each
@@ -150,34 +195,44 @@ object OrchestratorRehearsal {
     val hashMatch = Jobs.forall(n => seqSums(n) == concSums.get(n))
     cleanup(spark)
 
-    import ScaleRehearsal.{jsonStr, num}
     // materialize every builder exactly once (Builder.result() is not
     // guaranteed re-callable)
     val seqJobR = Jobs.map(n => n -> seqJob(n).result()).toMap
     val concJobR = Jobs.map(n => n -> concJob(n).result()).toMap
+    val nopoolJobR = Jobs.map(n => n -> nopoolJob(n).result()).toMap
     def perJob(m: Map[String, Seq[Double]]) =
       Jobs.map { n =>
         s""""$n":${m(n).map(s => num(s)).mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
     val seqW = seqWall.result()
     val concW = concWall.result()
-    val interference = Jobs.map { n =>
-      val sq = seqJobR(n); val cc = concJobR(n)
+    val nopoolW = nopoolWall.result()
+    def ratios(m: Map[String, Seq[Double]]) = Jobs.map { n =>
+      val sq = seqJobR(n); val cc = m(n)
       if (sq.nonEmpty && cc.nonEmpty) s""""$n":${num(cc.min / sq.min, 2)}"""
       else s""""$n":null"""
     }.mkString("{", ",", "}")
+    def phaseJson(perJobR: Map[String, Seq[Double]], w: Seq[Double]) =
+      s"""{"per_job":${perJob(perJobR)},"wall":${
+        w.map(s => num(s)).mkString("[", ",", "]")}}"""
     val json =
       s"""{"jobs":[${Jobs.map(j => s""""$j"""").mkString(",")}],""" +
         s""""dir":"${jsonStr(dir)}","threads":$threads,"iters":$iters,""" +
         s""""sequential":{"per_job":${perJob(seqJobR)},"wall":${
-          seqW.map(s => num(s)).mkString("[", ",", "]")}},""" +
-        s""""concurrent":{"per_job":${perJob(concJobR)},"wall":${
-          concW.map(s => num(s)).mkString("[", ",", "]")},"failed":[${
+          seqW.map(s => num(s)).mkString("[", ",", "]")},"failed":[${
+          seqFailed.result().map(f => s""""${jsonStr(f)}"""").mkString(",")}]},""" +
+        s""""concurrent":${phaseJson(concJobR, concW).dropRight(1)},"failed":[${
           failures.result().map(f => s""""${jsonStr(f)}"""").mkString(",")}]},""" +
+        s""""concurrent_nopool":${phaseJson(nopoolJobR, nopoolW)},""" +
+        s""""spans":{"pool":${spanJson("pool").result().mkString("[", ",", "]")},""" +
+        s""""nopool":${spanJson("nopool").result().mkString("[", ",", "]")}},""" +
         s""""wall_floor_sequential":${num(seqW.min)},""" +
         s""""wall_floor_concurrent":${num(concW.min)},""" +
+        s""""wall_floor_concurrent_nopool":${num(nopoolW.min)},""" +
         s""""speedup_floor":${num(seqW.min / concW.min, 2)},""" +
-        s""""interference_floor_ratio":$interference,""" +
+        s""""speedup_floor_nopool":${num(seqW.min / nopoolW.min, 2)},""" +
+        s""""interference_floor_ratio":${ratios(concJobR)},""" +
+        s""""interference_floor_ratio_nopool":${ratios(nopoolJobR)},""" +
         s""""max_rdds_concurrent":$maxRdds,""" +
         s""""hash_match":$hashMatch,""" +
         s""""checksums":{${Jobs.map { n =>

@@ -333,6 +333,17 @@ object ScaleRehearsal {
         Files.createTempDirectory("graft-lakeskew").toString) + "/events"
     def fileCount(root: String): Long =
       spark.read.parquet(root).inputFiles.length.toLong
+    // per-folder distribution of a write's output: hot-vs-rest file
+    // counts and sizes are the write-path skew gauge
+    def folderStats(root: String): Seq[(String, Int, Double)] = {
+      val byFolder = spark.read.parquet(root).inputFiles
+        .groupBy(f => new java.net.URI(f).getPath
+          .split("/").takeRight(2).head)
+      byFolder.toSeq.map { case (folder, fs) =>
+        val mb = fs.map(f => Files.size(Paths.get(new java.net.URI(f)))).sum / 1048576.0
+        (folder, fs.length, mb)
+      }.sortBy(-_._3)
+    }
     var appendRoot: String = null
     val app = timedU(spark, "lake_append_hot", scale, iters) { () =>
       appendRoot = freshRoot()
@@ -344,6 +355,12 @@ object ScaleRehearsal {
       return (Seq(app, Run("lake_overwrite_hot", scale, Nil, -1, e),
         Run("lake_compact_hive", scale, Nil, -1, e)), "null")
     }
+    // snapshot the APPEND output's layout now — the overwrite phase
+    // re-delivers dynamic overwrites into this same root, so a later
+    // read would report the last overwrite's files, not the append's
+    val appendJson = folderStats(appendRoot).map { case (folder, n, mb) =>
+      s"""{"folder":"${jsonStr(folder)}","files":$n,"mb":${num(mb, 1)}}"""
+    }.mkString("[", ",", "]")
     val ow = timedU(spark, "lake_overwrite_hot", scale, iters) { () =>
       LakeWriter.overwritePartitionsDynamic(events, appendRoot, "event_type")
       fileCount(appendRoot)
@@ -366,17 +383,6 @@ object ScaleRehearsal {
       LakeWriter.compact(spark, r, partitionCols = Seq("event_type"))
       fileCount(r)
     }
-    // per-folder distribution of the append output: hot-vs-rest file
-    // counts and sizes are the write-path skew gauge
-    def folderStats(root: String): Seq[(String, Int, Double)] = {
-      val byFolder = spark.read.parquet(root).inputFiles
-        .groupBy(f => new java.net.URI(f).getPath
-          .split("/").takeRight(2).head)
-      byFolder.toSeq.map { case (folder, fs) =>
-        val mb = fs.map(f => Files.size(Paths.get(new java.net.URI(f)))).sum / 1048576.0
-        (folder, fs.length, mb)
-      }.sortBy(-_._3)
-    }
     // exec-mode rebalance audit under the ENGINE session's AQE settings:
     // run the writer's exact pre-write plan (the rebalance hint on the
     // partition column) through ITS OWN QueryExecution — df.write would
@@ -395,9 +401,6 @@ object ScaleRehearsal {
     System.err.println(s"[rehearsal] lake_skew $scale rebalance_skewed_reads=$skewedReads " +
       s"rebalance_node=$hasRebalance")
     cleanup(spark)
-    val appendJson = folderStats(appendRoot).map { case (folder, n, mb) =>
-      s"""{"folder":"${jsonStr(folder)}","files":$n,"mb":${num(mb, 1)}}"""
-    }.mkString("[", ",", "]")
     val compactJson = folderStats(compactRoots.head).map { case (folder, n, mb) =>
       s"""{"folder":"${jsonStr(folder)}","files":$n,"mb":${num(mb, 1)}}"""
     }.mkString("[", ",", "]")
