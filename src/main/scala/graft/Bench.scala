@@ -152,6 +152,30 @@ object Bench {
         .groupBy(col("vec_id")).agg(max(col("n_exact_hits")).as("h"))
       sumD(perVec, "h") / (nVec * annK)
     }
+    // clustered-corpus twin for the IVF family (VERDICT r12 #4): the
+    // driver corpus is near-uniform, where recall ≈ probed fraction BY
+    // CONSTRUCTION — its ~0.69 recall@5 reads as an index defect to
+    // anyone who hasn't seen §9.1. Carrying the deterministic
+    // 32-Gaussian twin's number in the same artifact makes the pair
+    // self-explaining: structure present → the index finds it. The twin
+    // corpus (ScaleGen seed 7, sized to the driver corpus) is written
+    // once under tmpdir keyed by size, so the persisted-index build
+    // amortizes across rounds exactly like the driver-dir entries.
+    lazy val clusteredDir: String = {
+      val factor = math.max(1L, math.round(nVec / 2000.0)).toInt
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-bench-clustered-f$factor"
+      val p = s"$root/embeddings.parquet"
+      if (!new java.io.File(s"$p/_SUCCESS").exists)
+        graft.tools.ScaleGen.embeddingsClustered(spark, factor)
+          .write.mode("overwrite").parquet(p)
+      root
+    }
+    def clusteredAnnRecall(q: String): Double = {
+      val nc = graft.core.Tables.embeddings(spark, clusteredDir).count().toDouble
+      val perVec = SparkEntry.queries(q)(spark, clusteredDir)
+        .groupBy(col("vec_id")).agg(max(col("n_exact_hits")).as("h"))
+      sumD(perVec, "h") / (nc * annK)
+    }
     // exact twin materialized at most once, shared by both banding
     // entries, and released before returning (cache hygiene: the bench
     // loop asserts no persistent residue between rounds). persist, NOT
@@ -177,6 +201,8 @@ object Bench {
       tryEntry("x41_ann_lsh")(annRecall("x41_ann_lsh")) ++
       tryEntry("x43_ann_ivf")(annRecall("x43_ann_ivf")) ++
       tryEntry("x47_ann_ivfpq")(annRecall("x47_ann_ivfpq")) ++
+      tryEntry("x43_ivf_clustered")(clusteredAnnRecall("x43_ann_ivf")) ++
+      tryEntry("x47_ivfpq_clustered")(clusteredAnnRecall("x47_ann_ivfpq")) ++
       tryEntry("x32_minhash_pairs")(bandingRecall("x32_minhash_pairs")) ++
       tryEntry("x33_simhash_pairs")(bandingRecall("x33_simhash_pairs")) ++
       // planted-witness mirrors (VERDICT r8 #4): 1.0 = the closed-form

@@ -28,7 +28,14 @@ object Orchestrator {
     * lands in the "default" pool, whose INTERNAL scheduling is FIFO — a
     * long stage of job A starves job B's stages until it drains. One
     * pool per job (undeclared pools get equal weight and FAIR treatment
-    * BETWEEN pools) restores round-robin between concurrent jobs. The
+    * BETWEEN pools) restores round-robin between concurrent jobs.
+    * Measured (ORCH_REHEARSAL.json, 3 real families at 10×, n=3): the
+    * pool-vs-default walls are within noise (10.10 vs 10.91 floor)
+    * because that mix never saturates all 32 slots for long — FIFO
+    * backfills idle slots with later jobs' stages regardless. The
+    * starvation mode needs a slot-saturating wide stage; per-job pools
+    * are the cheap default that makes the schedule independent of which
+    * job submits first either way. The
     * property is thread-local and the orchestrator's pool threads are
     * reused across jobs, so it is set around the body and the PREVIOUS
     * value restored after — a nested call (or a caller that already

@@ -62,14 +62,16 @@ object OrchestratorRehearsal {
   /** Order-independent result checksum: sum of per-row xxhash64 over all
     * columns (sorted names, cast to string) + row count. Commutative, so
     * concurrent and sequential executions of the same query must agree
-    * exactly whatever partition order the scheduler produced.
+    * exactly whatever partition order the scheduler produced. The sum
+    * runs in decimal(38,0) — a long sum of 64-bit hashes overflows at
+    * decade scale and ANSI mode (the engine default) correctly refuses.
     */
-  private def checksum(spark: SparkSession, name: String, dir: String): (Long, Long) = {
+  private def checksum(spark: SparkSession, name: String, dir: String): (String, Long) = {
     val df = SparkEntry.queries(name)(spark, dir)
     val strs = df.columns.sorted.toIndexedSeq.map(c => col(c).cast("string"))
-    val r = df.select(xxhash64(strs: _*).as("h"))
-      .agg(coalesce(sum(col("h")), lit(0L)), count(lit(1))).head()
-    (r.getLong(0), r.getLong(1))
+    val r = df.select(xxhash64(strs: _*).cast("decimal(38,0)").as("h"))
+      .agg(coalesce(sum(col("h")), lit(0L)).cast("string"), count(lit(1))).head()
+    (r.getString(0), r.getLong(1))
   }
 
   private def cleanup(spark: SparkSession): Unit = {
@@ -185,7 +187,7 @@ object OrchestratorRehearsal {
     // job sequentially, then re-checksum with all three racing
     val seqSums = Jobs.map(n => n -> checksum(spark, n, dir)).toMap
     cleanup(spark)
-    val concSums = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val concSums = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
     Orchestrator.run(specs, maxConcurrentThreads = threads) { s =>
       val c = Orchestrator.inSparkPool(spark, s.targetTable) {
         checksum(spark, s.targetTable, dir)
@@ -237,7 +239,7 @@ object OrchestratorRehearsal {
         s""""hash_match":$hashMatch,""" +
         s""""checksums":{${Jobs.map { n =>
           val (h, c) = seqSums(n)
-          s""""$n":{"sum":$h,"rows":$c}"""
+          s""""$n":{"sum":"$h","rows":$c}"""
         }.mkString(",")}}}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)

@@ -500,4 +500,28 @@ class LakeAndOrchestrationSpec extends SparkSpec {
       assert(concurrent.get(n) === sequential(n), s"$n diverged under concurrency")
     }
   }
+
+  test("x120 orchestrated DAG: published-table handoff yields the corpus aggregates") {
+    // the catalog face of O1-O6 (VERDICT r12 #6): two root jobs publish
+    // tables 2-wide, the rollup job aggregates the PUBLISHED tables —
+    // so its rows equal the corpus total only if the dependency-ordered
+    // publish/consume handoff actually happened
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir)
+      .collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docs.count()
+    val rollup = out.filter(_.getString(0) == "rollup")
+    assert(rollup.map(_.getString(1)).sorted.toSeq === Seq("by_lang", "by_source"))
+    assert(rollup.forall(_.getLong(2) == total),
+      s"rollup rows ${rollup.mkString(", ")} != corpus total $total")
+    val bySource = out.filter(_.getString(0) == "by_source")
+    assert(bySource.map(_.getLong(2)).sum == total)
+    assert(bySource.length == docs.select("source").distinct.count())
+    val byLang = out.filter(_.getString(0) == "by_lang")
+    assert(byLang.map(_.getLong(2)).sum == total)
+    // deterministic presentation: sorted by (job, k)
+    val keys = out.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted)
+  }
 }
