@@ -749,6 +749,14 @@ object ExtQueries {
     * their published members — no Lloyd iteration in the query plan.
     * Approximate by construction — no oracle; `n_exact_hits` carries the
     * recall witness vs the exact twin (avg/k = recall@5).
+    *
+    * The bench artifact's ~0.70 recall on the DRIVER corpus is a corpus
+    * property, not an index defect: near-uniform synthetic embeddings
+    * have no cluster structure, so recall ≈ probed fraction by
+    * construction. The artifact carries the deterministic 32-Gaussian
+    * twin's number alongside (`x43_ivf_clustered` ≈ 0.98 at the same
+    * settings — [[graft.Bench.recallNumbers]]) so the pair is
+    * self-explaining: structure present → the index finds it.
     */
   def x43AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val tag = annSourceTag(dir)
@@ -785,6 +793,9 @@ object ExtQueries {
     * Approximate by construction — no oracle; `n_exact_hits` carries the
     * recall witness vs the exact twin (avg/k = recall@5); spec pins
     * indexed ≡ inline [[graft.ext.Pq.ivfAdcTopK]] bit-for-bit.
+    * The ~0.68 driver-corpus recall is the near-uniform-corpus property
+    * (see [[x43AnnIvf]]); the artifact's `x47_ivfpq_clustered` ≈ 0.98
+    * carries the structured-corpus twin at the same settings.
     */
   def x47AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val tag = annSourceTag(dir)
