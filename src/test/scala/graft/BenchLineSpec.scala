@@ -122,11 +122,17 @@ class BenchLineSpec extends AnyFunSuite {
     val spark = TestSession.spark
     val r = Bench.recallNumbers(spark, "/root/testdata/sf0.001")
     val expected = Set("x41_ann_lsh", "x43_ann_ivf", "x47_ann_ivfpq",
+      "x43_ivf_clustered", "x47_ivfpq_clustered",
       "x32_minhash_pairs", "x33_simhash_pairs",
       "x51_audio_witness", "x53_planted_twin")
     assert(r("x51_audio_witness") === 1.0, "audio closed-form witness must pass")
     assert(r("x53_planted_twin") === 1.0, "re-encoded twin must be recalled")
     assert(r.keySet === expected, s"recall keys: ${r.keySet}")
+    // the structured-corpus twins exist to contrast the near-uniform
+    // driver corpus: the same entries must read HIGH when structure
+    // exists (r12 #4 — 0.69 on the driver corpus is a corpus property)
+    assert(r("x43_ivf_clustered") > 0.9, s"clustered ivf ${r("x43_ivf_clustered")}")
+    assert(r("x47_ivfpq_clustered") > 0.9, s"clustered ivfpq ${r("x47_ivfpq_clustered")}")
     r.foreach { case (k, v) =>
       assert(v >= 0.0 && v <= 1.0, s"$k recall $v out of [0,1]")
       assert(v > 0.0, s"$k recall is vacuously zero — witness broken")
