@@ -501,6 +501,30 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     }
   }
 
+  test("inSparkPool restores the caller's pool assignment (r12 ADVICE)") {
+    // nested calls and callers with their own pool must get their
+    // assignment back — clearing to null would silently drop an outer
+    // job's FAIR pool after any inner helper used one
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    try {
+      sc.setLocalProperty("spark.scheduler.pool", "outer")
+      val seen = Orchestrator.inSparkPool(spark, "inner") {
+        val inInner = sc.getLocalProperty("spark.scheduler.pool")
+        val afterNested = Orchestrator.inSparkPool(spark, "nested") {
+          sc.getLocalProperty("spark.scheduler.pool")
+        }
+        (inInner, afterNested, sc.getLocalProperty("spark.scheduler.pool"))
+      }
+      assert(seen === (("inner", "nested", "inner")))
+      assert(sc.getLocalProperty("spark.scheduler.pool") === "outer")
+      // and with NO prior assignment the property ends unset, not "null"-ed
+      sc.setLocalProperty("spark.scheduler.pool", null)
+      Orchestrator.inSparkPool(spark, "solo") { () }
+      assert(sc.getLocalProperty("spark.scheduler.pool") === null)
+    } finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
   test("x120 orchestrated DAG: published-table handoff yields the corpus aggregates") {
     // the catalog face of O1-O6 (VERDICT r12 #6): two root jobs publish
     // tables 2-wide, the rollup job aggregates the PUBLISHED tables —
