@@ -29,13 +29,18 @@ object Orchestrator {
     * long stage of job A starves job B's stages until it drains. One
     * pool per job (undeclared pools get equal weight and FAIR treatment
     * BETWEEN pools) restores round-robin between concurrent jobs.
-    * Measured (ORCH_REHEARSAL.json, 3 real families at 10×, n=3): the
-    * pool-vs-default walls are within noise (10.10 vs 10.91 floor)
-    * because that mix never saturates all 32 slots for long — FIFO
-    * backfills idle slots with later jobs' stages regardless. The
-    * starvation mode needs a slot-saturating wide stage; per-job pools
-    * are the cheap default that makes the schedule independent of which
-    * job submits first either way. The
+    * Measured, twice (both artifacts committed): ORCH_REHEARSAL.json
+    * (3 real families at 10×, n=3) shows pool-vs-default walls within
+    * noise (10.10 vs 10.91 floor) — that mix never saturates all 32
+    * slots for long. FAIRNESS_PROBE.json then forced the saturating
+    * shape (200-task CPU-bound stage vs a 0.09 s job, n=9): the small
+    * job degrades to ~0.5 s median in BOTH modes — on local[32] the
+    * scheduler grants slots at task-finish boundaries either way, and
+    * the hard FIFO-starvation story did not reproduce. Keep per-job
+    * pools anyway: they make the schedule independent of submission
+    * order, are where weight/minShare levers attach on a real cluster
+    * (where locality delay and executor-grain offers change the
+    * picture), and cost nothing. The
     * property is thread-local and the orchestrator's pool threads are
     * reused across jobs, so it is set around the body and the PREVIOUS
     * value restored after — a nested call (or a caller that already
