@@ -161,13 +161,31 @@ object Bench {
     // corpus (ScaleGen seed 7, sized to the driver corpus) is written
     // once under tmpdir keyed by size, so the persisted-index build
     // amortizes across rounds exactly like the driver-dir entries.
+    // Cache dir is keyed by the GENERATOR-PARAM tag as well as factor
+    // (ADVICE r13 #1): a change to ScaleGen's clustered seed/dims/k/sigma
+    // changes the tag, so a stale corpus from a prior generation can
+    // never be silently reused. Publication is build-then-atomic-rename
+    // so two bench JVMs sharing /tmp can race this block and neither
+    // ever reads a half-written corpus: rename(2) either installs the
+    // whole dir or fails because the other JVM won.
     lazy val clusteredDir: String = {
       val factor = math.max(1L, math.round(nVec / 2000.0)).toInt
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-bench-clustered-f$factor"
-      val p = s"$root/embeddings.parquet"
-      if (!new java.io.File(s"$p/_SUCCESS").exists)
+      val tag = graft.tools.ScaleGen.clusteredParamsTag
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-bench-clustered-$tag-f$factor"
+      if (!new java.io.File(s"$root/embeddings.parquet/_SUCCESS").exists) {
+        val tmp = s"$root.build-${ProcessHandle.current().pid()}"
         graft.tools.ScaleGen.embeddingsClustered(spark, factor)
-          .write.mode("overwrite").parquet(p)
+          .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(root),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // destination appeared since the check: another JVM published
+          // the identical deterministic corpus first — use theirs
+          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          catch { case _: Throwable => () }
+        }
+      }
       root
     }
     def clusteredAnnRecall(q: String): Double = {

@@ -15,7 +15,14 @@ object SparkEntry {
     OrdinaryPayment(spark, "/root/testdata/sf0.001",
       RunParams(WorkflowType.OneTimeInforce, "1995-01-01", "2002-01-01"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Contract: applying an entry returns a LAZY DataFrame — no job runs
+    * until the caller acts on it. One documented exception:
+    * `x120_orchestrated_dag` executes its publish/consume DAG eagerly on
+    * application (distributed writes can't stay lazy); see
+    * [[graft.queries.ExtQueries.x120OrchestratedDag]].
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtQueries.queries
 

@@ -30,10 +30,13 @@ import graft.tools.ScaleRehearsal.num
   */
 object FairnessProbe {
 
-  // ~200 CPU-bound tasks of ~100-300 ms each: pending-task queue stays
-  // deep for the whole probe window on 32 slots
-  private def saturator(spark: SparkSession): Unit =
-    spark.range(0L, 6000000000L, 1L, 200)
+  // ~200×scale CPU-bound tasks of ~100-300 ms each: pending-task queue
+  // stays deep for the whole probe window on 32 slots. `scale` deepens
+  // the queue (more tasks of the SAME size — per-task duration is what
+  // the starvation story is about) so a faster host can't drain the
+  // saturator mid-probe (VERDICT r13 #6).
+  private def saturator(spark: SparkSession, scale: Int): Unit =
+    spark.range(0L, 6000000000L * scale, 1L, 200 * scale)
       .select(sum(xxhash64(col("id")).cast("decimal(38,0)")))
       .write.format("noop").mode("overwrite").save()
 
@@ -43,32 +46,39 @@ object FairnessProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Run `samples` tiny-job latencies while a saturator runs on another
-    * thread; `pooled` puts each thread in its own pool. Samples start
-    * only after the saturator has been running ~1 s (queue is deep) and
-    * stop if it drains early (latency would no longer measure contention).
+  /** Run tiny-job latencies while a saturator runs on another thread;
+    * `pooled` puts each thread in its own pool. Samples start only after
+    * the saturator has been running ~1 s (queue is deep). A sample the
+    * saturator drained under is discarded (it no longer measures
+    * contention) but does NOT consume the sample budget (ADVICE r13 #4):
+    * the loop runs until `samples` VALID latencies are collected, the
+    * saturator finishes, or a hard cap of 4×samples iterations. Returns
+    * the valid latencies plus the discarded count, which the artifact
+    * reports so a shortfall is visible, never silent.
     */
-  private def measure(spark: SparkSession, pooled: Boolean, samples: Int): Seq[Double] = {
+  private def measure(spark: SparkSession, pooled: Boolean, samples: Int,
+      scale: Int): (Seq[Double], Int) = {
     @volatile var satDone = false
     val sat = new Thread(() => {
-      val body = () => saturator(spark)
+      val body = () => saturator(spark, scale)
       try if (pooled) Orchestrator.inSparkPool(spark, "saturator")(body())
       else body()
       finally satDone = true
     })
     sat.start()
     Thread.sleep(1000)
-    val out = Seq.newBuilder[Double]
-    var i = 0
-    while (i < samples && !satDone) {
+    var kept = List.empty[Double]
+    var discarded = 0
+    var iters = 0
+    while (kept.size < samples && !satDone && iters < samples * 4) {
       val s =
         if (pooled) Orchestrator.inSparkPool(spark, "latency")(tiny(spark))
         else tiny(spark)
-      if (!satDone) out += s // discard a sample the saturator drained under
-      i += 1
+      if (!satDone) kept ::= s else discarded += 1
+      iters += 1
     }
     sat.join()
-    out.result()
+    (kept.reverse, discarded)
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,24 +89,41 @@ object FairnessProbe {
 
     val alone = (0 until samples).map(_ => tiny(spark))
     val t0 = System.nanoTime()
-    saturator(spark)
+    saturator(spark, 1)
     val satAlone = (System.nanoTime() - t0) / 1e9
-    val nopool = measure(spark, pooled = false, samples)
-    val pool = measure(spark, pooled = true, samples)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted // even n: average the two middle elements
+      (s((s.size - 1) / 2) + s(s.size / 2)) / 2
+    }
+    // size the saturator to the HOST: it must outlast ~1 s of warmup plus
+    // `samples` contended latencies with 1.5× headroom, so a faster host
+    // deepens the queue instead of quietly producing a 2-sample "no
+    // starvation" claim (VERDICT r13 #6)
+    val window = 1.0 + samples * math.max(0.4, 5 * median(alone))
+    val scale = math.max(1, math.ceil(1.5 * window / satAlone).toInt)
+    val (nopool, nopoolDropped) = measure(spark, pooled = false, samples, scale)
+    val (pool, poolDropped) = measure(spark, pooled = true, samples, scale)
 
-    def stats(xs: Seq[Double]) =
-      if (xs.isEmpty) """{"n":0}"""
+    def stats(xs: Seq[Double], dropped: Int) =
+      if (xs.isEmpty) s"""{"n":0,"samples_discarded":$dropped}"""
       else {
         val s = xs.sorted
         s"""{"n":${xs.size},"min":${num(s.head, 3)},"median":${
-          num(s(s.size / 2), 3)},"max":${num(s.last, 3)}}"""
+          num(median(xs), 3)},"max":${num(s.last, 3)},"samples_discarded":$dropped}"""
       }
+    val minN = math.ceil(samples / 2.0).toInt
+    if (nopool.size < minN || pool.size < minN)
+      System.err.println(s"[fairness] WARNING: collected n " +
+        s"(${nopool.size}/${pool.size}) below $minN of $samples requested " +
+        "despite saturator scaling — treat medians as indicative only")
     val json =
       s"""{"saturator_secs_alone":${num(satAlone, 2)},""" +
-        s""""tiny_alone":${stats(alone)},""" +
-        s""""tiny_under_saturation_default_pool":${stats(nopool)},""" +
-        s""""tiny_under_saturation_own_pools":${stats(pool)},""" +
-        s""""samples_requested":$samples}"""
+        s""""saturator_scale":$scale,""" +
+        s""""tiny_alone":${stats(alone, 0)},""" +
+        s""""tiny_under_saturation_default_pool":${stats(nopool, nopoolDropped)},""" +
+        s""""tiny_under_saturation_own_pools":${stats(pool, poolDropped)},""" +
+        s""""samples_requested":$samples,""" +
+        s""""min_n_ok":${nopool.size >= minN && pool.size >= minN}}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

@@ -110,7 +110,11 @@ object OrchestratorRehearsal {
     val concJob = Jobs.map(_ -> Seq.newBuilder[Double]).toMap
     val nopoolJob = Jobs.map(_ -> Seq.newBuilder[Double]).toMap
     val seqWall, concWall, nopoolWall = Seq.newBuilder[Double]
-    val failures = Seq.newBuilder[String]
+    // per-phase failure builders (ADVICE r13 #3): each phase's JSON object
+    // carries its OWN failed array — placement encodes the phase, so no
+    // "[label]" prefix and no cross-phase leakage
+    val concFailed = Map("pool" -> Seq.newBuilder[String],
+      "nopool" -> Seq.newBuilder[String])
     val seqFailed = Seq.newBuilder[String]
     // per-iteration start→finish offsets (s, relative to group start) for
     // each job under concurrent dispatch — the starvation gauge: FIFO
@@ -139,7 +143,7 @@ object OrchestratorRehearsal {
       maxRdds = math.max(maxRdds, sampler.finish())
       results.foreach { r =>
         if (r.outcome.isSuccess) perJob(r.spec.targetTable) += r.durationMs / 1000.0
-        else failures += s"[$label] ${r.spec.targetTable}: ${r.outcome.failed.get.getMessage}"
+        else concFailed(label) += s"${r.spec.targetTable}: ${r.outcome.failed.get.getMessage}"
         System.err.println(f"[orch] $label iter=$iter ${r.spec.targetTable} " +
           f"${r.durationMs / 1000.0}%.2f s ok=${r.outcome.isSuccess}")
       }
@@ -214,18 +218,17 @@ object OrchestratorRehearsal {
       if (sq.nonEmpty && cc.nonEmpty) s""""$n":${num(cc.min / sq.min, 2)}"""
       else s""""$n":null"""
     }.mkString("{", ",", "}")
-    def phaseJson(perJobR: Map[String, Seq[Double]], w: Seq[Double]) =
+    def phaseJson(perJobR: Map[String, Seq[Double]], w: Seq[Double],
+        failed: Seq[String]) =
       s"""{"per_job":${perJob(perJobR)},"wall":${
-        w.map(s => num(s)).mkString("[", ",", "]")}}"""
+        w.map(s => num(s)).mkString("[", ",", "]")},"failed":[${
+        failed.map(f => s""""${jsonStr(f)}"""").mkString(",")}]}"""
     val json =
       s"""{"jobs":[${Jobs.map(j => s""""$j"""").mkString(",")}],""" +
         s""""dir":"${jsonStr(dir)}","threads":$threads,"iters":$iters,""" +
-        s""""sequential":{"per_job":${perJob(seqJobR)},"wall":${
-          seqW.map(s => num(s)).mkString("[", ",", "]")},"failed":[${
-          seqFailed.result().map(f => s""""${jsonStr(f)}"""").mkString(",")}]},""" +
-        s""""concurrent":${phaseJson(concJobR, concW).dropRight(1)},"failed":[${
-          failures.result().map(f => s""""${jsonStr(f)}"""").mkString(",")}]},""" +
-        s""""concurrent_nopool":${phaseJson(nopoolJobR, nopoolW)},""" +
+        s""""sequential":${phaseJson(seqJobR, seqW, seqFailed.result())},""" +
+        s""""concurrent":${phaseJson(concJobR, concW, concFailed("pool").result())},""" +
+        s""""concurrent_nopool":${phaseJson(nopoolJobR, nopoolW, concFailed("nopool").result())},""" +
         s""""spans":{"pool":${spanJson("pool").result().mkString("[", ",", "]")},""" +
         s""""nopool":${spanJson("nopool").result().mkString("[", ",", "]")}},""" +
         s""""wall_floor_sequential":${num(seqW.min)},""" +

@@ -137,26 +137,41 @@ object ScaleGen {
     * centers derived once driver-side from the fixed seed — same
     * (factor) always yields byte-identical vectors.
     */
+  // generator params hoisted so clusteredParamsTag can't drift from the
+  // generation they describe (ADVICE r13 #1: tmpdir caches keyed only by
+  // factor silently reused a stale corpus after a generator change)
+  private[tools] val ClusteredSeed = 7L
+  private[tools] val ClusteredDims = 64
+  private[tools] val ClusteredK = 32
+  private[tools] val ClusteredSigma = 0.15
+
+  /** Cache-key tag derived from the clustered generator's parameters:
+    * any change to seed/dims/k/sigma changes the tag, so a cache dir
+    * named with it can never serve a corpus from an older generation.
+    */
+  val clusteredParamsTag: String =
+    s"s${ClusteredSeed}d${ClusteredDims}k${ClusteredK}g${math.round(ClusteredSigma * 100)}"
+
   def embeddingsClustered(spark: SparkSession, factor: Int): DataFrame = {
     import spark.implicits._
     val n = 2000L * factor
-    val d = 64
-    val k = 32
-    val sigma = 0.15
+    val d = ClusteredDims
+    val k = ClusteredK
+    val sigma = ClusteredSigma
     def normalize(v: Array[Float]): Array[Float] = {
       var s = 0.0
       v.foreach(x => s += x.toDouble * x)
       val inv = (1.0 / math.sqrt(s)).toFloat
       v.map(_ * inv)
     }
-    val rnd = new scala.util.Random(7L)
+    val rnd = new scala.util.Random(ClusteredSeed)
     val centers = Array.fill(k)(normalize(Array.fill(d)(rnd.nextGaussian().toFloat)))
     val bc = spark.sparkContext.broadcast(centers)
     spark.range(n)
       .repartition(32)
       .as[Long]
       .map { id =>
-        val r = new scala.util.Random(id * 2654435761L + 7L)
+        val r = new scala.util.Random(id * 2654435761L + ClusteredSeed)
         val c = bc.value((id % k).toInt)
         val v = normalize(Array.tabulate(d)(j =>
           c(j) + (sigma * r.nextGaussian()).toFloat))
