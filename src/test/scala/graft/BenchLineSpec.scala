@@ -139,6 +139,14 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered cache key folds the generator params (ADVICE r13 #1)") {
+    // the tmpdir corpus cache is keyed by this tag: changing any clustered
+    // generator param (seed/dims/k/sigma) MUST change it, or a stale
+    // corpus from the prior generation is silently reused. Pinning the
+    // literal makes a param change a deliberate spec edit.
+    assert(graft.tools.ScaleGen.clusteredParamsTag === "s7d64k32g15")
+  }
+
   test("degenerate budget still yields parseable JSON") {
     val median = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val line = Bench.renderLine(median, n = 1, sfDir = "/tmp", budget = 10)

@@ -548,4 +548,18 @@ class LakeAndOrchestrationSpec extends SparkSpec {
     val keys = out.map(r => (r.getString(0), r.getString(1))).toSeq
     assert(keys == keys.sorted)
   }
+
+  test("x120 reuses one scratch root per (session, dir) (ADVICE r13 #2)") {
+    // repeated invocations in one JVM (bench rounds) must not accumulate
+    // scratch dirs: the root is allocated once and republished with
+    // overwrite-mode writes
+    def roots = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().count(_.getName.startsWith("graft-x120"))
+    val dir = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir).count()
+    val after1 = roots
+    val out = graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir)
+    assert(roots === after1, "second invocation created a new scratch root")
+    assert(out.count() > 0)
+  }
 }
