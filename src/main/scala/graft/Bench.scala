@@ -179,11 +179,18 @@ object Bench {
         try java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(root),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
+        catch { case e: java.nio.file.FileSystemException =>
           // destination appeared since the check: another JVM published
-          // the identical deterministic corpus first — use theirs
+          // the identical deterministic corpus first — use theirs. But
+          // ONLY if it actually did: a non-race failure (permissions,
+          // EXDEV when tmpdir spans devices) leaves no _SUCCESS at the
+          // destination, and swallowing it would hand downstream reads a
+          // broken cache path that fails confusingly later (ADVICE r14
+          // #2) — rethrow the original move failure in that case.
           try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
           catch { case _: Throwable => () }
+          if (!new java.io.File(s"$root/embeddings.parquet/_SUCCESS").exists)
+            throw e
         }
       }
       root
@@ -257,6 +264,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The round-1 bench catalog — BASELINE.md-era: 108.3 s over these 34
+    * queries at sf0.1 (BENCH_r01.json). The line reports their sum as
+    * `baseline_subset` so the vs-baseline claim compares identical query
+    * sets instead of a 117-query total against a 34-query one (VERDICT
+    * r14 #6). Names are pinned by BenchLineSpec against the live catalog
+    * so a rename can't silently shrink the subset.
+    */
+  private[graft] val baselineQuerySet: Set[String] = Set(
+    "q01_agg", "q02_conditional_sum", "q03_semi_join", "q04_anti_join",
+    "q05_window_seq", "q06_rollup_collect", "q07_pivot_sum",
+    "q08_dim_join_decode", "q09_date_index", "q10_flagship_document",
+    "q11_scalar_funcs", "q12_topk", "q13_setops", "q14_rollup",
+    "x20_token_stats", "x21_quality", "x22_langid", "x23_fingerprint",
+    "x24_scrub", "x25_vocab", "x30_dedup_exact", "x31_jaccard_pairs",
+    "x32_minhash_pairs", "x33_simhash_pairs", "x40_cosine_topk",
+    "x41_ann_lsh", "x50_media_meta", "x51_media_features",
+    "x60_event_hourly", "x61_event_hourly_stream", "x62_event_props",
+    "x63_asof_join", "x64_range_join", "x70_topk_per_group")
+
   /** The ONE JSON line the harness parses — from only the LAST ~2000
     * chars of output, with sbt's "[success] Total time" line (~80 chars)
     * appended after us. Keep the whole line under `budget` chars:
@@ -287,6 +313,20 @@ object Bench {
         .mkString(""","canary_sec":[""", ",", "]")
     val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     val minPart = if (minTotal < 0) "" else s""","total_min":${fmt(minTotal)}"""
+    // baseline-era subset totals (VERDICT r14 #6): fixed-size and
+    // load-bearing for the vs-baseline comparison — emitted whenever the
+    // catalog contains the subset; n_queries < 34 flags catalog drift
+    val subsetNames = names.filter(baselineQuerySet.contains)
+    val subsetPart =
+      if (subsetNames.isEmpty) ""
+      else {
+        val subMin =
+          if (subsetNames.forall(minima.contains))
+            s""","total_min":${fmt(subsetNames.map(minima).sum)}"""
+          else ""
+        s""","baseline_subset":{"n_queries":${subsetNames.size},""" +
+          s""""total":${fmt(subsetNames.map(median).sum)}$subMin}"""
+      }
     // recall/failed are small, fixed-size, and load-bearing for the
     // artifact's interpretability — emitted unconditionally (the shrink
     // loop below absorbs their length by keeping fewer query rows)
@@ -328,7 +368,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$rddPart$minPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

@@ -50,11 +50,12 @@ object FairnessProbe {
     * `pooled` puts each thread in its own pool. Samples start only after
     * the saturator has been running ~1 s (queue is deep). A sample the
     * saturator drained under is discarded (it no longer measures
-    * contention) but does NOT consume the sample budget (ADVICE r13 #4):
-    * the loop runs until `samples` VALID latencies are collected, the
-    * saturator finishes, or a hard cap of 4×samples iterations. Returns
-    * the valid latencies plus the discarded count, which the artifact
-    * reports so a shortfall is visible, never silent.
+    * contention) and ENDS the phase — once the saturator is done there
+    * is no contention left to sample, so the loop exits with whatever
+    * valid latencies it collected (at most one discard per phase; the
+    * 4×samples iteration cap is a hang backstop, ADVICE r14 #4). A
+    * shortfall is never silent: the artifact reports the discard count
+    * and `min_n_ok`, and main() exits nonzero when the latter is false.
     */
   private def measure(spark: SparkSession, pooled: Boolean, samples: Int,
       scale: Int): (Seq[Double], Int) = {
@@ -112,10 +113,12 @@ object FairnessProbe {
           num(median(xs), 3)},"max":${num(s.last, 3)},"samples_discarded":$dropped}"""
       }
     val minN = math.ceil(samples / 2.0).toInt
-    if (nopool.size < minN || pool.size < minN)
-      System.err.println(s"[fairness] WARNING: collected n " +
+    val minNOk = nopool.size >= minN && pool.size >= minN
+    if (!minNOk)
+      System.err.println(s"[fairness] ERROR: collected n " +
         s"(${nopool.size}/${pool.size}) below $minN of $samples requested " +
-        "despite saturator scaling — treat medians as indicative only")
+        "despite saturator scaling — medians are indicative only; " +
+        "exiting nonzero so an automated re-run can't archive this probe")
     val json =
       s"""{"saturator_secs_alone":${num(satAlone, 2)},""" +
         s""""saturator_scale":$scale,""" +
@@ -123,9 +126,13 @@ object FairnessProbe {
         s""""tiny_under_saturation_default_pool":${stats(nopool, nopoolDropped)},""" +
         s""""tiny_under_saturation_own_pools":${stats(pool, poolDropped)},""" +
         s""""samples_requested":$samples,""" +
-        s""""min_n_ok":${nopool.size >= minN && pool.size >= minN}}"""
+        s""""min_n_ok":$minNOk}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()
+    // hard-fail AFTER the artifact is written (VERDICT r14 #7): the JSON
+    // still lands for inspection, but the nonzero exit stops an automated
+    // harness from quietly archiving an under-sampled probe
+    if (!minNOk) sys.exit(1)
   }
 }

@@ -77,6 +77,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(j.get("queries_min").get("x41_ann_lsh").asDouble - 3.2) < 1e-9)
   }
 
+  test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
+    // the 34-name set must stay a subset of the live catalog — a rename
+    // would silently shrink the subset and skew the vs-baseline claim
+    assert(Bench.baselineQuerySet.size === 34)
+    val live = SparkEntry.queries.keySet
+    val missing = Bench.baselineQuerySet -- live
+    assert(missing.isEmpty, s"baseline subset names absent from catalog: $missing")
+    // renderer: subset totals are the subset's sums, not the catalog's
+    val median = Bench.baselineQuerySet.toSeq.map(_ -> 1.0).toMap +
+      ("x999_not_in_subset" -> 100.0)
+    val minima = median.map { case (k, v) => k -> v * 0.9 }
+    val line = Bench.renderLine(median, n = 3, sfDir = "/tmp", minima = minima)
+    val j = parse(line)
+    val bs = j.get("baseline_subset")
+    assert(bs != null, "baseline_subset missing from line")
+    assert(bs.get("n_queries").asInt === 34)
+    assert(math.abs(bs.get("total").asDouble - 34.0) < 0.01)
+    assert(math.abs(bs.get("total_min").asDouble - 34.0 * 0.9) < 0.01)
+    assert(math.abs(j.get("value").asDouble - 134.0) < 0.01)
+  }
+
   test("queries_min is capped at the 12 slowest kept rows and stays in budget") {
     val median = (1 to 300)
       .map(i => f"x$i%03d_some_longer_query_name" -> (300 - i) * 0.01).toMap

@@ -552,14 +552,21 @@ class LakeAndOrchestrationSpec extends SparkSpec {
   test("x120 reuses one scratch root per (session, dir) (ADVICE r13 #2)") {
     // repeated invocations in one JVM (bench rounds) must not accumulate
     // scratch dirs: the root is allocated once and republished with
-    // overwrite-mode writes
-    def roots = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().count(_.getName.startsWith("graft-x120"))
+    // overwrite-mode writes. Read the root via the package-private map
+    // keyed by (sessionUUID, dir) — counting global tmpdir entries would
+    // flake whenever a parallel JVM creates/reaps graft-x120 dirs between
+    // snapshots (ADVICE r14 #3).
     val dir = "/root/testdata/sf0.001"
     graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir).count()
-    val after1 = roots
+    val key = s"${graft.queries.ExtQueries.x120SessionKey(spark)}|$dir"
+    val root1 = graft.queries.ExtQueries.x120Roots.get(key)
+    assert(root1 != null, "first invocation registered no scratch root")
+    val mapSize1 = graft.queries.ExtQueries.x120Roots.size
     val out = graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir)
-    assert(roots === after1, "second invocation created a new scratch root")
+    assert(graft.queries.ExtQueries.x120Roots.get(key) === root1,
+      "second invocation replaced the scratch root")
+    assert(graft.queries.ExtQueries.x120Roots.size === mapSize1,
+      "second invocation grew the roots map")
     assert(out.count() > 0)
   }
 }
