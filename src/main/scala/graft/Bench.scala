@@ -45,6 +45,7 @@ object Bench {
     var maxRdds = 0
     var cleanupCounter = 0
     val canaries = Seq.newBuilder[(Double, Double)]
+    val canariesIo = Seq.newBuilder[(Double, Double)]
     // Failed queries are REPORTED, not silently absorbed: a query refused
     // by a budget/dimension guard otherwise records near-zero elapsed and
     // masquerades as a fast one, shrinking the total (ADVICE r6).
@@ -55,7 +56,9 @@ object Bench {
       // boundaries-only sample misses entirely (observed: single queries
       // spiking 10-80x mid-round with flat boundary canaries)
       val canarySamples = Seq.newBuilder[Double]
+      val canaryIoSamples = Seq.newBuilder[Double]
       canarySamples += canarySec(spark)
+      canaryIoSamples += canaryIoSec()
       val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -83,12 +86,16 @@ object Bench {
         if (cleanupCounter % 16 == 0) {
           System.gc()
           canarySamples += canarySec(spark)
+          canaryIoSamples += canaryIoSec()
         }
         name -> sec
       }
       canarySamples += canarySec(spark)
+      canaryIoSamples += canaryIoSec()
       val cs = canarySamples.result()
       canaries += ((cs.min, cs.max))
+      val cio = canaryIoSamples.result()
+      canariesIo += ((cio.min, cio.max))
       m
     }
     val median: Map[String, Double] = names.map { name =>
@@ -110,7 +117,8 @@ object Bench {
     // carries recall numbers a judge can trend, not just seconds.
     val recall = recallNumbers(spark, sfDir)
     val line = renderLine(median, n, sfDir, canaries.result(), maxRdds, minTotal,
-      minima = minima, recall = recall, failed = failed.toSeq)
+      minima = minima, recall = recall, failed = failed.toSeq,
+      canariesIo = canariesIo.result())
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
@@ -264,6 +272,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** I/O contention canary, sampled beside the CPU one. The round-15
+    * floor adjudication exposed a gauge gap: co-tenant DISK pressure
+    * slows the scan-heavy query family coherently while the CPU canary
+    * stays flat, leaving a 2 s floor drift unattributable. This probe
+    * writes 32 MiB + fsync to a fresh tmp file (same ext4 device as the
+    * testdata and shuffle dirs) — write+force is page-cache-immune, so
+    * its spread tracks device contention specifically. ~80 ms unloaded.
+    */
+  private val ioCanaryBuf = java.nio.ByteBuffer.allocateDirect(1 << 20)
+
+  private def canaryIoSec(): Double = {
+    val path = java.nio.file.Files.createTempFile("graft-bench-iocanary", ".bin")
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var i = 0
+      while (i < 32) {
+        ioCanaryBuf.clear()
+        while (ioCanaryBuf.hasRemaining) ch.write(ioCanaryBuf)
+        i += 1
+      }
+      ch.force(true)
+    } finally {
+      ch.close()
+      java.nio.file.Files.deleteIfExists(path)
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The round-1 bench catalog — BASELINE.md-era: 108.3 s over these 34
     * queries at sf0.1 (BENCH_r01.json). The line reports their sum as
     * `baseline_subset` so the vs-baseline claim compares identical query
@@ -300,7 +338,8 @@ object Bench {
       budget: Int = 1800,
       minima: Map[String, Double] = Map.empty,
       recall: Map[String, Double] = Map.empty,
-      failed: Seq[String] = Nil): String = {
+      failed: Seq[String] = Nil,
+      canariesIo: Seq[(Double, Double)] = Nil): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -311,6 +350,10 @@ object Bench {
       if (canaries.isEmpty) ""
       else canaries.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
         .mkString(""","canary_sec":[""", ",", "]")
+    val canaryIoPart =
+      if (canariesIo.isEmpty) ""
+      else canariesIo.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
+        .mkString(""","canary_io":[""", ",", "]")
     val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     val minPart = if (minTotal < 0) "" else s""","total_min":${fmt(minTotal)}"""
     // baseline-era subset totals (VERDICT r14 #6): fixed-size and
@@ -368,7 +411,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$canaryIoPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

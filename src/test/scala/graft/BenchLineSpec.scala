@@ -77,6 +77,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(j.get("queries_min").get("x41_ann_lsh").asDouble - 3.2) < 1e-9)
   }
 
+  test("canary_io renders beside canary_sec as per-round [min,max] pairs") {
+    val median = Map("q01" -> 1.5, "q02" -> 0.5)
+    val line = Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      canaries = Seq((0.1, 0.2)), canariesIo = Seq((0.05, 0.31)))
+    val j = parse(line)
+    assert(j.get("canary_io").size === 1)
+    assert(math.abs(j.get("canary_io").get(0).get(0).asDouble - 0.05) < 1e-9)
+    assert(math.abs(j.get("canary_io").get(0).get(1).asDouble - 0.31) < 1e-9)
+    assert(j.get("canary_sec").size === 1)
+  }
+
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
     // the 34-name set must stay a subset of the live catalog — a rename
     // would silently shrink the subset and skew the vs-baseline claim
