@@ -46,6 +46,7 @@ object Bench {
     var cleanupCounter = 0
     val canaries = Seq.newBuilder[(Double, Double)]
     val canariesIo = Seq.newBuilder[(Double, Double)]
+    val loads = Seq.newBuilder[(Double, Double)]
     // Failed queries are REPORTED, not silently absorbed: a query refused
     // by a budget/dimension guard otherwise records near-zero elapsed and
     // masquerades as a fast one, shrinking the total (ADVICE r6).
@@ -57,8 +58,10 @@ object Bench {
       // spiking 10-80x mid-round with flat boundary canaries)
       val canarySamples = Seq.newBuilder[Double]
       val canaryIoSamples = Seq.newBuilder[Double]
+      val loadSamples = Seq.newBuilder[Double]
       canarySamples += canarySec(spark)
       canaryIoSamples += canaryIoSec()
+      loadSamples += loadAvg1m()
       val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -87,15 +90,19 @@ object Bench {
           System.gc()
           canarySamples += canarySec(spark)
           canaryIoSamples += canaryIoSec()
+          loadSamples += loadAvg1m()
         }
         name -> sec
       }
       canarySamples += canarySec(spark)
       canaryIoSamples += canaryIoSec()
+      loadSamples += loadAvg1m()
       val cs = canarySamples.result()
       canaries += ((cs.min, cs.max))
       val cio = canaryIoSamples.result()
       canariesIo += ((cio.min, cio.max))
+      val ls = loadSamples.result()
+      loads += ((ls.min, ls.max))
       m
     }
     val median: Map[String, Double] = names.map { name =>
@@ -118,7 +125,7 @@ object Bench {
     val recall = recallNumbers(spark, sfDir)
     val line = renderLine(median, n, sfDir, canaries.result(), maxRdds, minTotal,
       minima = minima, recall = recall, failed = failed.toSeq,
-      canariesIo = canariesIo.result())
+      canariesIo = canariesIo.result(), loads = loads.result())
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
@@ -280,6 +287,18 @@ object Bench {
     * testdata and shuffle dirs) — write+force is page-cache-immune, so
     * its spread tracks device contention specifically. ~80 ms unloaded.
     */
+  /** Host 1-min load average sampled beside the canaries — the OS's own
+    * contention meter. Round 15 watched a co-tenant push load to 8.5
+    * mid-run while BOTH probe gauges stayed near-flat (a tenant holding
+    * a fraction of the cores barely slows a 32-way parallel sum but
+    * does slow shuffle/scan-heavy queries), so the artifact now records
+    * the meter that did move. -1.0 if the platform exposes no loadavg.
+    */
+  private def loadAvg1m(): Double = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    os.getSystemLoadAverage
+  }
+
   private val ioCanaryBuf = java.nio.ByteBuffer.allocateDirect(1 << 20)
 
   private def canaryIoSec(): Double = {
@@ -339,7 +358,8 @@ object Bench {
       minima: Map[String, Double] = Map.empty,
       recall: Map[String, Double] = Map.empty,
       failed: Seq[String] = Nil,
-      canariesIo: Seq[(Double, Double)] = Nil): String = {
+      canariesIo: Seq[(Double, Double)] = Nil,
+      loads: Seq[(Double, Double)] = Nil): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -354,6 +374,13 @@ object Bench {
       if (canariesIo.isEmpty) ""
       else canariesIo.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
         .mkString(""","canary_io":[""", ",", "]")
+    // 2-decimal: loadavg has no more precision worth the chars
+    def fmt2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val loadPart =
+      if (loads.isEmpty || loads.exists(_._1 < 0)) ""
+      else loads.map { case (s, e) => s"[${fmt2(s)},${fmt2(e)}]" }
+        .mkString(""","canary_load":[""", ",", "]")
     val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     val minPart = if (minTotal < 0) "" else s""","total_min":${fmt(minTotal)}"""
     // baseline-era subset totals (VERDICT r14 #6): fixed-size and
@@ -411,7 +438,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$canaryIoPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$canaryIoPart$loadPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

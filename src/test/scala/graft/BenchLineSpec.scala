@@ -77,15 +77,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(j.get("queries_min").get("x41_ann_lsh").asDouble - 3.2) < 1e-9)
   }
 
-  test("canary_io renders beside canary_sec as per-round [min,max] pairs") {
+  test("canary_io and canary_load render beside canary_sec as [min,max] pairs") {
     val median = Map("q01" -> 1.5, "q02" -> 0.5)
     val line = Bench.renderLine(median, n = 3, sfDir = "/tmp",
-      canaries = Seq((0.1, 0.2)), canariesIo = Seq((0.05, 0.31)))
+      canaries = Seq((0.1, 0.2)), canariesIo = Seq((0.05, 0.31)),
+      loads = Seq((0.02, 8.54)))
     val j = parse(line)
     assert(j.get("canary_io").size === 1)
     assert(math.abs(j.get("canary_io").get(0).get(0).asDouble - 0.05) < 1e-9)
     assert(math.abs(j.get("canary_io").get(0).get(1).asDouble - 0.31) < 1e-9)
     assert(j.get("canary_sec").size === 1)
+    assert(j.get("canary_load").size === 1)
+    assert(math.abs(j.get("canary_load").get(0).get(1).asDouble - 8.54) < 1e-9)
+    // platforms with no loadavg report -1: the field is omitted, not junk
+    val noLoad = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      loads = Seq((-1.0, -1.0))))
+    assert(noLoad.get("canary_load") == null)
   }
 
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
