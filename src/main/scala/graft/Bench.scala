@@ -301,25 +301,30 @@ object Bench {
 
   private val ioCanaryBuf = java.nio.ByteBuffer.allocateDirect(1 << 20)
 
-  private def canaryIoSec(): Double = {
-    val path = java.nio.file.Files.createTempFile("graft-bench-iocanary", ".bin")
-    val t0 = System.nanoTime()
-    val ch = java.nio.channels.FileChannel.open(path,
-      java.nio.file.StandardOpenOption.WRITE)
+  // -1.0 when the probe itself fails (tmp disk full — a real state
+  // during deep-decade rehearsals — or permissions): a gauge must
+  // degrade to "no reading", never kill the bench it instruments; the
+  // renderer omits the field for the run, same rule as canary_load.
+  private def canaryIoSec(): Double =
     try {
-      var i = 0
-      while (i < 32) {
-        ioCanaryBuf.clear()
-        while (ioCanaryBuf.hasRemaining) ch.write(ioCanaryBuf)
-        i += 1
+      val path = java.nio.file.Files.createTempFile("graft-bench-iocanary", ".bin")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var i = 0
+        while (i < 32) {
+          ioCanaryBuf.clear()
+          while (ioCanaryBuf.hasRemaining) ch.write(ioCanaryBuf)
+          i += 1
+        }
+        ch.force(true)
+      } finally {
+        ch.close()
+        java.nio.file.Files.deleteIfExists(path)
       }
-      ch.force(true)
-    } finally {
-      ch.close()
-      java.nio.file.Files.deleteIfExists(path)
-    }
-    (System.nanoTime() - t0) / 1e9
-  }
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: java.io.IOException => -1.0 }
 
   /** The round-1 bench catalog — BASELINE.md-era: 108.3 s over these 34
     * queries at sf0.1 (BENCH_r01.json). The line reports their sum as
@@ -371,7 +376,7 @@ object Bench {
       else canaries.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
         .mkString(""","canary_sec":[""", ",", "]")
     val canaryIoPart =
-      if (canariesIo.isEmpty) ""
+      if (canariesIo.isEmpty || canariesIo.exists(_._1 < 0)) ""
       else canariesIo.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
         .mkString(""","canary_io":[""", ",", "]")
     // 2-decimal: loadavg has no more precision worth the chars

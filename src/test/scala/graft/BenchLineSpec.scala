@@ -89,10 +89,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("canary_sec").size === 1)
     assert(j.get("canary_load").size === 1)
     assert(math.abs(j.get("canary_load").get(0).get(1).asDouble - 8.54) < 1e-9)
-    // platforms with no loadavg report -1: the field is omitted, not junk
+    // a failed gauge reports -1 (no loadavg on the platform, io probe
+    // hit disk-full): the field is omitted, not junk
     val noLoad = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
-      loads = Seq((-1.0, -1.0))))
+      loads = Seq((-1.0, -1.0)), canariesIo = Seq((-1.0, 0.08))))
     assert(noLoad.get("canary_load") == null)
+    assert(noLoad.get("canary_io") == null)
   }
 
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
