@@ -46,7 +46,7 @@ object Bench {
     var cleanupCounter = 0
     val canaries = Seq.newBuilder[(Double, Double)]
     val canariesIo = Seq.newBuilder[(Double, Double)]
-    val loads = Seq.newBuilder[(Double, Double)]
+    val foreignCpu = Seq.newBuilder[Double]
     // Failed queries are REPORTED, not silently absorbed: a query refused
     // by a budget/dimension guard otherwise records near-zero elapsed and
     // masquerades as a fast one, shrinking the total (ADVICE r6).
@@ -58,10 +58,9 @@ object Bench {
       // spiking 10-80x mid-round with flat boundary canaries)
       val canarySamples = Seq.newBuilder[Double]
       val canaryIoSamples = Seq.newBuilder[Double]
-      val loadSamples = Seq.newBuilder[Double]
+      val foreignStart = foreignCpuJiffies()
       canarySamples += canarySec(spark)
       canaryIoSamples += canaryIoSec()
-      loadSamples += loadAvg1m()
       val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -90,19 +89,19 @@ object Bench {
           System.gc()
           canarySamples += canarySec(spark)
           canaryIoSamples += canaryIoSec()
-          loadSamples += loadAvg1m()
         }
         name -> sec
       }
       canarySamples += canarySec(spark)
       canaryIoSamples += canaryIoSec()
-      loadSamples += loadAvg1m()
+      val foreignEnd = foreignCpuJiffies()
       val cs = canarySamples.result()
       canaries += ((cs.min, cs.max))
       val cio = canaryIoSamples.result()
       canariesIo += ((cio.min, cio.max))
-      val ls = loadSamples.result()
-      loads += ((ls.min, ls.max))
+      foreignCpu +=
+        (if (foreignStart < 0 || foreignEnd < 0) -1.0
+         else (foreignEnd - foreignStart) / jiffiesPerSec)
       m
     }
     val median: Map[String, Double] = names.map { name =>
@@ -125,7 +124,7 @@ object Bench {
     val recall = recallNumbers(spark, sfDir)
     val line = renderLine(median, n, sfDir, canaries.result(), maxRdds, minTotal,
       minima = minima, recall = recall, failed = failed.toSeq,
-      canariesIo = canariesIo.result(), loads = loads.result())
+      canariesIo = canariesIo.result(), foreignCpu = foreignCpu.result())
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
@@ -287,17 +286,36 @@ object Bench {
     * testdata and shuffle dirs) — write+force is page-cache-immune, so
     * its spread tracks device contention specifically. ~80 ms unloaded.
     */
-  /** Host 1-min load average sampled beside the canaries — the OS's own
-    * contention meter. Round 15 watched a co-tenant push load to 8.5
-    * mid-run while BOTH probe gauges stayed near-flat (a tenant holding
-    * a fraction of the cores barely slows a 32-way parallel sum but
-    * does slow shuffle/scan-heavy queries), so the artifact now records
-    * the meter that did move. -1.0 if the platform exposes no loadavg.
+  /** Co-tenant CPU meter: (system busy jiffies) − (this JVM's jiffies),
+    * both monotonic counters, so a per-round DELTA is foreign CPU spent
+    * during the round, in core-seconds. This is the gauge that actually
+    * separates tenants — round 15 first tried the 1-min loadavg and
+    * found it DOMINATED by the bench's own 32 threads (a 97.9 s-floor
+    * run read load 4.3–13.2 while a contended 105 s-floor run read
+    * 2.4–9.6: inverted, useless for disqualification), while the probe
+    * canaries under-detect partial-core co-tenancy (load 8.5 with a
+    * near-flat 32-way-sum canary). Foreign CPU has none of those blind
+    * spots: quiet host ≈ 0, a tenant on 8 cores for a 6-min run ≈ 2900.
+    * -1.0 where /proc is absent (the renderer omits the field).
     */
-  private def loadAvg1m(): Double = {
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    os.getSystemLoadAverage
-  }
+  private def foreignCpuJiffies(): Double =
+    try {
+      val sys = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim
+        .split("\\s+").drop(1).map(_.toLong)
+      // busy = user+nice+system+irq+softirq+steal (indices 0,1,2,5,6,7);
+      // idle+iowait (3,4) excluded
+      val busy = Seq(0, 1, 2, 5, 6, 7).filter(_ < sys.length).map(sys).sum
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      // fields after the parenthesized comm (which may contain spaces):
+      // state is field 3, so utime (field 14) is index 11 here
+      val rest = raw.substring(raw.lastIndexOf(')') + 2).trim.split(" ")
+      val own = rest(11).toLong + rest(12).toLong // utime + stime
+      (busy - own).toDouble
+    } catch { case _: Throwable => -1.0 }
+
+  private val jiffiesPerSec = 100.0 // USER_HZ; Linux fixes this at 100
 
   private val ioCanaryBuf = java.nio.ByteBuffer.allocateDirect(1 << 20)
 
@@ -364,7 +382,7 @@ object Bench {
       recall: Map[String, Double] = Map.empty,
       failed: Seq[String] = Nil,
       canariesIo: Seq[(Double, Double)] = Nil,
-      loads: Seq[(Double, Double)] = Nil): String = {
+      foreignCpu: Seq[Double] = Nil): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -379,13 +397,14 @@ object Bench {
       if (canariesIo.isEmpty || canariesIo.exists(_._1 < 0)) ""
       else canariesIo.map { case (s, e) => s"[${fmt(s)},${fmt(e)}]" }
         .mkString(""","canary_io":[""", ",", "]")
-    // 2-decimal: loadavg has no more precision worth the chars
-    def fmt2(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val loadPart =
-      if (loads.isEmpty || loads.exists(_._1 < 0)) ""
-      else loads.map { case (s, e) => s"[${fmt2(s)},${fmt2(e)}]" }
-        .mkString(""","canary_load":[""", ",", "]")
+    // 1-decimal core-seconds: jiffy resolution is 10 ms, and the signal
+    // is "≈0 vs hundreds" — more precision is noise
+    def fmt1(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    val foreignPart =
+      if (foreignCpu.isEmpty || foreignCpu.exists(_ < 0)) ""
+      else foreignCpu.map(fmt1)
+        .mkString(""","foreign_cpu_sec":[""", ",", "]")
     val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     val minPart = if (minTotal < 0) "" else s""","total_min":${fmt(minTotal)}"""
     // baseline-era subset totals (VERDICT r14 #6): fixed-size and
@@ -443,7 +462,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$canaryIoPart$loadPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$canaryIoPart$foreignPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

@@ -77,24 +77,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(j.get("queries_min").get("x41_ann_lsh").asDouble - 3.2) < 1e-9)
   }
 
-  test("canary_io and canary_load render beside canary_sec as [min,max] pairs") {
+  test("canary_io and foreign_cpu_sec render beside canary_sec") {
     val median = Map("q01" -> 1.5, "q02" -> 0.5)
     val line = Bench.renderLine(median, n = 3, sfDir = "/tmp",
       canaries = Seq((0.1, 0.2)), canariesIo = Seq((0.05, 0.31)),
-      loads = Seq((0.02, 8.54)))
+      foreignCpu = Seq(3.2, 812.6, 0.0))
     val j = parse(line)
     assert(j.get("canary_io").size === 1)
     assert(math.abs(j.get("canary_io").get(0).get(0).asDouble - 0.05) < 1e-9)
     assert(math.abs(j.get("canary_io").get(0).get(1).asDouble - 0.31) < 1e-9)
     assert(j.get("canary_sec").size === 1)
-    assert(j.get("canary_load").size === 1)
-    assert(math.abs(j.get("canary_load").get(0).get(1).asDouble - 8.54) < 1e-9)
-    // a failed gauge reports -1 (no loadavg on the platform, io probe
-    // hit disk-full): the field is omitted, not junk
-    val noLoad = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
-      loads = Seq((-1.0, -1.0)), canariesIo = Seq((-1.0, 0.08))))
-    assert(noLoad.get("canary_load") == null)
-    assert(noLoad.get("canary_io") == null)
+    assert(j.get("foreign_cpu_sec").size === 3)
+    assert(math.abs(j.get("foreign_cpu_sec").get(1).asDouble - 812.6) < 1e-9)
+    // a failed gauge reports -1 (no /proc on the platform, io probe hit
+    // disk-full): the field is omitted, not junk
+    val degraded = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      foreignCpu = Seq(3.2, -1.0), canariesIo = Seq((-1.0, 0.08))))
+    assert(degraded.get("foreign_cpu_sec") == null)
+    assert(degraded.get("canary_io") == null)
   }
 
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
