@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Per-query-delta consistency test between two bench artifacts.
+
+The r15 floor adjudication (SURVEY §15.3) established that on this
+host an ENGINE regression shows up as a consistent, concentrated
+per-query delta, while environment drift (microVM physical-host
+neighbor noise, invisible to in-guest gauges) is diffuse and flips
+sign across runs. This tool applies that test mechanically so a floor
+drift in round N+1 is adjudicated from committed artifacts instead of
+re-running for a flat window that may not exist.
+
+Usage:
+    python3 tools/floorcheck.py OLD NEW [NEW2 ...]
+
+Each argument is a bench JSON line file (the raw one-line artifact, a
+driver BENCH_r{N}.json wrapper with a "parsed" field, or a
+BENCH_r15_selfruns.jsonl — for a .jsonl every line is taken as a NEW
+run). Compares the per-query medians over keys shared by OLD and every
+NEW run (the line keeps only the ~35 slowest, so the shared set is the
+expensive queries — exactly where an engine regression matters).
+
+Verdict per query (only queries shared by ALL inputs):
+  CONSISTENT — delta vs OLD has the same sign in every NEW run and
+               |delta| >= max(0.15 s, 10% of OLD) in every run.
+  diffuse    — everything else.
+
+A floor drift with zero CONSISTENT regressions is environment; one
+with CONSISTENT regressions names the bisect targets.
+
+CALIBRATION (measured, r15): NEW runs must span HOST STATES (different
+days/rounds) — same-day runs share environment and fake consistency in
+both directions (q11 read a consistent −1.3 s on byte-identical code
+because OLD was a contended driver capture; x34/x67 read a consistent
++0.25 s that the full 13-run day spread shows is a day-shift whose low
+equals OLD exactly). Prefer an OLD taken from the same host-state
+class (quiet vs driver-contended), and treat a CONSISTENT verdict from
+fewer than 3 cross-day NEW runs as a lead, not a conviction.
+"""
+import json
+import sys
+
+
+def load_runs(path):
+    """Return a list of (label, {query: median_sec}) from one file."""
+    runs = []
+    with open(path) as f:
+        text = f.read()
+    try:
+        lines = [json.dumps(json.loads(text))]  # one (possibly pretty) doc
+    except json.JSONDecodeError:
+        lines = [l for l in text.splitlines() if l.strip().startswith("{")]
+    for i, line in enumerate(lines):
+        d = json.loads(line)
+        if "parsed" in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        q = d.get("queries")
+        if not q:
+            continue
+        label = d.get("_note") or f"{path}#{i}"
+        runs.append((label[:60], q, d.get("total_min")))
+    if not runs:
+        raise SystemExit(f"{path}: no bench line with a queries map")
+    return runs
+
+
+def main(argv):
+    if len(argv) < 3:
+        raise SystemExit(__doc__)
+    old_label, old, old_floor = load_runs(argv[1])[0]
+    news = []
+    for p in argv[2:]:
+        news.extend(load_runs(p))
+    shared = set(old)
+    for _, q, _ in news:
+        shared &= set(q)
+    print(f"old: {old_label} (floor {old_floor})")
+    for label, _, floor in news:
+        print(f"new: {label} (floor {floor})")
+    print(f"shared queries: {len(shared)}")
+
+    rows = []
+    for name in shared:
+        deltas = [q[name] - old[name] for _, q, _ in news]
+        thresh = max(0.15, 0.10 * old[name])
+        consistent = (
+            all(d >= thresh for d in deltas)
+            or all(d <= -thresh for d in deltas))
+        rows.append((name, old[name], deltas, consistent))
+
+    rows.sort(key=lambda r: -max(abs(d) for d in r[2]))
+    n_consistent_up = 0
+    for name, base, deltas, consistent in rows[:20]:
+        tag = "CONSISTENT" if consistent else "diffuse"
+        if consistent and deltas[0] > 0:
+            n_consistent_up += 1
+        ds = " ".join(f"{d:+.2f}" for d in deltas)
+        print(f"  {tag:10s} {name:28s} {base:6.2f} -> {ds}")
+
+    print()
+    if n_consistent_up == 0:
+        print("VERDICT: no consistent per-query regression — "
+              "floor drift (if any) is environment, not engine.")
+    else:
+        print(f"VERDICT: {n_consistent_up} consistent regression(s) — "
+              "bisect the named queries.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
