@@ -31,7 +31,7 @@ CALIBRATION (measured, r15): NEW runs must span HOST STATES (different
 days/rounds) — same-day runs share environment and fake consistency in
 both directions (q11 read a consistent −1.3 s on byte-identical code
 because OLD was a contended driver capture; x34/x67 read a consistent
-+0.25 s that the full 13-run day spread shows is a day-shift whose low
++0.25 s that the full 14-run day spread shows is a day-shift whose low
 equals OLD exactly). Prefer an OLD taken from the same host-state
 class (quiet vs driver-contended), and treat a CONSISTENT verdict from
 fewer than 3 cross-day NEW runs as a lead, not a conviction.
