@@ -95,6 +95,12 @@ class BenchLineSpec extends AnyFunSuite {
       foreignCpu = Seq(3.2, -1.0), canariesIo = Seq((-1.0, 0.08))))
     assert(degraded.get("foreign_cpu_sec") == null)
     assert(degraded.get("canary_io") == null)
+    // only the EXPLICIT -1.0 sentinel omits: a jiffy-granularity jitter
+    // reading (the bench loop clamps these at 0, but the renderer must
+    // not confuse one with a failure) keeps the field (ADVICE r15 #2)
+    val jitter = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      foreignCpu = Seq(3.2, -0.02)))
+    assert(jitter.get("foreign_cpu_sec").size === 2)
   }
 
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {

@@ -569,4 +569,24 @@ class LakeAndOrchestrationSpec extends SparkSpec {
       "second invocation grew the roots map")
     assert(out.count() > 0)
   }
+
+  test("x120 returned frame survives a subsequent republish (VERDICT r15 #1)") {
+    // the r15 scaladoc documented a hazard: the returned frame was a
+    // lazy read over a shared scratch root that the NEXT invocation
+    // republishes over (overwrite-mode), so a slow consumer could read
+    // a stale/torn 27-row frame. The fix materializes inside the lock —
+    // the returned plan must be a local relation (no scratch-file scan)
+    // and must stay exact when consumed AFTER a republish.
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir)
+    assert(first.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.nodeName.contains("LocalRelation")),
+      s"x120 result still scans scratch files:\n${first.queryExecution.optimizedPlan}")
+    // republish every scratch table over the root the first frame used
+    graft.SparkEntry.queries("x120_orchestrated_dag")(spark, dir).count()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rollup = first.collect().filter(_.getString(0) == "rollup")
+    assert(rollup.length == 2 && rollup.forall(_.getLong(2) == total),
+      s"first frame torn by republish: ${rollup.mkString(", ")} vs $total")
+  }
 }
