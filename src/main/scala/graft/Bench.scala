@@ -371,6 +371,44 @@ object Bench {
     "x60_event_hourly", "x61_event_hourly_stream", "x62_event_props",
     "x63_asof_join", "x64_range_join", "x70_topk_per_group")
 
+  /** Gauge triggers for the per-round `contended` verdict, calibrated
+    * against the 33 runs on record through round 16 (BENCH_r15/r16
+    * sidecars + driver artifacts + the judge's re-runs):
+    *  - CPU canary max > 0.4 s — the MAINTENANCE §1 re-run trigger;
+    *    all-quiet runs read ≤ ~0.36 (r16 sidecar lines 11/15).
+    *  - io canary max > 0.6 s — quiet sustained readings are ≤ ~0.25
+    *    with documented single cold-file blips to 0.51 on otherwise
+    *    all-quiet runs (r16 lines 1/4/8), vs 0.74 on the gauge-flagged
+    *    line 13 and 2.843 in the contended r16 driver artifact.
+    *  - foreign CPU > 10 core-sec — every quiet run on record reads
+    *    ≤ 8.5; real in-guest co-tenants read 14.8–43.2 (lines 10/14/
+    *    16/17); session tooling reads in the tens.
+    */
+  private[graft] val cpuCanaryTrigger = 0.4
+  private[graft] val ioCanaryTrigger = 0.6
+  private[graft] val foreignCpuTrigger = 10.0
+
+  /** Per-round contention verdict derived from the three gauges
+    * (VERDICT r16 #2): a round is contended when ANY gauge crosses its
+    * calibrated trigger, so the artifact labels its own rounds instead
+    * of relying on a judge to read the raw arrays each time. A failed
+    * gauge (-1.0 sentinel) contributes no verdict — a probe failure is
+    * "no reading", not contention. The boolean is DERIVED: the raw
+    * arrays stay on the line so the rule can be re-calibrated from
+    * committed artifacts alone.
+    */
+  private[graft] def contendedFlags(
+      canaries: Seq[(Double, Double)],
+      canariesIo: Seq[(Double, Double)],
+      foreignCpu: Seq[Double]): Seq[Boolean] = {
+    val rounds = Seq(canaries.size, canariesIo.size, foreignCpu.size).max
+    (0 until rounds).map { i =>
+      canaries.lift(i).exists(_._2 > cpuCanaryTrigger) ||
+        canariesIo.lift(i).exists(c => c._1 >= 0 && c._2 > ioCanaryTrigger) ||
+        foreignCpu.lift(i).exists(_ > foreignCpuTrigger)
+    }
+  }
+
   /** The ONE JSON line the harness parses — from only the LAST ~2000
     * chars of output, with sbt's "[success] Total time" line (~80 chars)
     * appended after us. Keep the whole line under `budget` chars:
@@ -415,6 +453,16 @@ object Bench {
       if (foreignCpu.isEmpty || foreignCpu.exists(_ < -0.5)) ""
       else foreignCpu.map(fmt1)
         .mkString(""","foreign_cpu_sec":[""", ",", "]")
+    // derived per-round contention label (VERDICT r16 #2) — emitted
+    // whenever any gauge array is present
+    val contendedPart = {
+      val flags = contendedFlags(canaries,
+        if (canariesIo.exists(_._1 < 0)) Nil else canariesIo,
+        if (foreignCpu.exists(_ < -0.5)) Nil else foreignCpu)
+      if (flags.isEmpty) ""
+      else flags.map(b => if (b) "true" else "false")
+        .mkString(""","contended":[""", ",", "]")
+    }
     val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     val minPart = if (minTotal < 0) "" else s""","total_min":${fmt(minTotal)}"""
     // baseline-era subset totals (VERDICT r14 #6): fixed-size and
@@ -472,7 +520,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$canaryIoPart$foreignPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$canaryIoPart$foreignPart$contendedPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

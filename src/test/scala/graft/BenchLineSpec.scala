@@ -103,6 +103,51 @@ class BenchLineSpec extends AnyFunSuite {
     assert(jitter.get("foreign_cpu_sec").size === 2)
   }
 
+  test("contended verdict derives per round from the calibrated triggers") {
+    // triggers are pinned: a recalibration must be a deliberate edit
+    // here AND in the Bench scaladoc, never a drive-by
+    assert(Bench.cpuCanaryTrigger === 0.4)
+    assert(Bench.ioCanaryTrigger === 0.6)
+    assert(Bench.foreignCpuTrigger === 10.0)
+    // replay of r16 sidecar shapes: rd1 all-quiet; rd2 CPU-flagged
+    // (line 12's 0.622); rd3 io-flagged (line 13's 0.74); a 4th round
+    // foreign-flagged (line 14's 43.2)
+    val flags = Bench.contendedFlags(
+      canaries = Seq((0.1, 0.36), (0.09, 0.622), (0.08, 0.39), (0.08, 0.33)),
+      canariesIo = Seq((0.07, 0.51), (0.06, 0.16), (0.07, 0.74), (0.06, 0.2)),
+      foreignCpu = Seq(8.5, 0.1, 1.0, 43.2))
+    assert(flags === Seq(false, true, true, true))
+    // boundary: the documented quiet-run extremes (CPU 0.4 exactly, io
+    // cold blip 0.51, foreign 8.5 / 10.0 exactly) do NOT flag
+    assert(Bench.contendedFlags(
+      Seq((0.1, 0.4)), Seq((0.07, 0.51)), Seq(10.0)) === Seq(false))
+    // a failed io probe (-1.0 min sentinel) contributes no verdict
+    assert(Bench.contendedFlags(
+      Seq((0.1, 0.2)), Seq((-1.0, 0.9)), Seq(1.0)) === Seq(false))
+    // renderer: emitted beside the gauge arrays, one bool per round
+    val median = Map("q01" -> 1.5, "q02" -> 0.5)
+    val j = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      canaries = Seq((0.1, 0.2), (0.1, 0.55), (0.1, 0.3)),
+      canariesIo = Seq((0.05, 0.31), (0.06, 0.2), (0.06, 0.1)),
+      foreignCpu = Seq(3.2, 0.0, 14.8)))
+    assert(j.get("contended").size === 3)
+    assert(j.get("contended").get(0).asBoolean === false)
+    assert(j.get("contended").get(1).asBoolean === true)  // CPU 0.55
+    assert(j.get("contended").get(2).asBoolean === true)  // foreign 14.8
+    // no gauges, no field
+    val bare = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp"))
+    assert(bare.get("contended") == null)
+    // an omitted-from-the-line gauge array (any-round failure omits the
+    // whole array) must not feed the verdict either — the flag stays
+    // re-derivable from exactly what is ON the line
+    val omitted = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      canaries = Seq((0.1, 0.2), (0.1, 0.2)),
+      canariesIo = Seq((0.05, 0.31), (-1.0, 0.9)),
+      foreignCpu = Seq(3.2, 0.0)))
+    assert(omitted.get("canary_io") == null)
+    assert(omitted.get("contended").get(1).asBoolean === false)
+  }
+
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
     // the 34-name set must stay a subset of the live catalog — a rename
     // would silently shrink the subset and skew the vs-baseline claim
