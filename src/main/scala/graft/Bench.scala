@@ -47,6 +47,7 @@ object Bench {
     val canaries = Seq.newBuilder[(Double, Double)]
     val canariesIo = Seq.newBuilder[(Double, Double)]
     val foreignCpu = Seq.newBuilder[Double]
+    val stealCpu = Seq.newBuilder[Double]
     // Failed queries are REPORTED, not silently absorbed: a query refused
     // by a budget/dimension guard otherwise records near-zero elapsed and
     // masquerades as a fast one, shrinking the total (ADVICE r6).
@@ -59,6 +60,7 @@ object Bench {
       val canarySamples = Seq.newBuilder[Double]
       val canaryIoSamples = Seq.newBuilder[Double]
       val foreignStart = foreignCpuJiffies()
+      val stealStart = stealJiffies()
       canarySamples += canarySec(spark)
       canaryIoSamples += canaryIoSec()
       val m = SparkEntry.queries.map { case (name, fn) =>
@@ -95,6 +97,7 @@ object Bench {
       canarySamples += canarySec(spark)
       canaryIoSamples += canaryIoSec()
       val foreignEnd = foreignCpuJiffies()
+      val stealEnd = stealJiffies()
       val cs = canarySamples.result()
       canaries += ((cs.min, cs.max))
       val cio = canaryIoSamples.result()
@@ -107,6 +110,9 @@ object Bench {
       foreignCpu +=
         (if (foreignStart < 0 || foreignEnd < 0) -1.0
          else math.max(0.0, (foreignEnd - foreignStart) / jiffiesPerSec))
+      stealCpu +=
+        (if (stealStart < 0 || stealEnd < 0) -1.0
+         else math.max(0.0, (stealEnd - stealStart) / jiffiesPerSec))
       m
     }
     val median: Map[String, Double] = names.map { name =>
@@ -129,7 +135,8 @@ object Bench {
     val recall = recallNumbers(spark, sfDir)
     val line = renderLine(median, n, sfDir, canaries.result(), maxRdds, minTotal,
       minima = minima, recall = recall, failed = failed.toSeq,
-      canariesIo = canariesIo.result(), foreignCpu = foreignCpu.result())
+      canariesIo = canariesIo.result(), foreignCpu = foreignCpu.result(),
+      stealCpu = stealCpu.result())
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
@@ -294,6 +301,13 @@ object Bench {
     * near-flat 32-way-sum canary). Foreign CPU has none of those blind
     * spots: quiet host ≈ 0, a tenant on 8 cores for a 6-min run ≈ 2900.
     * -1.0 where /proc is absent (the renderer omits the field).
+    *
+    * NOTE (r17): `busy` includes /proc/stat's STEAL field (index 7),
+    * so this meter reads in-guest tenants PLUS hypervisor steal — on
+    * purpose, both pollute timings identically — and the separate
+    * `steal_sec` gauge (stealJiffies below) decomposes which one a
+    * reading was. Kept inclusive for cross-round comparability with
+    * every r15/r16 artifact on record.
     */
   private def foreignCpuJiffies(): Double =
     try {
@@ -310,6 +324,28 @@ object Bench {
       val rest = raw.substring(raw.lastIndexOf(')') + 2).trim.split(" ")
       val own = rest(11).toLong + rest(12).toLong // utime + stime
       (busy - own).toDouble
+    } catch { case _: Throwable => -1.0 }
+
+  /** Hypervisor-steal meter, decomposing `foreign_cpu_sec` (which by
+    * construction INCLUDES /proc/stat's steal field — busy indices
+    * 0,1,2,5,6,7 above): in-guest tenant CPU = foreign − steal. Round
+    * 17 measured steal LIVE on this microVM (3.7 core-sec per idle
+    * minute with in-guest busy at 1.2), overturning the r15/r16
+    * working assumption that below-guest contention is invisible to
+    * every in-guest meter — it is visible as steal, but only
+    * demand-driven: an IDLE guest accrues little steal on even a busy
+    * physical host, so steal is meaningful precisely while the bench
+    * keeps all vCPUs hungry. A round with high foreign and high steal
+    * is physical-host (below-guest) contention; high foreign with low
+    * steal is a real in-guest co-tenant. -1.0 where the field is
+    * absent (the renderer omits it).
+    */
+  private def stealJiffies(): Double =
+    try {
+      val sys = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim
+        .split("\\s+").drop(1).map(_.toLong)
+      if (sys.length > 7) sys(7).toDouble else -1.0
     } catch { case _: Throwable => -1.0 }
 
   private val jiffiesPerSec = 100.0 // USER_HZ; Linux fixes this at 100
@@ -428,7 +464,8 @@ object Bench {
       recall: Map[String, Double] = Map.empty,
       failed: Seq[String] = Nil,
       canariesIo: Seq[(Double, Double)] = Nil,
-      foreignCpu: Seq[Double] = Nil): String = {
+      foreignCpu: Seq[Double] = Nil,
+      stealCpu: Seq[Double] = Nil): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -453,6 +490,12 @@ object Bench {
       if (foreignCpu.isEmpty || foreignCpu.exists(_ < -0.5)) ""
       else foreignCpu.map(fmt1)
         .mkString(""","foreign_cpu_sec":[""", ",", "]")
+    // steal decomposition of foreign (r17): in-guest tenant CPU =
+    // foreign − steal; same -1.0 omission rule as the other gauges
+    val stealPart =
+      if (stealCpu.isEmpty || stealCpu.exists(_ < -0.5)) ""
+      else stealCpu.map(fmt1)
+        .mkString(""","steal_sec":[""", ",", "]")
     // derived per-round contention label (VERDICT r16 #2) — emitted
     // whenever any gauge array is present
     val contendedPart = {
@@ -520,7 +563,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$canaryIoPart$foreignPart$contendedPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$canaryIoPart$foreignPart$stealPart$contendedPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

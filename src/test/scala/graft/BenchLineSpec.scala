@@ -103,6 +103,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(jitter.get("foreign_cpu_sec").size === 2)
   }
 
+  test("steal_sec renders beside foreign_cpu_sec and decomposes it") {
+    val median = Map("q01" -> 1.5, "q02" -> 0.5)
+    val j = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      foreignCpu = Seq(125.0, 23.0, 4.1), stealCpu = Seq(118.2, 3.0, 2.2)))
+    assert(j.get("steal_sec").size === 3)
+    assert(math.abs(j.get("steal_sec").get(0).asDouble - 118.2) < 1e-9)
+    // same -1.0 omission rule as the other gauges (absent /proc field)
+    val degraded = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      foreignCpu = Seq(3.2, 4.0), stealCpu = Seq(2.0, -1.0)))
+    assert(degraded.get("steal_sec") == null)
+    assert(degraded.get("foreign_cpu_sec").size === 2)
+    // steal does NOT feed the contended verdict on its own — foreign
+    // already includes it; the decomposition is diagnostic only
+    assert(parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      foreignCpu = Seq(3.0), stealCpu = Seq(2.9)))
+      .get("contended").get(0).asBoolean === false)
+  }
+
   test("contended verdict derives per round from the calibrated triggers") {
     // triggers are pinned: a recalibration must be a deliberate edit
     // here AND in the Bench scaladoc, never a drive-by
