@@ -10,7 +10,17 @@ drift in round N+1 is adjudicated from committed artifacts instead of
 re-running for a flat window that may not exist.
 
 Usage:
-    python3 tools/floorcheck.py OLD NEW [NEW2 ...]
+    python3 tools/floorcheck.py [--quiet] OLD NEW [NEW2 ...]
+
+--quiet applies the MAINTENANCE §3 band rule to every NEW line
+(mechanizing the matched-host-state cut): a line is kept iff at most
+one round is canary-flagged and no round is foreign-flagged, read
+from the emitted `contended` field (r17+) or derived from the raw
+gauge arrays with the same triggers (older lines). Dropped counts are
+printed. Gauge-only: pre-foreign-gauge lines whose _note records
+observed co-tenancy (r15 sidecar lines 8-11) pass the gauge rule and
+must be excluded by hand if they matter to the claim. OLD is never
+filtered — pick it deliberately.
 
 Each argument is a bench JSON line file (the raw one-line artifact, a
 driver BENCH_r{N}.json wrapper with a "parsed" field, or a
@@ -40,9 +50,53 @@ import json
 import sys
 
 
-def load_runs(path):
+# The MAINTENANCE §3 band-rule triggers, mirroring Bench.contendedFlags
+CPU_TRIGGER, IO_TRIGGER, FOREIGN_TRIGGER = 0.4, 0.6, 10.0
+
+
+def round_flags(d):
+    """Per-round (contended, foreign_flagged) from a line's gauges.
+
+    Uses the emitted `contended` array when present (r17+ lines);
+    otherwise derives it from the raw gauge arrays with the same
+    triggers. foreign_flagged is always derived (the emitted boolean
+    doesn't say WHICH gauge tripped).
+    """
+    cpu = d.get("canary_sec") or []
+    io = d.get("canary_io") or []
+    fg = d.get("foreign_cpu_sec") or []
+    emitted = d.get("contended")
+    n = max(len(cpu), len(io), len(fg), len(emitted or []))
+    out = []
+    for i in range(n):
+        fg_flag = i < len(fg) and fg[i] > FOREIGN_TRIGGER
+        if emitted is not None and i < len(emitted):
+            c = bool(emitted[i])
+        else:
+            c = (fg_flag
+                 or (i < len(cpu) and cpu[i][1] > CPU_TRIGGER)
+                 or (i < len(io) and io[i][0] >= 0
+                     and io[i][1] > IO_TRIGGER))
+        out.append((c, fg_flag))
+    return out
+
+
+def is_band_eligible(d):
+    """MAINTENANCE §3 quiet-band rule: at most ONE canary-flagged
+    round and NO foreign-flagged round. Gauge-only — note-based
+    exclusions (pre-foreign-gauge co-tenancy narration, r15 lines
+    8-11) are the caller's job; this rule can only read what the
+    line carries."""
+    fl = round_flags(d)
+    if any(fg for _, fg in fl):
+        return False
+    return sum(1 for c, _ in fl if c) <= 1
+
+
+def load_runs(path, quiet_only=False):
     """Return a list of (label, {query: median_sec}) from one file."""
     runs = []
+    dropped = 0
     with open(path) as f:
         text = f.read()
     try:
@@ -56,20 +110,29 @@ def load_runs(path):
         q = d.get("queries")
         if not q:
             continue
+        if quiet_only and not is_band_eligible(d):
+            dropped += 1
+            continue
         label = d.get("_note") or f"{path}#{i}"
         runs.append((label[:60], q, d.get("total_min")))
-    if not runs:
+    if dropped:
+        print(f"[quiet] {path}: dropped {dropped} contended line(s)")
+    if not runs and not quiet_only:
         raise SystemExit(f"{path}: no bench line with a queries map")
     return runs
 
 
 def main(argv):
+    quiet = "--quiet" in argv
+    argv = [a for a in argv if a != "--quiet"]
     if len(argv) < 3:
         raise SystemExit(__doc__)
     old_label, old, old_floor = load_runs(argv[1])[0]
     news = []
     for p in argv[2:]:
-        news.extend(load_runs(p))
+        news.extend(load_runs(p, quiet_only=quiet))
+    if not news:
+        raise SystemExit("--quiet dropped every NEW run; nothing to compare")
     shared = set(old)
     for _, q, _ in news:
         shared &= set(q)
