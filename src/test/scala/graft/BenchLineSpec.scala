@@ -257,6 +257,53 @@ class BenchLineSpec extends AnyFunSuite {
     assert(graft.tools.ScaleGen.clusteredParamsTag === "s7d64k32g15")
   }
 
+  test("production-shaped fixed part leaves shrink headroom (ADVICE r17 #4)") {
+    // steal_sec/contended/recall/baseline_subset are FIXED (non-shrinkable)
+    // segments: the shrink loop can only drop query rows, so once
+    // render(Nil) exceeds the budget the harness parse breaks with no
+    // in-repo warning. Pin a representative line — the LIVE catalog (117
+    // names), the production round count n=3, every gauge array populated
+    // at the worst widths on record (foreign 1701.3 core-sec, r17 sidecar
+    // line 1), the full production recall key set — and assert both that
+    // the real line keeps a useful number of query rows and that the
+    // zero-rows fallback stays comfortably under budget. The 1700 margin
+    // is the early warning: the NEXT fixed-part addition (another gauge,
+    // n>3 — ~33 chars per 3-round array, ~55 chars per extra round) must
+    // widen this test deliberately instead of discovering the ceiling in
+    // a harness parse failure.
+    val names = SparkEntry.queries.keys.toSeq
+    val median = names.sorted.zipWithIndex
+      .map { case (n, i) => n -> (1.0 + (i % 9) + i * 0.017) }.toMap
+    val minima = median.map { case (k, v) => k -> v * 0.9 }
+    val recall = Seq("x41_ann_lsh", "x43_ann_ivf", "x47_ann_ivfpq",
+      "x43_ivf_clustered", "x47_ivfpq_clustered", "x32_minhash_pairs",
+      "x33_simhash_pairs", "x51_audio_witness", "x53_planted_twin")
+      .map(_ -> 0.987).toMap
+    def render(budget: Int) = Bench.renderLine(
+      median, n = 3, sfDir = "/root/testdata/sf0.1",
+      canaries = Seq((0.123, 3.456), (0.098, 0.622), (0.111, 2.104)),
+      maxRdds = 2, minTotal = minima.values.sum, budget = budget,
+      minima = minima, recall = recall, failed = Nil,
+      canariesIo = Seq((0.056, 2.843), (0.061, 0.744), (0.059, 1.332)),
+      foreignCpu = Seq(1701.3, 493.9, 137.9),
+      stealCpu = Seq(1690.2, 461.0, 120.4))
+    val line = render(1800)
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("n_queries").asInt === names.size)
+    assert(j.get("contended").size === 3)
+    assert(j.get("steal_sec").size === 3)
+    assert(j.get("queries").size >= 10,
+      s"fixed parts crowd the query rows down to ${j.get("queries").size}")
+    // the non-shrinkable floor: an impossible budget falls back to
+    // render(Nil) — THIS is what must never cross 1800
+    val fixed = render(0)
+    assert(parse(fixed).get("queries").size === 0)
+    assert(fixed.length <= 1700,
+      s"fixed part is ${fixed.length} chars — within ${1800 - fixed.length} " +
+        "of the harness budget; shrink a fixed segment before adding one")
+  }
+
   test("degenerate budget still yields parseable JSON") {
     val median = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val line = Bench.renderLine(median, n = 1, sfDir = "/tmp", budget = 10)

@@ -17,10 +17,15 @@ Usage:
 one round is canary-flagged and no round is foreign-flagged, read
 from the emitted `contended` field (r17+) or derived from the raw
 gauge arrays with the same triggers (older lines). Dropped counts are
-printed. Gauge-only: pre-foreign-gauge lines whose _note records
-observed co-tenancy (r15 sidecar lines 8-11) pass the gauge rule and
-must be excluded by hand if they matter to the claim. OLD is never
-filtered — pick it deliberately.
+printed, and lines kept with NO gauge arrays at all (pre-r15) are
+announced as unverified. When a line carries both the emitted flag
+and raw gauges, the two are cross-checked and a mismatch warns on
+stderr (trigger drift between Bench.scala and this file). A file with
+zero parseable bench lines errors out even under --quiet. Gauge-only:
+pre-foreign-gauge lines whose _note records observed co-tenancy (r15
+sidecar lines 8-11) pass the gauge rule and must be excluded by hand
+if they matter to the claim. OLD is never filtered — pick it
+deliberately.
 
 Each argument is a bench JSON line file (the raw one-line artifact, a
 driver BENCH_r{N}.json wrapper with a "parsed" field, or a
@@ -54,13 +59,22 @@ import sys
 CPU_TRIGGER, IO_TRIGGER, FOREIGN_TRIGGER = 0.4, 0.6, 10.0
 
 
-def round_flags(d):
+def round_flags(d, label=None):
     """Per-round (contended, foreign_flagged) from a line's gauges.
 
     Uses the emitted `contended` array when present (r17+ lines);
     otherwise derives it from the raw gauge arrays with the same
     triggers. foreign_flagged is always derived (the emitted boolean
     doesn't say WHICH gauge tripped).
+
+    Trigger-drift cross-check (ADVICE r17 #2): the constants above
+    mirror Bench.contendedFlags by hand, and only BenchLineSpec pins
+    the Scala side. Whenever a line carries BOTH the emitted array and
+    gauge arrays, derive the flag independently and warn on mismatch —
+    so a future Scala recalibration can't silently mix old-trigger
+    derivations (pre-r17 lines) with new-trigger emitted flags in one
+    pool. The emitted value still wins (it reflects the triggers in
+    force when the line was captured).
     """
     cpu = d.get("canary_sec") or []
     io = d.get("canary_io") or []
@@ -68,26 +82,38 @@ def round_flags(d):
     emitted = d.get("contended")
     n = max(len(cpu), len(io), len(fg), len(emitted or []))
     out = []
+    mismatches = []
     for i in range(n):
         fg_flag = i < len(fg) and fg[i] > FOREIGN_TRIGGER
+        has_gauge = i < len(cpu) or i < len(io) or i < len(fg)
+        derived = (fg_flag
+                   or (i < len(cpu) and cpu[i][1] > CPU_TRIGGER)
+                   or (i < len(io) and io[i][0] >= 0
+                       and io[i][1] > IO_TRIGGER))
         if emitted is not None and i < len(emitted):
             c = bool(emitted[i])
+            if has_gauge and c != derived:
+                mismatches.append(i)
         else:
-            c = (fg_flag
-                 or (i < len(cpu) and cpu[i][1] > CPU_TRIGGER)
-                 or (i < len(io) and io[i][0] >= 0
-                     and io[i][1] > IO_TRIGGER))
+            c = derived
         out.append((c, fg_flag))
+    if mismatches:
+        print(f"[warn] {label or 'line'}: emitted contended != derived "
+              f"from gauges at round(s) {mismatches} — trigger drift "
+              f"between Bench.contendedFlags and floorcheck.py? "
+              f"(python triggers: cpu {CPU_TRIGGER} io {IO_TRIGGER} "
+              f"foreign {FOREIGN_TRIGGER})", file=sys.stderr)
     return out
 
 
-def is_band_eligible(d):
-    """MAINTENANCE §3 quiet-band rule: at most ONE canary-flagged
-    round and NO foreign-flagged round. Gauge-only — note-based
-    exclusions (pre-foreign-gauge co-tenancy narration, r15 lines
-    8-11) are the caller's job; this rule can only read what the
-    line carries."""
-    fl = round_flags(d)
+def is_band_eligible(fl):
+    """MAINTENANCE §3 quiet-band rule over round_flags(line) output:
+    at most ONE canary-flagged round and NO foreign-flagged round.
+    Gauge-only — note-based exclusions (pre-foreign-gauge co-tenancy
+    narration, r15 lines 8-11) are the caller's job; this rule can
+    only read what the line carries. A line with NO gauge arrays at
+    all (pre-r15, empty fl) is eligible by absence of evidence, not
+    evidence of quiet — the caller flags those (ADVICE r17 #3)."""
     if any(fg for _, fg in fl):
         return False
     return sum(1 for c, _ in fl if c) <= 1
@@ -96,7 +122,9 @@ def is_band_eligible(d):
 def load_runs(path, quiet_only=False):
     """Return a list of (label, {query: median_sec}) from one file."""
     runs = []
-    dropped = 0
+    found = 0      # lines carrying a queries map, pre-filter
+    dropped = 0    # band-ineligible lines removed by --quiet
+    gaugeless = 0  # kept by --quiet with no gauge arrays (unverified)
     with open(path) as f:
         text = f.read()
     try:
@@ -110,14 +138,27 @@ def load_runs(path, quiet_only=False):
         q = d.get("queries")
         if not q:
             continue
-        if quiet_only and not is_band_eligible(d):
-            dropped += 1
-            continue
-        label = d.get("_note") or f"{path}#{i}"
-        runs.append((label[:60], q, d.get("total_min")))
+        found += 1
+        label = (d.get("_note") or f"{path}#{i}")[:60]
+        if quiet_only:
+            fl = round_flags(d, label=label)
+            if not is_band_eligible(fl):
+                dropped += 1
+                continue
+            if not fl:
+                gaugeless += 1
+        runs.append((label, q, d.get("total_min")))
     if dropped:
         print(f"[quiet] {path}: dropped {dropped} contended line(s)")
-    if not runs and not quiet_only:
+    if gaugeless:
+        # passed the band rule by ABSENCE of gauges, not evidence of
+        # quiet (pre-r15 lines) — tell the caller (ADVICE r17 #3)
+        print(f"[quiet] {path}: kept {gaugeless} gauge-less line(s) "
+              f"unverified (no gauge arrays to apply the band rule to)")
+    if found == 0:
+        # a NEW file with zero parseable bench lines is an input error
+        # regardless of --quiet; silently skipping it would let the
+        # aggregate message misattribute the empty pool (ADVICE r17 #1)
         raise SystemExit(f"{path}: no bench line with a queries map")
     return runs
 
