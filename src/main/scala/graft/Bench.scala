@@ -136,7 +136,8 @@ object Bench {
     val line = renderLine(median, n, sfDir, canaries.result(), maxRdds, minTotal,
       minima = minima, recall = recall, failed = failed.toSeq,
       canariesIo = canariesIo.result(), foreignCpu = foreignCpu.result(),
-      stealCpu = stealCpu.result())
+      stealCpu = stealCpu.result(),
+      selfrun = selfrunFloor(new java.io.File(".")))
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
@@ -276,6 +277,55 @@ object Bench {
       // blocking: this tail is untimed and the residue gauge runs next
       try d.unpersist(true) catch { case _: Throwable => () })
   }
+
+  /** The round's self-run floor, read from the newest committed
+    * `BENCH_r{N}_selfruns.jsonl` sidecar in the working directory (the
+    * repo root under `sbt runMain`), so the ONE artifact the driver
+    * commits self-describes the round's engine floor (VERDICT r18 #2):
+    * in r18 the gate run landed on the most steal-contended of five
+    * runs and a reader of BENCH_r18.json alone saw floor 175.8 s when
+    * the round's sidecar floor was 133.5 s. Returns
+    * (round, n_lines, min total_min); round is −1 when the filename
+    * carries no round number (explicit `SPARK_GRAFT_SELFRUNS` path).
+    * The sidecar round number is EMITTED (as `"r"`) precisely so a
+    * stale sidecar — the first self-run of round N reads round N−1's
+    * file — is visible in the artifact instead of masquerading as a
+    * same-tree floor. Any failure (no sidecar, unreadable, no
+    * `total_min` fields) yields None and the field is omitted; a gauge
+    * must never kill the bench it annotates.
+    */
+  private[graft] def selfrunFloor(
+      dir: java.io.File): Option[(Int, Int, Double)] =
+    try {
+      val rx = """BENCH_r(\d+)_selfruns\.jsonl""".r
+      val picked: Option[(Int, java.io.File)] =
+        sys.env.get("SPARK_GRAFT_SELFRUNS") match {
+          case Some(p) =>
+            val f = new java.io.File(p)
+            if (!f.isFile) None
+            else Some((rx.findFirstMatchIn(f.getName)
+              .map(_.group(1).toInt).getOrElse(-1), f))
+          case None =>
+            Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+              .flatMap { f =>
+                f.getName match {
+                  case rx(n) => Some((n.toInt, f))
+                  case _ => None
+                }
+              }.sortBy(-_._1).headOption
+        }
+      picked.flatMap { case (round, f) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val floors =
+          try src.getLines().filter(_.trim.startsWith("{")).flatMap { line =>
+            try Option(mapper.readTree(line).get("total_min")).map(_.asDouble)
+            catch { case _: Throwable => None }
+          }.toList
+          finally src.close()
+        if (floors.isEmpty) None else Some((round, floors.size, floors.min))
+      }
+    } catch { case _: Throwable => None }
 
   /** Contention canary: a fixed CPU-bound reduction timed ~9 times per
     * round (start, every 16 queries, end); the JSON carries each round's
@@ -465,7 +515,8 @@ object Bench {
       failed: Seq[String] = Nil,
       canariesIo: Seq[(Double, Double)] = Nil,
       foreignCpu: Seq[Double] = Nil,
-      stealCpu: Seq[Double] = Nil): String = {
+      stealCpu: Seq[Double] = Nil,
+      selfrun: Option[(Int, Int, Double)] = None): String = {
     val names = median.keys.toSeq
     val total = median.values.sum
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
@@ -508,6 +559,16 @@ object Bench {
     }
     val rddPart = if (maxRdds < 0) "" else s""","max_rdds":$maxRdds"""
     val minPart = if (minTotal < 0) "" else s""","total_min":${fmt(minTotal)}"""
+    // the round's sidecar floor (VERDICT r18 #2): min total_min across
+    // the newest BENCH_r{N}_selfruns.jsonl, with the sidecar's round and
+    // line count so a stale or thin sidecar self-describes. 1-decimal:
+    // the signal is "133.5 vs a 175.8 gate capture", not milliseconds.
+    val selfrunPart = selfrun match {
+      case None => ""
+      case Some((r, cnt, mn)) =>
+        val rPart = if (r >= 0) s""""r":$r,""" else ""
+        s""","selfrun_floor":{$rPart"n":$cnt,"min":${fmt1(mn)}}"""
+    }
     // baseline-era subset totals (VERDICT r14 #6): fixed-size and
     // load-bearing for the vs-baseline comparison — emitted whenever the
     // catalog contains the subset; n_queries < 34 flags catalog drift
@@ -563,7 +624,7 @@ object Bench {
           .mkString(""","queries_min":{""", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$n,""" +
         s""""n_queries":${names.size},"queries":$qs$omittedPart$qminPart""" +
-        s"""$canaryPart$canaryIoPart$foreignPart$stealPart$contendedPart$rddPart$minPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
+        s"""$canaryPart$canaryIoPart$foreignPart$stealPart$contendedPart$rddPart$minPart$selfrunPart$subsetPart$recallPart$failedPart,"sf":"$sfDir"}"""
     }
     Iterator.range(names.size, 0, -1)
       .map(k => render(bySlowest.take(k).sorted))

@@ -166,6 +166,53 @@ class BenchLineSpec extends AnyFunSuite {
     assert(omitted.get("contended").get(1).asBoolean === false)
   }
 
+  test("selfrun_floor renders the sidecar round/count/min (VERDICT r18 #2)") {
+    val median = Map("q01" -> 1.5, "q02" -> 0.5)
+    val j = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      minTotal = 175.8, selfrun = Some((18, 5, 133.548))))
+    val sf = j.get("selfrun_floor")
+    assert(sf != null, "selfrun_floor missing from line")
+    assert(sf.get("r").asInt === 18)
+    assert(sf.get("n").asInt === 5)
+    // 1-decimal on purpose: the signal is gate-vs-round floor, not ms
+    assert(math.abs(sf.get("min").asDouble - 133.5) < 1e-9)
+    // round −1 (explicit sidecar path without a round number) omits "r"
+    val anon = parse(Bench.renderLine(median, n = 3, sfDir = "/tmp",
+      selfrun = Some((-1, 3, 99.9)))).get("selfrun_floor")
+    assert(anon.get("r") == null)
+    assert(anon.get("n").asInt === 3)
+    // no sidecar, no field
+    assert(parse(Bench.renderLine(median, n = 3, sfDir = "/tmp"))
+      .get("selfrun_floor") == null)
+  }
+
+  test("selfrunFloor reads the NEWEST sidecar and min(total_min)") {
+    val dir = java.nio.file.Files.createTempDirectory("selfrun-spec").toFile
+    def write(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+    }
+    // no sidecar at all → None (field omitted, bench never crashes)
+    assert(Bench.selfrunFloor(dir) === None)
+    write("BENCH_r17_selfruns.jsonl", Seq(
+      """{"metric":"total","value":200.0,"total_min":148.1}"""))
+    write("BENCH_r18_selfruns.jsonl", Seq(
+      """{"metric":"total","value":160.0,"total_min":136.012}""",
+      """not json — a stray log line the parser must skip""",
+      """{"metric":"total","value":155.0,"total_min":133.548}""",
+      """{"metric":"total","value":170.0,"total_min":141.4}"""))
+    // picks r18 (newest round), not r17; min over ITS parseable lines
+    val Some((r, n, mn)) = Bench.selfrunFloor(dir)
+    assert(r === 18)
+    assert(n === 3)
+    assert(math.abs(mn - 133.548) < 1e-9)
+    // lines without total_min contribute nothing; all-without → None
+    write("BENCH_r19_selfruns.jsonl", Seq("""{"metric":"total","value":1.0}"""))
+    assert(Bench.selfrunFloor(dir) === None,
+      "a newest sidecar with no total_min fields must yield None, " +
+        "not fall back to an older round's floors")
+  }
+
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {
     // the 34-name set must stay a subset of the live catalog — a rename
     // would silently shrink the subset and skew the vs-baseline claim
@@ -286,7 +333,8 @@ class BenchLineSpec extends AnyFunSuite {
       minima = minima, recall = recall, failed = Nil,
       canariesIo = Seq((0.056, 2.843), (0.061, 0.744), (0.059, 1.332)),
       foreignCpu = Seq(1701.3, 493.9, 137.9),
-      stealCpu = Seq(1690.2, 461.0, 120.4))
+      stealCpu = Seq(1690.2, 461.0, 120.4),
+      selfrun = Some((19, 5, 133.548)))
     val line = render(1800)
     assert(line.length <= 1800, s"line is ${line.length} chars")
     val j = parse(line)

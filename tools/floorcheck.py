@@ -10,7 +10,18 @@ drift in round N+1 is adjudicated from committed artifacts instead of
 re-running for a flat window that may not exist.
 
 Usage:
-    python3 tools/floorcheck.py [--quiet] OLD NEW [NEW2 ...]
+    python3 tools/floorcheck.py [--quiet] [--force] OLD NEW [NEW2 ...]
+
+When EVERY NEW line in the pool is band-ineligible (contended by its
+own gauges), the tool REFUSES to adjudicate (VERDICT r18 #4): a pool
+whose every member shares the slow host-state class fabricates
+CONSISTENT regressions — measured twice (r17: 5 fake rows from the
+r16+r17 sidecars; r18: 15 fake rows from 12 all-steal-contended runs
+against an EMPTY src/main diff). Re-pool with at least one sidecar
+from a different host-state class, or pass --force to override with
+the caveat printed (e.g. to reproduce the trap on purpose). --quiet
+is unaffected — it already drops those lines and errors when none
+survive.
 
 --quiet applies the MAINTENANCE §3 band rule to every NEW line
 (mechanizing the matched-host-state cut): a line is kept iff at most
@@ -120,7 +131,12 @@ def is_band_eligible(fl):
 
 
 def load_runs(path, quiet_only=False):
-    """Return a list of (label, {query: median_sec}) from one file."""
+    """Return a list of (label, {query: median_sec}, total_min,
+    band_eligible) from one file. band_eligible is the MAINTENANCE §3
+    band-rule verdict from the line's own gauges (True for gauge-less
+    lines — absence of evidence); the refusal logic in main() reads it.
+    round_flags (and its trigger-drift cross-check) runs on EVERY line
+    that carries gauges, not just under --quiet (ADVICE r18 #1)."""
     runs = []
     found = 0      # lines carrying a queries map, pre-filter
     dropped = 0    # band-ineligible lines removed by --quiet
@@ -140,21 +156,26 @@ def load_runs(path, quiet_only=False):
             continue
         found += 1
         label = (d.get("_note") or f"{path}#{i}")[:60]
+        fl = round_flags(d, label=label)
+        eligible = is_band_eligible(fl)
         if quiet_only:
-            fl = round_flags(d, label=label)
-            if not is_band_eligible(fl):
+            if not eligible:
                 dropped += 1
                 continue
             if not fl:
                 gaugeless += 1
-        runs.append((label, q, d.get("total_min")))
+        runs.append((label, q, d.get("total_min"), eligible))
+    # diagnostics go to stderr like the drift warning — stdout stays
+    # the machine-readable report (ADVICE r18 #2)
     if dropped:
-        print(f"[quiet] {path}: dropped {dropped} contended line(s)")
+        print(f"[quiet] {path}: dropped {dropped} contended line(s)",
+              file=sys.stderr)
     if gaugeless:
         # passed the band rule by ABSENCE of gauges, not evidence of
         # quiet (pre-r15 lines) — tell the caller (ADVICE r17 #3)
         print(f"[quiet] {path}: kept {gaugeless} gauge-less line(s) "
-              f"unverified (no gauge arrays to apply the band rule to)")
+              f"unverified (no gauge arrays to apply the band rule to)",
+              file=sys.stderr)
     if found == 0:
         # a NEW file with zero parseable bench lines is an input error
         # regardless of --quiet; silently skipping it would let the
@@ -165,26 +186,43 @@ def load_runs(path, quiet_only=False):
 
 def main(argv):
     quiet = "--quiet" in argv
-    argv = [a for a in argv if a != "--quiet"]
+    force = "--force" in argv
+    argv = [a for a in argv if a not in ("--quiet", "--force")]
     if len(argv) < 3:
         raise SystemExit(__doc__)
-    old_label, old, old_floor = load_runs(argv[1])[0]
+    old_label, old, old_floor, _ = load_runs(argv[1])[0]
     news = []
     for p in argv[2:]:
         news.extend(load_runs(p, quiet_only=quiet))
     if not news:
         raise SystemExit("--quiet dropped every NEW run; nothing to compare")
+    # Retained-window trap refusal (VERDICT r18 #4): a NEW pool whose
+    # EVERY line is affirmatively contended shares one slow host-state
+    # class and fabricates CONSISTENT regressions — r17 measured 5 fake
+    # rows, r18 measured 15 against an empty src/main diff. Refuse
+    # rather than print a poisoned verdict; --force overrides for
+    # deliberate reproductions, with the caveat on stderr.
+    if not quiet and all(not eligible for _, _, _, eligible in news):
+        msg = (f"all {len(news)} NEW line(s) are contended by their own "
+               "gauges — a single-host-state pool fakes CONSISTENT "
+               "regressions (MAINTENANCE §3 caveat; measured r17/r18). "
+               "Re-pool with a sidecar from a different host-state "
+               "class, run with --quiet, or pass --force to override.")
+        if not force:
+            raise SystemExit(f"REFUSED: {msg}")
+        print(f"[warn] --force: {msg} Verdict below is suspect.",
+              file=sys.stderr)
     shared = set(old)
-    for _, q, _ in news:
+    for _, q, _, _ in news:
         shared &= set(q)
     print(f"old: {old_label} (floor {old_floor})")
-    for label, _, floor in news:
+    for label, _, floor, _ in news:
         print(f"new: {label} (floor {floor})")
     print(f"shared queries: {len(shared)}")
 
     rows = []
     for name in shared:
-        deltas = [q[name] - old[name] for _, q, _ in news]
+        deltas = [q[name] - old[name] for _, q, _, _ in news]
         thresh = max(0.15, 0.10 * old[name])
         consistent = (
             all(d >= thresh for d in deltas)
