@@ -822,12 +822,26 @@ object ExtQueries {
       vacuumStaleAnnRoots(dir, tag)
       AnnIndex.buildIvfIndex(embs(s, dir), root, sourceTag = tag)
     }
-    // nprobe = 6 of 16 cells: the measured recall/cost knee on this
-    // corpus (sf0.1 sweep: nprobe 4 → 0.56 recall@5, 6 → 0.70 @ +0.5 s,
-    // 8 → 0.80 @ +1.5 s). Synthetic near-uniform embeddings are the
+    // nprobe = 6 of 16 cells. Full operating curve, swept and pinned
+    // r19 (uniform sf0.1 corpus, recall@5 / warm query sec;
+    // ProfileIvfRecall reproduces it):
+    //   nprobe  2      4      6      8      12     16(=all)
+    //   recall  0.360  0.558  0.695  0.799  0.937  1.000
+    //   sec     7.5    4.8    4.3    4.9    6.2    11.7
+    // The exhaustive endpoint reads exactly 1.0 — probing every cell IS
+    // the brute-force scan, so the index loses nothing but what probe
+    // narrowing skips. Synthetic near-uniform embeddings are the
     // hard case for space partitioning — neighbors straddle cell
     // boundaries, so recall ≈ P(neighbor's cell probed) ≈ the probed
-    // fraction, a property of the degenerate corpus, not the index.
+    // fraction, a property of the degenerate corpus, not the index:
+    // recall climbs ~linearly with nprobe while cost climbs toward the
+    // exact scan (nprobe 16 ≈ 2.7× the default's time), so there is no
+    // uniform-corpus knee to move the default to. The default is chosen
+    // for the STRUCTURED corpus the index exists for — the clustered
+    // twin reads 0.987 at nprobe 6 (0.968 already at 4) — and nprobe is
+    // a per-query parameter, not an index property: callers needing
+    // higher recall on unstructured data raise it (or use exact x40)
+    // with no rebuild.
     // The catalog pins nCells = 16 (the sweep's measurement base; NOT
     // the auto heuristic — autoCells(500) = 12 via the n/39 cap, pinned
     // by AnnIndexSpec) so recall stays comparable
@@ -863,9 +877,22 @@ object ExtQueries {
     }
     // nprobe = 8: the PQ path is cheap enough (codes, not vectors, move)
     // that probing half the cells costs ~0.4 s for 0.52 → 0.68 recall@5.
-    // Deeper ADC shortlists do NOT help (rerank 50 → 200 moved 0.52 →
-    // 0.56 only): m=16,k=16 quantization error caps what the shortlist
-    // can see — probe width, not rerank depth, is the recall lever here.
+    // Full operating curve, swept and pinned r19 (uniform sf0.1 corpus,
+    // recall@5 / warm query sec; ProfileIvfRecall reproduces it):
+    //   nprobe  2      4      6      8      12     16(=all)
+    //   recall  0.353  0.519  0.615  0.680  0.752  0.778
+    //   sec     8.5    1.9    2.3    1.7    2.1    6.1
+    // Unlike plain IVF (1.0 at nprobe=16), the PQ path CAPS at ~0.78
+    // even probing every cell: the m=16,k=16 ADC scores + rerank-50
+    // shortlist misses true neighbors the quantized distance misranks
+    // below 50th — the quantization ceiling, reachable from nprobe ≈ 12
+    // up, so probe width is the lever only below that. Deeper ADC
+    // shortlists do NOT substitute (rerank 50 → 200 at nprobe 4 moved
+    // 0.52 → 0.56 only). The clustered twin reads 0.976 at the default
+    // (structure separates cells faster than quantization blurs them);
+    // the uniform numbers are the degenerate-corpus floor, and callers
+    // needing >0.78 on such corpora need wider m / larger k or exact
+    // x40, not more probes.
     val approx = AnnIndex.ivfPqTopKIndexed(s, embs(s, dir), root, k = 5,
       nprobe = 8, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
@@ -1195,9 +1222,8 @@ object ExtQueries {
     */
   def x88CdcApplyStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val streamDir = graft.streaming.Streams.scratchDir("graft-cdc-src")
-    graft.streaming.Streams.linkSource(
-      streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir =
+      graft.streaming.Streams.stagedSource(s"$dir/events.parquet")
     val lake = Files.createTempDirectory("graft-cdc-lake").toString + "/state"
     val ckpt = graft.streaming.Streams.scratchDir("graft-cdc-ckpt").toString
     graft.streaming.Streams

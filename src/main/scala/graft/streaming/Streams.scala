@@ -144,6 +144,37 @@ object Streams extends Serializable {
     }
   }
 
+  /** Memoized symlink staging dir per SOURCE FINGERPRINT (VERDICT r18
+    * #5 — the shared-source-listings attempt): the one-shot twins used
+    * to build a FRESH staging dir per invocation, which defeated two
+    * per-JVM memos keyed by file path — the [[graft.core.EventTime]]
+    * plausibility cache (`checkedFiles`) re-read parquet footers on
+    * every call because the symlink paths were new, and Spark's
+    * FileStatusCache could never hit across invocations. One staging
+    * dir per (source absolute path, mtime, length, link name) restores
+    * both. The fingerprint folds the source's mtime+length so a
+    * REGENERATED fixture (same path, new bytes) gets a fresh staging
+    * dir instead of stale links; read-only driver testdata never moves.
+    * Staging dirs are never deleted by callers (scratch lives until JVM
+    * exit), so sharing cannot dangle; checkpoints stay per-invocation,
+    * so each stream still processes every file — sharing changes WHERE
+    * the links live, never what a stream reads.
+    */
+  private val stagedSources =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private[graft] def stagedSource(
+      source: String, name: String = "events.parquet"): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(source).toAbsolutePath
+    val f = src.toFile
+    val key = s"$src#${f.lastModified}#${f.length}#$name"
+    stagedSources.computeIfAbsent(key, { _ =>
+      val dir = scratchDir("graft-stream-src")
+      linkSource(dir, source, name)
+      dir
+    })
+  }
+
   /** Memoized per (parent, partition count, no-data policy): one warm
     * child session serves every one-shot stream instead of a cold
     * SessionState + empty codegen cache per query — repeated streaming
@@ -251,8 +282,7 @@ object Streams extends Serializable {
     val sinkName = s"graft_events_hourly_${System.nanoTime()}"
     // The file-stream source requires a directory; expose the single
     // events.parquet through a temp dir of symlinks (testdata is read-only).
-    val streamDir = Streams.scratchDir("graft-stream-src")
-    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir = stagedSource(s"$dir/events.parquet")
     val ss = streamSession(spark, noDataBatches = false)
     val raw = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
     val agg = raw
@@ -384,8 +414,7 @@ object Streams extends Serializable {
     */
   def dedupStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-dedup-ckpt").toString
-    val streamDir = Streams.scratchDir("graft-dedup-src")
-    linkSource(streamDir, s"$dir/documents.parquet", "documents.parquet")
+    val streamDir = stagedSource(s"$dir/documents.parquet", "documents.parquet")
     val sinkName = s"graft_dedup_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val agg = ss.readStream
@@ -421,8 +450,7 @@ object Streams extends Serializable {
     */
   def idempotentEventsStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-idem-ckpt").toString
-    val streamDir = Streams.scratchDir("graft-idem-src")
-    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir = stagedSource(s"$dir/events.parquet")
     val sinkName = s"graft_idem_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val agg = eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
@@ -542,8 +570,7 @@ object Streams extends Serializable {
     */
   def enrichedStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-enrich-ckpt").toString
-    val streamDir = Streams.scratchDir("graft-enrich-src")
-    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir = stagedSource(s"$dir/events.parquet")
     val sinkName = s"graft_enriched_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val userDim = Tables.events(ss, dir)
@@ -575,8 +602,7 @@ object Streams extends Serializable {
     */
   def chunkingStreaming(spark: SparkSession, dir: String): DataFrame = {
     val checkpoint = Streams.scratchDir("graft-chunk-ckpt").toString
-    val streamDir = Streams.scratchDir("graft-chunk-src")
-    linkSource(streamDir, s"$dir/documents.parquet", "documents.parquet")
+    val streamDir = stagedSource(s"$dir/documents.parquet", "documents.parquet")
     val sinkName = s"graft_chunks_${System.nanoTime()}"
     val ss = streamSession(spark, noDataBatches = false)
     val chunks = graft.ext.Chunking.chunk(
@@ -636,8 +662,7 @@ object Streams extends Serializable {
     */
   def scd2IngestStreaming(
       spark: SparkSession, dir: String, lakePath: String): DataFrame = {
-    val streamDir = Streams.scratchDir("graft-scd2-src")
-    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir = stagedSource(s"$dir/events.parquet")
     scd2IngestStreamingFrom(spark, streamDir.toString, lakePath,
       Streams.scratchDir("graft-scd2-ckpt").toString)
   }
@@ -733,8 +758,7 @@ object Streams extends Serializable {
       spark: SparkSession, dir: String, windowHours: Int): DataFrame = {
     val ss = streamSession(spark, noDataBatches = false)
     val checkpoint = Streams.scratchDir("graft-ssj-ckpt").toString
-    val streamDir = Streams.scratchDir("graft-ssj-src")
-    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir = stagedSource(s"$dir/events.parquet")
     val sinkName = s"graft_attrib_${System.nanoTime()}"
     def side(): DataFrame =
       eventsStream(ss, streamDir.toString, s"$dir/events.parquet")
@@ -932,8 +956,7 @@ object Streams extends Serializable {
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val checkpoint = Streams.scratchDir("graft-sess-ckpt").toString
-    val streamDir = Streams.scratchDir("graft-sess-src")
-    linkSource(streamDir, s"$dir/events.parquet", "events.parquet")
+    val streamDir = stagedSource(s"$dir/events.parquet")
     val sinkName = s"graft_sessions_${System.nanoTime()}"
     val gapUs = gapMinutes * 60L * 1000000L
 

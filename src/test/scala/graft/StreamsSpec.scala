@@ -158,6 +158,33 @@ class StreamsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stagedSource memoizes per source fingerprint (shared listings)") {
+    // one staging dir per (source, mtime, length, name): repeated stream
+    // entries over the same table share links, so the footer-verdict and
+    // FileStatusCache memos hit across invocations (VERDICT r18 #5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-staged").toString
+    spark.range(10).selectExpr("id", "timestamp'2024-03-01 00:00:00' as ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val a = Streams.stagedSource(s"$dir/events.parquet")
+    val b = Streams.stagedSource(s"$dir/events.parquet")
+    assert(a eq b, "same fingerprint must reuse the same staging dir")
+    val ls = java.nio.file.Files.list(a)
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(ls.iterator().asScala.exists(
+        _.getFileName.toString.endsWith(".parquet")))
+    } finally ls.close()
+    // a different link name is a different stage
+    assert(Streams.stagedSource(s"$dir/events.parquet", "other.parquet") ne a)
+    // a REGENERATED source (same path, new bytes) must re-stage: stale
+    // links would silently stream the old generation
+    Thread.sleep(1100) // directory mtime granularity can be 1 s
+    spark.range(20).selectExpr("id", "timestamp'2024-03-02 00:00:00' as ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val c = Streams.stagedSource(s"$dir/events.parquet")
+    assert(c ne a, "regenerated source must get a fresh staging dir")
+  }
+
   test("linkSource refuses hive-partitioned sources loudly (no silent column drop)") {
     // Partition-column VALUES live only in the directory names; the flat
     // file-stream staging cannot recover them, so a stream over such a
