@@ -298,28 +298,41 @@ object Bench {
       dir: java.io.File): Option[(Int, Int, Double)] =
     try {
       val rx = """BENCH_r(\d+)_selfruns\.jsonl""".r
+      def discovered: Option[(Int, java.io.File)] =
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .flatMap { f =>
+            f.getName match {
+              case rx(n) => Some((n.toInt, f))
+              case _ => None
+            }
+          }.sortBy(-_._1).headOption
       val picked: Option[(Int, java.io.File)] =
         sys.env.get("SPARK_GRAFT_SELFRUNS") match {
           case Some(p) =>
             val f = new java.io.File(p)
-            if (!f.isFile) None
-            else Some((rx.findFirstMatchIn(f.getName)
-              .map(_.group(1).toInt).getOrElse(-1), f))
-          case None =>
-            Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-              .flatMap { f =>
-                f.getName match {
-                  case rx(n) => Some((n.toInt, f))
-                  case _ => None
-                }
-              }.sortBy(-_._1).headOption
+            if (f.isFile)
+              Some((rx.findFirstMatchIn(f.getName)
+                .map(_.group(1).toInt).getOrElse(-1), f))
+            else {
+              // a deliberate override must not silently degrade to the
+              // field-absent state the field exists to prevent (review
+              // r19): warn and fall back to repo-root discovery
+              System.err.println(s"[bench] SPARK_GRAFT_SELFRUNS='$p' is " +
+                "not a readable file — falling back to sidecar discovery")
+              discovered
+            }
+          case None => discovered
         }
       picked.flatMap { case (round, f) =>
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val floors =
           try src.getLines().filter(_.trim.startsWith("{")).flatMap { line =>
-            try Option(mapper.readTree(line).get("total_min")).map(_.asDouble)
+            // isNumber: a JSON null parses to a non-null NullNode whose
+            // asDouble is 0.0 — a hand-edited "total_min":null must not
+            // become a fabricated 0.0 floor (review r19)
+            try Option(mapper.readTree(line).get("total_min"))
+              .filter(_.isNumber).map(_.asDouble)
             catch { case _: Throwable => None }
           }.toList
           finally src.close()

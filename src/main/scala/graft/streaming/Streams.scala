@@ -152,27 +152,54 @@ object Streams extends Serializable {
     * every call because the symlink paths were new, and Spark's
     * FileStatusCache could never hit across invocations. One staging
     * dir per (source absolute path, mtime, length, link name) restores
-    * both. The fingerprint folds the source's mtime+length so a
+    * both. The fingerprint folds the source's CONTENT identity so a
     * REGENERATED fixture (same path, new bytes) gets a fresh staging
-    * dir instead of stale links; read-only driver testdata never moves.
-    * Staging dirs are never deleted by callers (scratch lives until JVM
-    * exit), so sharing cannot dangle; checkpoints stay per-invocation,
-    * so each stream still processes every file — sharing changes WHERE
-    * the links live, never what a stream reads.
+    * dir instead of stale links: for a single file, size + mtime at
+    * NANOSECOND resolution (ext4 stores ns; a bare File.lastModified
+    * millisecond tick could collide two regenerations); for a
+    * directory, the sorted top-level listing of (name, size, mtime-ns)
+    * — a Spark rewrite changes part-file names, so the listing moves
+    * even when sizes and the tick do not. Staging dirs are never
+    * deleted by callers (scratch lives until JVM exit), so sharing
+    * cannot dangle; checkpoints stay per-invocation, so each stream
+    * still processes every file — sharing changes WHERE the links
+    * live, never what a stream reads. Values are Strings, not Paths:
+    * this object declares Serializable and sun.nio.fs paths are not —
+    * a future executor-side closure capturing Streams must not die on
+    * the memo.
     */
   private val stagedSources =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mtimeNanos(p: java.nio.file.Path): Long =
+    try Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch { case _: Throwable => -1L }
+
+  private def sizeOf(p: java.nio.file.Path): Long =
+    try Files.size(p) catch { case _: Throwable => -1L }
+
+  private def sourceFingerprint(src: java.nio.file.Path): String = {
+    val raw =
+      if (Files.isDirectory(src)) {
+        val entries = Files.list(src)
+        try entries.iterator().asScala
+          .map(p => s"${p.getFileName}#${sizeOf(p)}#${mtimeNanos(p)}")
+          .toSeq.sorted.mkString("|")
+        finally entries.close()
+      } else s"${sizeOf(src)}#${mtimeNanos(src)}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   private[graft] def stagedSource(
       source: String, name: String = "events.parquet"): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(source).toAbsolutePath
-    val f = src.toFile
-    val key = s"$src#${f.lastModified}#${f.length}#$name"
-    stagedSources.computeIfAbsent(key, { _ =>
+    val key = s"$src#${sourceFingerprint(src)}#$name"
+    java.nio.file.Paths.get(stagedSources.computeIfAbsent(key, { _ =>
       val dir = scratchDir("graft-stream-src")
       linkSource(dir, source, name)
-      dir
-    })
+      dir.toString
+    }))
   }
 
   /** Memoized per (parent, partition count, no-data policy): one warm

@@ -211,6 +211,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.selfrunFloor(dir) === None,
       "a newest sidecar with no total_min fields must yield None, " +
         "not fall back to an older round's floors")
+    // a JSON-null or non-numeric total_min must be SKIPPED, not read as
+    // 0.0 (Jackson's NullNode.asDouble is 0.0 — a hand-edited null would
+    // otherwise fabricate a zero floor in the committed artifact)
+    write("BENCH_r20_selfruns.jsonl", Seq(
+      """{"metric":"total","total_min":null}""",
+      """{"metric":"total","total_min":"n/a"}""",
+      """{"metric":"total","total_min":140.5}"""))
+    val Some((r20, n20, mn20)) = Bench.selfrunFloor(dir)
+    assert((r20, n20) === ((20, 1)))
+    assert(math.abs(mn20 - 140.5) < 1e-9)
   }
 
   test("baseline_subset sums exactly the round-1 catalog (VERDICT r14 #6)") {

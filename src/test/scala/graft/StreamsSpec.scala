@@ -167,7 +167,7 @@ class StreamsSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$dir/events.parquet")
     val a = Streams.stagedSource(s"$dir/events.parquet")
     val b = Streams.stagedSource(s"$dir/events.parquet")
-    assert(a eq b, "same fingerprint must reuse the same staging dir")
+    assert(a === b, "same fingerprint must reuse the same staging dir")
     val ls = java.nio.file.Files.list(a)
     try {
       import scala.jdk.CollectionConverters._
@@ -175,14 +175,17 @@ class StreamsSpec extends SparkSpec {
         _.getFileName.toString.endsWith(".parquet")))
     } finally ls.close()
     // a different link name is a different stage
-    assert(Streams.stagedSource(s"$dir/events.parquet", "other.parquet") ne a)
+    assert(Streams.stagedSource(s"$dir/events.parquet", "other.parquet") !== a)
     // a REGENERATED source (same path, new bytes) must re-stage: stale
-    // links would silently stream the old generation
-    Thread.sleep(1100) // directory mtime granularity can be 1 s
+    // links would silently stream the old generation. NO sleep — the
+    // fingerprint reads the top-level listing (part-file names change
+    // on rewrite) and nanosecond mtimes, so even a same-millisecond
+    // regeneration re-keys (review r19: the old mtime+length key had a
+    // tick-granularity hole this sleep used to paper over)
     spark.range(20).selectExpr("id", "timestamp'2024-03-02 00:00:00' as ts")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val c = Streams.stagedSource(s"$dir/events.parquet")
-    assert(c ne a, "regenerated source must get a fresh staging dir")
+    assert(c !== a, "regenerated source must get a fresh staging dir")
   }
 
   test("linkSource refuses hive-partitioned sources loudly (no silent column drop)") {

@@ -206,8 +206,10 @@ def main(argv):
         msg = (f"all {len(news)} NEW line(s) are contended by their own "
                "gauges — a single-host-state pool fakes CONSISTENT "
                "regressions (MAINTENANCE §3 caveat; measured r17/r18). "
-               "Re-pool with a sidecar from a different host-state "
-               "class, run with --quiet, or pass --force to override.")
+               "Re-pool with at least one sidecar from a different "
+               "host-state class (then --quiet can cut the contended "
+               "lines), or pass --force to override. --quiet on THIS "
+               "pool would drop every line.")
         if not force:
             raise SystemExit(f"REFUSED: {msg}")
         print(f"[warn] --force: {msg} Verdict below is suspect.",

@@ -69,11 +69,16 @@ def main():
                          contended=[True, True, True], note="bad") + "\n")
             f.write(line(q, foreign=[1.0, 2.0, 1.0],
                          contended=[False, False, False], note="good") + "\n")
-        # emitted flag contradicts the gauges (drift must warn sans --quiet)
+        # emitted flag contradicts the gauges (drift must warn sans --quiet).
+        # The pool also carries a quiet line so the run ADJUDICATES rather
+        # than refusing — the pinned claim (ADVICE r18 #1) is the warning
+        # alongside a completed plain-mode verdict, not pre-refusal output
         drift = os.path.join(td, "drift.jsonl")
         with open(drift, "w") as f:
             f.write(line(q, foreign=[50.0], contended=[False],
                          note="drifted") + "\n")
+            f.write(line(q, foreign=[1.0], contended=[False],
+                         note="quiet peer") + "\n")
 
         # 1. refusal: all-contended NEW pool exits nonzero, names the fix
         rc, out, err = run([old, allbad])
@@ -105,10 +110,13 @@ def main():
               (err + out)[:200])
         check("mixed pool not refused", "REFUSED" not in err + out)
 
-        # 5. trigger-drift cross-check fires WITHOUT --quiet (ADVICE r18 #1)
+        # 5. trigger-drift cross-check fires WITHOUT --quiet (ADVICE r18 #1),
+        #    and the plain-mode adjudication still completes around it
         rc, out, err = run([old, drift])
         check("drift warning in plain mode", "trigger drift" in err,
               err[:200])
+        check("drift pool still adjudicates", rc == 0 and "VERDICT" in out,
+              (err + out)[:200])
         # and the warning goes to stderr, not the stdout report
         check("drift warning on stderr only", "trigger drift" not in out)
 
@@ -124,8 +132,14 @@ def main():
         check("r18 retained-window pool is refused", rc != 0
               and "REFUSED" in err + out, (err + out)[:300])
         rc, out, err = run(["--quiet", pool[0]] + pool[1:])
-        check("r18 pool under --quiet still adjudicates or errors cleanly",
-              (rc == 0 and "VERDICT" in out) or rc != 0, (err + out)[:300])
+        # the documented behaviors only — a crash (traceback) must FAIL
+        # this check, not hide behind "any nonzero exit" (review r19)
+        check("r18 pool under --quiet adjudicates or errors with the "
+              "documented message",
+              (rc == 0 and "VERDICT" in out)
+              or (rc != 0 and "dropped every NEW run" in err + out
+                  and "Traceback" not in err),
+              (err + out)[:300])
     else:
         print("[skip] committed r14/r17/r18 artifacts not all present")
 
