@@ -137,7 +137,20 @@ object Bench {
       minima = minima, recall = recall, failed = failed.toSeq,
       canariesIo = canariesIo.result(), foreignCpu = foreignCpu.result(),
       stealCpu = stealCpu.result(),
-      selfrun = selfrunFloor(new java.io.File(".")))
+      selfrun = {
+        // ADVICE r19 #3: under `sbt runMain` the JVM cwd IS the repo
+        // root, but any other launcher silently yields None here —
+        // indistinguishable in the artifact from "no sidecar exists".
+        // Make the cwd mismatch visible the way the SPARK_GRAFT_SELFRUNS
+        // fallback already is.
+        val sr = selfrunFloor(new java.io.File("."))
+        if (sr.isEmpty)
+          System.err.println("[bench] no BENCH_r*_selfruns.jsonl with a " +
+            "numeric total_min under cwd '" +
+            new java.io.File(".").getAbsolutePath + "' — selfrun_floor " +
+            "omitted (launch from the repo root or set SPARK_GRAFT_SELFRUNS)")
+        sr
+      })
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)

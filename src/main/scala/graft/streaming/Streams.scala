@@ -111,11 +111,38 @@ object Streams extends Serializable {
       streamDir: java.nio.file.Path, source: String,
       name: String = "events.parquet"): Unit = {
     val src = java.nio.file.Paths.get(source).toAbsolutePath
-    val partitionCols = scala.collection.mutable.LinkedHashSet[String]()
     // two-pass (ADVICE r10): WALK first, refuse before the first link is
     // created — the refusal must not leave a partially populated staging
     // directory a retry (or a concurrent reader) could mistake for the
     // full table
+    val (planned, partitionCols) = plannedLinks(src, name)
+    if (partitionCols.nonEmpty)
+      throw new IllegalArgumentException(
+        s"stream source '$source' is hive-partitioned on " +
+          s"[${partitionCols.mkString(", ")}] — those columns exist only in " +
+          "directory names and the flat file-stream staging would silently " +
+          "drop them; materialize them as data columns (read the table " +
+          "batch-side, select the partition columns, rewrite unpartitioned) " +
+          "before streaming")
+    planned.foreach { case (linkName, target) =>
+      Files.createSymbolicLink(streamDir.resolve(linkName), target)
+    }
+  }
+
+  /** The ONE walk both [[linkSource]] and [[sourceFingerprint]] read, so
+    * fingerprint coverage exactly matches link coverage (ADVICE r19 #1 —
+    * the fingerprint used to list only TOP-LEVEL entries while linking
+    * walked nested non-partition directories, so a regeneration ≥2
+    * levels deep whose top-level subdir kept its name/size/mtime could
+    * serve stale links under an unchanged fingerprint). Returns the
+    * planned (linkName, target) pairs plus any hive-partition column
+    * names seen (refusal is the CALLER's decision — the fingerprint
+    * path must stay non-throwing so a memo probe never outruns the
+    * loud refusal in linkSource). */
+  private def plannedLinks(
+      src: java.nio.file.Path, name: String)
+      : (Seq[(String, java.nio.file.Path)], Seq[String]) = {
+    val partitionCols = scala.collection.mutable.LinkedHashSet[String]()
     val planned = scala.collection.mutable.ArrayBuffer[(String, java.nio.file.Path)]()
     def walk(dir: java.nio.file.Path, prefix: String): Unit = {
       val entries = Files.list(dir)
@@ -131,17 +158,7 @@ object Streams extends Serializable {
     }
     if (Files.isDirectory(src)) walk(src, "")
     else planned += ((name, src))
-    if (partitionCols.nonEmpty)
-      throw new IllegalArgumentException(
-        s"stream source '$source' is hive-partitioned on " +
-          s"[${partitionCols.mkString(", ")}] — those columns exist only in " +
-          "directory names and the flat file-stream staging would silently " +
-          "drop them; materialize them as data columns (read the table " +
-          "batch-side, select the partition columns, rewrite unpartitioned) " +
-          "before streaming")
-    planned.foreach { case (linkName, target) =>
-      Files.createSymbolicLink(streamDir.resolve(linkName), target)
-    }
+    (planned.toSeq, partitionCols.toSeq)
   }
 
   /** Memoized symlink staging dir per SOURCE FINGERPRINT (VERDICT r18
@@ -157,16 +174,18 @@ object Streams extends Serializable {
     * dir instead of stale links: for a single file, size + mtime at
     * NANOSECOND resolution (ext4 stores ns; a bare File.lastModified
     * millisecond tick could collide two regenerations); for a
-    * directory, the sorted top-level listing of (name, size, mtime-ns)
-    * — a Spark rewrite changes part-file names, so the listing moves
-    * even when sizes and the tick do not. Staging dirs are never
-    * deleted by callers (scratch lives until JVM exit), so sharing
-    * cannot dangle; checkpoints stay per-invocation, so each stream
-    * still processes every file — sharing changes WHERE the links
-    * live, never what a stream reads. Values are Strings, not Paths:
-    * this object declares Serializable and sun.nio.fs paths are not —
-    * a future executor-side closure capturing Streams must not die on
-    * the memo.
+    * directory, the sorted PLANNED-LINK listing of (linkName, size,
+    * mtime-ns) from the same recursive walk linkSource performs
+    * (ADVICE r19 #1) — a Spark rewrite changes part-file names, so the
+    * listing moves even when sizes and the tick do not, and a
+    * regeneration nested ≥2 directories deep moves it too. Staging
+    * dirs are never deleted by callers (scratch lives until JVM exit),
+    * so sharing cannot dangle; checkpoints stay per-invocation, so
+    * each stream still processes every file — sharing changes WHERE
+    * the links live, never what a stream reads. Values are Strings,
+    * not Paths: this object declares Serializable and sun.nio.fs paths
+    * are not — a future executor-side closure capturing Streams must
+    * not die on the memo.
     */
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -178,15 +197,11 @@ object Streams extends Serializable {
   private def sizeOf(p: java.nio.file.Path): Long =
     try Files.size(p) catch { case _: Throwable => -1L }
 
-  private def sourceFingerprint(src: java.nio.file.Path): String = {
-    val raw =
-      if (Files.isDirectory(src)) {
-        val entries = Files.list(src)
-        try entries.iterator().asScala
-          .map(p => s"${p.getFileName}#${sizeOf(p)}#${mtimeNanos(p)}")
-          .toSeq.sorted.mkString("|")
-        finally entries.close()
-      } else s"${sizeOf(src)}#${mtimeNanos(src)}"
+  private def sourceFingerprint(
+      src: java.nio.file.Path, name: String): String = {
+    val raw = plannedLinks(src, name)._1
+      .map { case (linkName, p) => s"$linkName#${sizeOf(p)}#${mtimeNanos(p)}" }
+      .sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -194,12 +209,35 @@ object Streams extends Serializable {
   private[graft] def stagedSource(
       source: String, name: String = "events.parquet"): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(source).toAbsolutePath
-    val key = s"$src#${sourceFingerprint(src)}#$name"
-    java.nio.file.Paths.get(stagedSources.computeIfAbsent(key, { _ =>
-      val dir = scratchDir("graft-stream-src")
-      linkSource(dir, source, name)
-      dir.toString
-    }))
+    // Fingerprint → link → RE-fingerprint (ADVICE r19 #2): a source
+    // regenerated between the memo probe and the link pass would leave
+    // links reflecting the NEW bytes (or dangling) cached forever under
+    // the OLD fingerprint key — entries are never invalidated by design.
+    // The post-link re-fingerprint (one directory walk, cheap) detects
+    // the race; on mismatch the poisoned entry is removed and the whole
+    // stage retried. A source that keeps changing across 3 attempts is
+    // being actively rewritten — log it and return the freshest dir
+    // UNMEMOIZED, so the next call re-stages instead of serving it.
+    var attempt = 0
+    while (attempt < 3) {
+      val fp = sourceFingerprint(src, name)
+      val key = s"$src#$fp#$name"
+      val dir = stagedSources.computeIfAbsent(key, { _ =>
+        val d = scratchDir("graft-stream-src")
+        linkSource(d, source, name)
+        d.toString
+      })
+      if (sourceFingerprint(src, name) == fp)
+        return java.nio.file.Paths.get(dir)
+      stagedSources.remove(key, dir)
+      attempt += 1
+    }
+    System.err.println(s"[streams] source '$source' changed on every " +
+      "staging attempt (3×) — serving an unmemoized snapshot; expect " +
+      "re-staging on the next call")
+    val dir = scratchDir("graft-stream-src")
+    linkSource(dir, source, name)
+    dir
   }
 
   /** Memoized per (parent, partition count, no-data policy): one warm

@@ -323,11 +323,17 @@ class BenchLineSpec extends AnyFunSuite {
     // at the worst widths on record (foreign 1701.3 core-sec, r17 sidecar
     // line 1), the full production recall key set — and assert both that
     // the real line keeps a useful number of query rows and that the
-    // zero-rows fallback stays comfortably under budget. The 1700 margin
-    // is the early warning: the NEXT fixed-part addition (another gauge,
+    // zero-rows fallback stays comfortably under budget. The margin is
+    // the early warning: the NEXT fixed-part addition (another gauge,
     // n>3 — ~33 chars per 3-round array, ~55 chars per extra round) must
     // widen this test deliberately instead of discovering the ceiling in
-    // a harness parse failure.
+    // a harness parse failure. Measured r20: the production-shaped fixed
+    // part is 743 chars, so the 1000 bound (tightened from 1700 per
+    // VERDICT r19 #3) still leaves ~5 gauge additions of slack while
+    // firing long before the 1800 harness budget is at risk. NB the
+    // LIVE line hugging ~1780/1800 is BY DESIGN — the shrink loop keeps
+    // the max number of query rows that fit — and is not the headroom
+    // signal; only this render(Nil) floor is.
     val names = SparkEntry.queries.keys.toSeq
     val median = names.sorted.zipWithIndex
       .map { case (n, i) => n -> (1.0 + (i % 9) + i * 0.017) }.toMap
@@ -357,7 +363,7 @@ class BenchLineSpec extends AnyFunSuite {
     // render(Nil) — THIS is what must never cross 1800
     val fixed = render(0)
     assert(parse(fixed).get("queries").size === 0)
-    assert(fixed.length <= 1700,
+    assert(fixed.length <= 1000,
       s"fixed part is ${fixed.length} chars — within ${1800 - fixed.length} " +
         "of the harness budget; shrink a fixed segment before adding one")
   }

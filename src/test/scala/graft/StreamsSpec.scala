@@ -188,6 +188,37 @@ class StreamsSpec extends SparkSpec {
     assert(c !== a, "regenerated source must get a fresh staging dir")
   }
 
+  test("stagedSource re-stages on a regeneration nested ≥2 levels deep (ADVICE r19 #1)") {
+    // The r19 fingerprint listed only TOP-LEVEL entries while linkSource
+    // walks nested non-partition dirs recursively: rewriting a grand-child
+    // IN PLACE (same name, same size, parent dir entry untouched so the
+    // top-level (name, size, mtime) triple is unchanged) kept the old
+    // fingerprint and served stale links. The fingerprint now hashes the
+    // PLANNED-LINK list from the same walk, so the grand-child's mtime-ns
+    // moves the key.
+    val src = java.nio.file.Files.createTempDirectory("graft-deep")
+    val nested = java.nio.file.Files.createDirectories(src.resolve("nested"))
+    val leaf = nested.resolve("part-00000.parquet")
+    java.nio.file.Files.write(leaf, "generation-one".getBytes("UTF-8"))
+    val a = Streams.stagedSource(src.toString)
+    // in-place rewrite: same path, same LENGTH (only mtime-ns can move),
+    // and no directory entry created/removed — the parent keeps its mtime
+    val out = new java.io.FileOutputStream(leaf.toFile)
+    try out.write("generation-TWO".getBytes("UTF-8")) finally out.close()
+    val b = Streams.stagedSource(src.toString)
+    assert(b !== a,
+      "deep in-place regeneration must re-key the staging memo")
+    // and the new staging dir links the rewritten leaf, not a stale copy
+    val linked = java.nio.file.Files.list(b)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = linked.iterator().asScala.map(_.getFileName.toString).toSet
+      assert(names === Set("nested_part-00000.parquet"))
+    } finally linked.close()
+    assert(new String(java.nio.file.Files.readAllBytes(
+      b.resolve("nested_part-00000.parquet")), "UTF-8") === "generation-TWO")
+  }
+
   test("linkSource refuses hive-partitioned sources loudly (no silent column drop)") {
     // Partition-column VALUES live only in the directory names; the flat
     // file-stream staging cannot recover them, so a stream over such a

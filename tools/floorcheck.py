@@ -132,11 +132,14 @@ def is_band_eligible(fl):
 
 def load_runs(path, quiet_only=False):
     """Return a list of (label, {query: median_sec}, total_min,
-    band_eligible) from one file. band_eligible is the MAINTENANCE §3
-    band-rule verdict from the line's own gauges (True for gauge-less
-    lines — absence of evidence); the refusal logic in main() reads it.
-    round_flags (and its trigger-drift cross-check) runs on EVERY line
-    that carries gauges, not just under --quiet (ADVICE r18 #1)."""
+    band_eligible, gauged) from one file. band_eligible is the
+    MAINTENANCE §3 band-rule verdict from the line's own gauges (True
+    for gauge-less lines — absence of evidence); gauged says whether
+    the line CARRIES gauges at all, so main() can tell affirmatively-
+    quiet apart from passed-by-absence (ADVICE r19 #4). The refusal
+    logic in main() reads both. round_flags (and its trigger-drift
+    cross-check) runs on EVERY line that carries gauges, not just
+    under --quiet (ADVICE r18 #1)."""
     runs = []
     found = 0      # lines carrying a queries map, pre-filter
     dropped = 0    # band-ineligible lines removed by --quiet
@@ -164,7 +167,7 @@ def load_runs(path, quiet_only=False):
                 continue
             if not fl:
                 gaugeless += 1
-        runs.append((label, q, d.get("total_min"), eligible))
+        runs.append((label, q, d.get("total_min"), eligible, bool(fl)))
     # diagnostics go to stderr like the drift warning — stdout stays
     # the machine-readable report (ADVICE r18 #2)
     if dropped:
@@ -190,7 +193,7 @@ def main(argv):
     argv = [a for a in argv if a not in ("--quiet", "--force")]
     if len(argv) < 3:
         raise SystemExit(__doc__)
-    old_label, old, old_floor, _ = load_runs(argv[1])[0]
+    old_label, old, old_floor, _, _ = load_runs(argv[1])[0]
     news = []
     for p in argv[2:]:
         news.extend(load_runs(p, quiet_only=quiet))
@@ -202,7 +205,7 @@ def main(argv):
     # rows, r18 measured 15 against an empty src/main diff. Refuse
     # rather than print a poisoned verdict; --force overrides for
     # deliberate reproductions, with the caveat on stderr.
-    if not quiet and all(not eligible for _, _, _, eligible in news):
+    if not quiet and all(not eligible for _, _, _, eligible, _ in news):
         msg = (f"all {len(news)} NEW line(s) are contended by their own "
                "gauges — a single-host-state pool fakes CONSISTENT "
                "regressions (MAINTENANCE §3 caveat; measured r17/r18). "
@@ -214,17 +217,29 @@ def main(argv):
             raise SystemExit(f"REFUSED: {msg}")
         print(f"[warn] --force: {msg} Verdict below is suspect.",
               file=sys.stderr)
+    # ADVICE r19 #4: the refusal above only fires when every line is
+    # AFFIRMATIVELY contended — a pool made entirely of gauge-less
+    # (pre-r15) lines slips past it on absence of evidence, yet nothing
+    # in it is verified quiet, so the single-host-state trap can still
+    # pass unflagged. Adjudication proceeds (old artifacts stay usable)
+    # but the caller is told the pool carries no quiet witness.
+    elif not any(eligible and gauged for _, _, _, eligible, gauged in news):
+        print("[warn] no NEW line is affirmatively quiet (every line is "
+              "either contended or carries no gauge arrays to verify) — "
+              "the pool may share one host-state class; treat a "
+              "CONSISTENT verdict as a lead, not a conviction "
+              "(MAINTENANCE §3 caveat).", file=sys.stderr)
     shared = set(old)
-    for _, q, _, _ in news:
+    for _, q, _, _, _ in news:
         shared &= set(q)
     print(f"old: {old_label} (floor {old_floor})")
-    for label, _, floor, _ in news:
+    for label, _, floor, _, _ in news:
         print(f"new: {label} (floor {floor})")
     print(f"shared queries: {len(shared)}")
 
     rows = []
     for name in shared:
-        deltas = [q[name] - old[name] for _, q, _, _ in news]
+        deltas = [q[name] - old[name] for _, q, _, _, _ in news]
         thresh = max(0.15, 0.10 * old[name])
         consistent = (
             all(d >= thresh for d in deltas)

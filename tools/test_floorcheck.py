@@ -110,6 +110,26 @@ def main():
               (err + out)[:200])
         check("mixed pool not refused", "REFUSED" not in err + out)
 
+        # 4b. gauge-less pool (pre-r15 lines): slips past the refusal on
+        #     absence of evidence, so it must ADJUDICATE but carry the
+        #     no-quiet-witness caveat on stderr (ADVICE r19 #4) — and the
+        #     mixed pool above (an affirmatively-quiet line present) must
+        #     NOT carry it
+        gaugeless = os.path.join(td, "gaugeless.jsonl")
+        with open(gaugeless, "w") as f:
+            for i in range(2):
+                f.write(line(slow, note=f"pre-r15 NEW {i}") + "\n")
+        rc, out, err = run([old, gaugeless])
+        check("gauge-less pool adjudicates", rc == 0 and "VERDICT" in out,
+              (err + out)[:200])
+        check("gauge-less pool caveat on stderr (ADVICE r19 #4)",
+              "affirmatively quiet" in err, err[:300])
+        check("gauge-less caveat not on stdout",
+              "affirmatively quiet" not in out)
+        rc, out, err = run([old, mixed])
+        check("mixed pool carries no gauge-less caveat",
+              "affirmatively quiet" not in err + out, (err + out)[:200])
+
         # 5. trigger-drift cross-check fires WITHOUT --quiet (ADVICE r18 #1),
         #    and the plain-mode adjudication still completes around it
         rc, out, err = run([old, drift])
