@@ -892,7 +892,25 @@ object ExtQueries {
     // (structure separates cells faster than quantization blurs them);
     // the uniform numbers are the degenerate-corpus floor, and callers
     // needing >0.78 on such corpora need wider m / larger k or exact
-    // x40, not more probes.
+    // x40, not more probes. That m/k lever, MEASURED (r20,
+    // ProfilePqLever, same uniform sf0.1 corpus, rerank 50, recall@5 at
+    // nprobe 8 / 16(=exhaustive cap), warm query sec in parens):
+    //   m=16,k=16 (this default): 0.680 / 0.778  (3.0 / 8.5 s, 16 B/vec)
+    //   m=32,k=16:                0.794 / 0.979  (4.6 / 4.0 s, 32 B/vec)
+    //   m=16,k=64:                0.776 / 0.942  (3.5 / 4.0 s, 16 B/vec)
+    //   m=32,k=64:                0.799 / 1.000  (3.7 / 4.2 s, 32 B/vec)
+    // i.e. the cap IS the quantizer: halving subvector width (m 16→32,
+    // 2 floats/code) buys +0.20 exhaustive recall for 2× code bytes,
+    // finer codebooks (k 16→64, same bytes — codes are stored as bytes
+    // either way) buy +0.16, and together they reach 1.000 — at roughly
+    // FLAT warm ADC+rerank cost (the table above; centroid tables stay
+    // trivially broadcastable, ≤ 32·64·2 floats). Below the cap, probe
+    // width still dominates (nprobe 8 rows move ≤ +0.12). The catalog
+    // default stays m=16,k=16: the artifact's recall trend line is
+    // calibrated against it and the clustered corpus (the index's
+    // actual use case) already reads 0.976 there; callers on uniform
+    // corpora pass m=32 (and/or k=64) at BUILD time — query-side
+    // nothing changes.
     val approx = AnnIndex.ivfPqTopKIndexed(s, embs(s, dir), root, k = 5,
       nprobe = 8, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
