@@ -144,11 +144,20 @@ object Bench {
         // Make the cwd mismatch visible the way the SPARK_GRAFT_SELFRUNS
         // fallback already is.
         val sr = selfrunFloor(new java.io.File("."))
-        if (sr.isEmpty)
+        if (sr.isEmpty) {
+          // don't advise setting SPARK_GRAFT_SELFRUNS to an operator who
+          // already did — the unreadable-override warning has printed by
+          // now, so name THAT as the cause instead (review r20)
+          val hint =
+            if (sys.env.contains("SPARK_GRAFT_SELFRUNS"))
+              "the SPARK_GRAFT_SELFRUNS override was unreadable (see " +
+                "warning above) and repo-root discovery found nothing either"
+            else "launch from the repo root or set SPARK_GRAFT_SELFRUNS"
           System.err.println("[bench] no BENCH_r*_selfruns.jsonl with a " +
             "numeric total_min under cwd '" +
-            new java.io.File(".").getAbsolutePath + "' — selfrun_floor " +
-            "omitted (launch from the repo root or set SPARK_GRAFT_SELFRUNS)")
+            new java.io.File(".").getAbsolutePath +
+            s"' — selfrun_floor omitted ($hint)")
+        }
         sr
       })
     spark.sparkContext.setLogLevel("OFF")

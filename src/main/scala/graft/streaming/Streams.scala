@@ -172,8 +172,11 @@ object Streams extends Serializable {
     * both. The fingerprint folds the source's CONTENT identity so a
     * REGENERATED fixture (same path, new bytes) gets a fresh staging
     * dir instead of stale links: for a single file, size + mtime at
-    * NANOSECOND resolution (ext4 stores ns; a bare File.lastModified
-    * millisecond tick could collide two regenerations); for a
+    * NANOSECOND resolution — NB stored resolution, not clock
+    * granularity: ext4 stores ns but pre-6.13 kernels stamp from the
+    * coarse (jiffy) clock, so a same-tick same-size in-place rewrite
+    * can still collide; the directory listing term below is what makes
+    * real Spark rewrites (new part-file names) collision-proof; for a
     * directory, the sorted PLANNED-LINK listing of (linkName, size,
     * mtime-ns) from the same recursive walk linkSource performs
     * (ADVICE r19 #1) — a Spark rewrite changes part-file names, so the
@@ -213,23 +216,42 @@ object Streams extends Serializable {
     // regenerated between the memo probe and the link pass would leave
     // links reflecting the NEW bytes (or dangling) cached forever under
     // the OLD fingerprint key — entries are never invalidated by design.
-    // The post-link re-fingerprint (one directory walk, cheap) detects
-    // the race; on mismatch the poisoned entry is removed and the whole
-    // stage retried. A source that keeps changing across 3 attempts is
-    // being actively rewritten — log it and return the freshest dir
+    // The post-link re-fingerprint detects the race; on mismatch the
+    // stage is retried. Structure (review r20): the verification runs
+    // only on the CREATION path — a memo HIT is already proof the entry
+    // was created under the fingerprint just computed (a regeneration
+    // since entry creation moves the key and simply misses), so hits pay
+    // exactly ONE walk, same as r19, and only the rare miss pays three.
+    // A walk that dies on a vanished nested directory (concurrent
+    // mode("overwrite") rewrite deleting dirs mid-listing) counts as a
+    // changed source and retries too — the fingerprint/link passes must
+    // not kill a stream over a transient of the exact race this memo
+    // exists to survive. Two concurrent first-stagers can both build a
+    // dir and race putIfAbsent; the loser's dir is an orphaned handful
+    // of symlinks in scratch (JVM-lifetime, same as r19's per-invocation
+    // dirs). A source that keeps changing across 3 attempts is being
+    // actively rewritten — log it and return the freshest dir
     // UNMEMOIZED, so the next call re-stages instead of serving it.
     var attempt = 0
     while (attempt < 3) {
-      val fp = sourceFingerprint(src, name)
-      val key = s"$src#$fp#$name"
-      val dir = stagedSources.computeIfAbsent(key, { _ =>
+      try {
+        val fp = sourceFingerprint(src, name)
+        val key = s"$src#$fp#$name"
+        val hit = stagedSources.get(key)
+        if (hit != null) return java.nio.file.Paths.get(hit)
         val d = scratchDir("graft-stream-src")
         linkSource(d, source, name)
-        d.toString
-      })
-      if (sourceFingerprint(src, name) == fp)
-        return java.nio.file.Paths.get(dir)
-      stagedSources.remove(key, dir)
+        if (sourceFingerprint(src, name) == fp) {
+          val prev = stagedSources.putIfAbsent(key, d.toString)
+          return java.nio.file.Paths.get(if (prev != null) prev else d.toString)
+        }
+      } catch {
+        // Files.list on a directory deleted between walks — the mid-walk
+        // spelling of "the source changed"; never a missing TOP-LEVEL
+        // source (a single file that never existed links fine and fails
+        // later at read time, as before)
+        case _: java.nio.file.NoSuchFileException => ()
+      }
       attempt += 1
     }
     System.err.println(s"[streams] source '$source' changed on every " +

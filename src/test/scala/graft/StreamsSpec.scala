@@ -201,10 +201,18 @@ class StreamsSpec extends SparkSpec {
     val leaf = nested.resolve("part-00000.parquet")
     java.nio.file.Files.write(leaf, "generation-one".getBytes("UTF-8"))
     val a = Streams.stagedSource(src.toString)
-    // in-place rewrite: same path, same LENGTH (only mtime-ns can move),
-    // and no directory entry created/removed — the parent keeps its mtime
+    // in-place rewrite: same path, same LENGTH (only mtime can move),
+    // and no directory entry created/removed — the parent keeps its
+    // mtime. The leaf mtime is then set EXPLICITLY +5 ms: a back-to-back
+    // rewrite can land in the same coarse-clock tick on pre-6.13
+    // kernels (stored ns resolution ≠ ns clock granularity — review
+    // r20), and this test pins fingerprint COVERAGE of deep leaves, not
+    // the host's timestamp granularity
     val out = new java.io.FileOutputStream(leaf.toFile)
     try out.write("generation-TWO".getBytes("UTF-8")) finally out.close()
+    java.nio.file.Files.setLastModifiedTime(leaf,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5))
     val b = Streams.stagedSource(src.toString)
     assert(b !== a,
       "deep in-place regeneration must re-key the staging memo")

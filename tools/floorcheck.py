@@ -167,7 +167,14 @@ def load_runs(path, quiet_only=False):
                 continue
             if not fl:
                 gaugeless += 1
-        runs.append((label, q, d.get("total_min"), eligible, bool(fl)))
+        # gauged = carries RAW gauge arrays (review r20): an emitted-only
+        # line ({"contended": [...]} with the arrays stripped) yields a
+        # non-empty round_flags, but there is nothing to VERIFY the flag
+        # against — for the no-quiet-witness caveat such a line must not
+        # count as affirmative evidence
+        gauged = bool(d.get("canary_sec") or d.get("canary_io")
+                      or d.get("foreign_cpu_sec"))
+        runs.append((label, q, d.get("total_min"), eligible, gauged))
     # diagnostics go to stderr like the drift warning — stdout stays
     # the machine-readable report (ADVICE r18 #2)
     if dropped:

@@ -129,6 +129,17 @@ def main():
         rc, out, err = run([old, mixed])
         check("mixed pool carries no gauge-less caveat",
               "affirmatively quiet" not in err + out, (err + out)[:200])
+        # an emitted-only line (contended flag present, RAW gauge arrays
+        # stripped) asserts quiet without evidence — it must not count
+        # as an affirmative witness either (review r20)
+        emitonly = os.path.join(td, "emitonly.jsonl")
+        with open(emitonly, "w") as f:
+            f.write(line(slow, contended=[False, False, False],
+                         note="emitted-only") + "\n")
+        rc, out, err = run([old, emitonly])
+        check("emitted-only pool adjudicates with the caveat",
+              rc == 0 and "VERDICT" in out and "affirmatively quiet" in err,
+              (err + out)[:300])
 
         # 5. trigger-drift cross-check fires WITHOUT --quiet (ADVICE r18 #1),
         #    and the plain-mode adjudication still completes around it
