@@ -769,13 +769,25 @@ object ExtQueries {
     * force (x40's operator) on the same frame.
     */
   private def withExactHits(approx: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
+    // r21 optimization (guide §2.4/§7.2): the former spelling referenced
+    // `approx` twice (once as the output's left side, once inside a
+    // groupBy(vec_id) hit count re-joined onto it), so the WHOLE ANN
+    // probe/score pipeline — the expensive part of x41/x43/x47 — was
+    // planned and executed twice per query (the before-plan shows the
+    // duplicated subtree; plans/r21/x43_ann_ivf_before.txt nodes 1-26 vs
+    // 27-52). Marking exact hits with a broadcast left join and counting
+    // them with a window over vec_id computes the IDENTICAL n_exact_hits
+    // (count of matched (vec_id, neighbor_id) rows per vector, 0 when
+    // none) from ONE evaluation of `approx`; the window's partitioning
+    // (vec_id) matches the rank window every ANN entry already ends
+    // with, so no extra exchange is introduced.
     val exactPairs = Similarity.bruteForceTopK(embeddings, k).toDF()
-      .select(col("vec_id"), col("neighbor_id"))
-    val hits = approx.select(col("vec_id"), col("neighbor_id"))
-      .join(exactPairs, Seq("vec_id", "neighbor_id"))
-      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_exact_hits"))
-    approx.join(hits, Seq("vec_id"), "left")
-      .na.fill(0L, Seq("n_exact_hits"))
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__exact_hit"))
+    approx.join(exactPairs, Seq("vec_id", "neighbor_id"), "left")
+      .withColumn("n_exact_hits",
+        sum(coalesce(col("__exact_hit"), lit(0L))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
+      .drop("__exact_hit")
   }
 
   /** x41 — ANN top-5 via sign-random-projection LSH over the PERSISTED
