@@ -342,13 +342,15 @@ object AnnIndex {
         .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"))
         .distinct()
       val vecs = Versioned.read(spark, vectorsRoot(stateRoot))
+      // Compiled pair scoring (graft.functions.CosineSim): bit-identical
+      // to the former typed `.map(Similarity.cosine)` without the
+      // per-pair DeserializeToObject/SerializeFromObject array copies.
       val scored = candidates
         .join(queries.select(col("vec_id"), col("embedding").as("emb_a")), Seq("vec_id"))
         .join(vecs.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("emb_b")), Seq("neighbor_id"))
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (nid, qid, a, b) => (qid, nid, Similarity.cosine(a, b)) }
-        .toDF("vec_id", "neighbor_id", "score")
+        .select(col("vec_id"), col("neighbor_id"),
+          graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
       import org.apache.spark.sql.expressions.Window
       scored
         .withColumn("rank", row_number().over(
@@ -502,10 +504,9 @@ object AnnIndex {
     probes
       .join(cells, Seq("cell"))
       .where(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, nid, a, b) => (qid, nid, Similarity.cosine(a, b)) }
-      .toDF("vec_id", "neighbor_id", "score")
+      // compiled pair scoring — see lshTopKIndexed's note
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
       .distinct() // a pair may meet in several probed cells
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))

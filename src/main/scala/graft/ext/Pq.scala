@@ -228,9 +228,11 @@ object Pq {
     candidates
       .join(embA, Seq("vec_id"))
       .join(embB, Seq("neighbor_id"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (nid, qid, a, b) => (qid, nid, Similarity.cosine(a, b)) }
-      .toDF("vec_id", "neighbor_id", "score")
+      // compiled pair scoring (graft.functions.CosineSim) — bit-identical
+      // to the former typed `.map(Similarity.cosine)` without per-pair
+      // object conversion (see AnnIndex.lshTopKIndexed's note)
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("score").desc, col("neighbor_id"))))

@@ -373,12 +373,14 @@ object Similarity {
         .distinct()
       val embA = embeddings.select(col("vec_id"), col("embedding").as("emb_a"))
       val embB = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_b"))
+      // Compiled pair scoring (graft.functions.CosineSim): bit-identical
+      // to the former typed `.map(cosine)` without the per-pair
+      // DeserializeToObject/SerializeFromObject array copies.
       val scored = candidates
         .join(embA, Seq("vec_id"))
         .join(embB, Seq("neighbor_id"))
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (nid, qid, a, b) => (qid, nid, cosine(a, b)) }
-        .toDF("vec_id", "neighbor_id", "score")
+        .select(col("vec_id"), col("neighbor_id"),
+          graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
       import org.apache.spark.sql.expressions.Window
       scored
         .withColumn("rank", row_number().over(
@@ -518,10 +520,9 @@ object Similarity {
     probes
       .join(assigned, Seq("cell"))
       .where(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, nid, a, b) => (qid, nid, cosine(a, b)) }
-      .toDF("vec_id", "neighbor_id", "score")
+      // compiled pair scoring — see lshTopK's note
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
       .distinct() // a pair may meet in several probed cells
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))
