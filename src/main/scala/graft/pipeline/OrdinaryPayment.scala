@@ -358,6 +358,6 @@ object OrdinaryPayment {
         col("riders_digest"),
         col("periods_digest"),
         col("id"))
-      .orderBy(col("pmt_refer_code_of_company"))
+      .transform(Relational.orderedOnce(col("pmt_refer_code_of_company")))
   }
 }

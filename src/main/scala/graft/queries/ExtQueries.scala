@@ -30,7 +30,7 @@ object ExtQueries {
         size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
         length(col("text")).as("n_chars_measured"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x20Sql: String =
     """SELECT doc_id,
@@ -44,7 +44,7 @@ object ExtQueries {
     TextAnalysis.qualityFeatures(docs(s, dir), "text")
       .select(col("doc_id"), col("n_words"), col("avg_word_len"),
         col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x21Sql: String =
     """SELECT doc_id,
@@ -87,7 +87,7 @@ object ExtQueries {
         TextAnalysis.langIdFromScores(langs.map(l => l -> col(s"s_$l"))))
       .select(col("doc_id"), col("lang_declared"), col("lang_pred"),
         col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x22Sql: String =
@@ -117,7 +117,7 @@ object ExtQueries {
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
         TextAnalysis.fingerprintRolling(TextAnalysis.tokens(col("text"))).as("fp_rolling"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x23Sql: String =
     """SELECT doc_id,
@@ -139,7 +139,7 @@ object ExtQueries {
         md5(TextAnalysis.scrub(col("text"))).as("scrubbed_md5"),
         (length(col("text")) - length(TextAnalysis.scrub(col("text"))))
           .as("chars_removed"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x24Sql: String =
     """WITH s AS (SELECT doc_id, text,
@@ -160,7 +160,7 @@ object ExtQueries {
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
+      .transform(graft.ops.Relational.orderedOnce(col("freq").desc, col("token")))
       .limit(50)
 
   val x25Sql: String =
@@ -194,7 +194,7 @@ object ExtQueries {
             / col("n_docs").cast(DoubleType))
           / (col("n_docs").cast(DoubleType) - lit(1.0))).as("std_chars"),
         col("median_chars"))
-      .orderBy(col("lang"))
+      .transform(graft.ops.Relational.orderedOnce(col("lang")))
 
   val x26Sql: String =
     """SELECT lang, count(*) AS n_docs,
@@ -218,7 +218,7 @@ object ExtQueries {
       .agg(
         countDistinct(col("token")).as("n_distinct_tokens"),
         count(lit(1)).as("n_tokens"))
-      .orderBy(col("lang"))
+      .transform(graft.ops.Relational.orderedOnce(col("lang")))
 
   val x27Sql: String =
     """SELECT lang, count(DISTINCT token) AS n_distinct_tokens, count(*) AS n_tokens
@@ -237,7 +237,7 @@ object ExtQueries {
         col("doc_id"),
         graft.ext.Sampling.hashBucket(col("doc_id")).as("bucket_hex"),
         graft.ext.Sampling.splitAssign(col("doc_id")).as("split"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x28Sql: String =
     """SELECT doc_id,
@@ -249,7 +249,7 @@ object ExtQueries {
 
   /** x30 — exact dedup: survivor (min doc_id) per content hash. */
   def x30DedupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))
+    Dedup.exact(docs(s, dir), "doc_id", "text").transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x30Sql: String =
     """SELECT min(doc_id) AS doc_id,
@@ -296,7 +296,7 @@ object ExtQueries {
     */
   def x32MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("id_a"), col("id_b")))
 
   /** x119 — scale-adaptive near-dup front door
     * ([[Dedup.nearDupPairsAuto]]): the same candidate-pair pre-count
@@ -468,7 +468,7 @@ object ExtQueries {
     */
   def x33SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("id_a"), col("id_b")))
 
   /** x34 — dedup clusters: exact trigram-Jaccard near-dup pairs →
     * connected components (min-label propagation) → every doc labeled
@@ -477,7 +477,7 @@ object ExtQueries {
     */
   def x34DedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.clusters(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x34Sql: String =
     """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
@@ -509,7 +509,7 @@ object ExtQueries {
     */
   def x35Curation(s: SparkSession, dir: String): DataFrame =
     graft.ext.Curation.curate(docs(s, dir), qualityThreshold = 0.5)
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x35Sql: String =
     """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') tk FROM documents),
@@ -625,7 +625,7 @@ object ExtQueries {
   def x40CosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embs(s, dir), k = 5)
       .toDF()
-      .orderBy(col("vec_id"), col("rank"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id"), col("rank")))
 
   val x40Sql: String =
     """SELECT a.vec_id AS vec_id,
@@ -808,7 +808,7 @@ object ExtQueries {
     val approx = AnnIndex.lshTopKIndexed(s, embs(s, dir), root, k = 5,
       expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
-      .orderBy(col("vec_id"), col("rank"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id"), col("rank")))
   }
 
   /** x43 — ANN top-5 via IVF over the PERSISTED index: centroids +
@@ -863,7 +863,7 @@ object ExtQueries {
     val approx = AnnIndex.ivfTopKIndexed(s, embs(s, dir), root, k = 5,
       nprobe = 6, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
-      .orderBy(col("vec_id"), col("rank"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id"), col("rank")))
   }
 
   /** x47 — ANN top-5 via the PERSISTED IVF-PQ index — the production
@@ -926,7 +926,7 @@ object ExtQueries {
     val approx = AnnIndex.ivfPqTopKIndexed(s, embs(s, dir), root, k = 5,
       nprobe = 8, expectedSourceTag = Some(tag))
     withExactHits(approx, embs(s, dir), k = 5)
-      .orderBy(col("vec_id"), col("rank"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id"), col("rank")))
   }
 
   /** x42 — embedding-cosine near-dup pairs (exact, broadcast/blocked
@@ -936,7 +936,7 @@ object ExtQueries {
     */
   def x42CosineNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(embs(s, dir), threshold = 0.4)
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("id_a"), col("id_b")))
 
   val x42Sql: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -973,7 +973,7 @@ object ExtQueries {
         Similarity.normCol(col("embedding")).as("l2_norm"),
         Similarity.dotCol(col("embedding"), col("ref_emb")).as("dot_ref"),
         Similarity.cosineCol(col("embedding"), col("ref_emb")).as("cos_ref"))
-      .orderBy(col("vec_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id")))
   }
 
   val x44Sql: String =
@@ -1019,7 +1019,7 @@ object ExtQueries {
           .as("cos_q"),
         array_max(zip_with(col("embedding"), col("deq"),
           (x, y) => abs(x.cast("double") - y))).as("max_abs_err"))
-      .orderBy(col("vec_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id")))
   }
 
   val x45Sql: String =
@@ -1061,7 +1061,7 @@ object ExtQueries {
     Similarity
       .bruteForceTopK(Similarity.dequantized(Similarity.quantizeInt8(embs(s, dir))), k = 5)
       .toDF()
-      .orderBy(col("vec_id"), col("rank"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id"), col("rank")))
 
   val x46Sql: String =
     """WITH b0 AS (
@@ -1168,7 +1168,7 @@ object ExtQueries {
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("prev_type"), col("next_type"))
+      .transform(graft.ops.Relational.orderedOnce(col("prev_type"), col("next_type")))
   }
 
   val x84Sql: String =
@@ -1232,7 +1232,7 @@ object ExtQueries {
         Seq(col("ts").desc, col("event_id").desc), "op")
       .select(col("user_id"), col("event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"))
-      .orderBy(col("user_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("user_id")))
   }
 
   val x87Sql: String =
@@ -1278,7 +1278,7 @@ object ExtQueries {
       .join(cc, col("vec_id") === col("node"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("component"))
-      .orderBy(col("vec_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id")))
   }
 
   val x85Sql: String =
@@ -1314,7 +1314,7 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_user_events"))
     Relational.saltedEquiJoin(ev, perUser, "user_id", "u", buckets = 8)
       .select(col("event_id"), col("user_id"), col("n_user_events"))
-      .orderBy(col("event_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_id")))
   }
 
   val x66Sql: String =
@@ -1331,7 +1331,7 @@ object ExtQueries {
         col("meta.n_bytes").as("n_bytes"),
         col("meta.declared_chars").as("declared_chars"),
         col("meta.container").as("container"))
-      .orderBy(col("media_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("media_id")))
 
   val x50Sql: String =
     """SELECT doc_id AS media_id, source AS kind,
@@ -1360,7 +1360,7 @@ object ExtQueries {
         (col("decoded") && abs(col("rms") - lit(0.5)) < lit(1e-12) &&
           abs(col("zero_cross_rate") - lit(1.0)) < lit(1e-12)).as("witness_ok"))
     feats.join(witness, Seq("media_id"), "left")
-      .orderBy(col("media_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("media_id")))
   }
 
   /** x52 — resize + frame-sample plumbing over binary payloads: the
@@ -1377,7 +1377,7 @@ object ExtQueries {
     resized
       .join(frames, Seq("media_id"), "left")
       .na.fill(0, Seq("n_frames_sampled"))
-      .orderBy(col("media_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("media_id")))
   }
 
   val x52Sql: String =
@@ -1390,7 +1390,7 @@ object ExtQueries {
   /** x60 — hourly tumbling-window event aggregation (batch plan). */
   def x60EventHourly(s: SparkSession, dir: String): DataFrame =
     Streams.eventsHourly(s, dir)
-      .orderBy(col("window_start"), col("event_type"))
+      .transform(graft.ops.Relational.orderedOnce(col("window_start"), col("event_type")))
 
   val x60Sql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1426,7 +1426,7 @@ object ExtQueries {
         count(col("k")).as("n_with_k"),
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_type")))
 
   val x62Sql: String =
     """SELECT event_type,
@@ -1483,7 +1483,7 @@ object ExtQueries {
         (ok, digest)
       }
       .toDF("l_orderkey", "topk_digest")
-      .orderBy(col("l_orderkey"))
+      .transform(graft.ops.Relational.orderedOnce(col("l_orderkey")))
   }
 
   val x70Sql: String =
@@ -1517,7 +1517,7 @@ object ExtQueries {
         rightValueCols = Seq("event_id", "value"), rightTieBreak = "event_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("asof_event_id"), col("asof_value"))
-      .orderBy(col("event_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_id")))
   }
 
   val x63Sql: String =
@@ -1550,7 +1550,7 @@ object ExtQueries {
         rightValueCols = Seq("event_id", "value"), rightTieBreak = "event_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("asof_event_id"), col("asof_value"))
-      .orderBy(col("event_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_id")))
   }
 
   val x79Sql: String =
@@ -1581,7 +1581,7 @@ object ExtQueries {
         sum(when(col("dfc") > 1, lit(1L)).otherwise(lit(0L))).as("n_shared"))
       .select(col("doc_id"), col("n_spans"), col("n_shared"),
         (col("n_shared").cast(DoubleType) / col("n_spans")).as("shared_frac"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x81Sql: String =
@@ -1616,7 +1616,7 @@ object ExtQueries {
         graft.core.EventTime.epochUs(col("ts")), col("value"),
         "n_last_hour", "sum_last_hour", windowUs = 3600L * 1000000L)
       .select(col("event_id"), col("user_id"), col("n_last_hour"), col("sum_last_hour"))
-      .orderBy(col("event_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_id")))
   }
 
   val x80Sql: String =
@@ -1639,7 +1639,7 @@ object ExtQueries {
     Temporal.bandedRangeJoin(a, b, "price_a", "price_b", width = 0.2)
       .where(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"), col("price_a"), col("price_b"))
-      .orderBy(col("key_a"), col("key_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("key_a"), col("key_b")))
   }
 
   val x64Sql: String =
@@ -1666,7 +1666,7 @@ object ExtQueries {
         element_at(col("qs"), 1).as("q25"),
         element_at(col("qs"), 2).as("q50"),
         element_at(col("qs"), 3).as("q75"))
-      .orderBy(col("lang"))
+      .transform(graft.ops.Relational.orderedOnce(col("lang")))
 
   val x29Sql: String =
     """SELECT lang,
@@ -1694,7 +1694,7 @@ object ExtQueries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         (money(col("o_totalprice")) + money(lit(100.00))).cast(DoubleType).as("price"))
     graft.lake.Scd.scd2Merge(base, changes, Seq("o_orderkey"), "1998-06-01")
-      .orderBy(col("o_orderkey"), col("eff_from"))
+      .transform(graft.ops.Relational.orderedOnce(col("o_orderkey"), col("eff_from")))
   }
 
   val x36Sql: String =
@@ -1724,7 +1724,7 @@ object ExtQueries {
   def x37TfIdf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("token"), col("tf"), col("doc_freq"), col("tfidf"))
-      .orderBy(col("doc_id"), col("token"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id"), col("token")))
 
   val x37Sql: String =
     """WITH tok AS (
@@ -1752,7 +1752,7 @@ object ExtQueries {
     */
   def x68Sessionize(s: SparkSession, dir: String): DataFrame =
     Streams.sessionsBatch(Tables.events(s, dir), gapMinutes = 30)
-      .orderBy(col("user_id"), col("session_seq"))
+      .transform(graft.ops.Relational.orderedOnce(col("user_id"), col("session_seq")))
 
   val x68Sql: String =
     """WITH m AS (
@@ -1809,7 +1809,7 @@ object ExtQueries {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy(col("window_start"), col("event_type"))
+      .transform(graft.ops.Relational.orderedOnce(col("window_start"), col("event_type")))
 
   val x71Sql: String =
     """WITH wins AS (
@@ -1827,7 +1827,7 @@ object ExtQueries {
     */
   def x72IntervalJoin(s: SparkSession, dir: String): DataFrame =
     Streams.attributionJoin(Tables.events(s, dir), windowHours = 24)
-      .orderBy(col("view_id"), col("purchase_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("view_id"), col("purchase_id")))
 
   val x72Sql: String =
     """SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
@@ -1860,7 +1860,7 @@ object ExtQueries {
         col("doc_id"), col("lang"),
         Map("en" -> 0.25, "zh" -> 0.75), defaultFraction = 0.5))
       .select(col("doc_id"), col("lang"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x74Sql: String =
     """SELECT doc_id, lang FROM documents
@@ -1888,7 +1888,7 @@ object ExtQueries {
       RangeIn("l_discount", 0.0, 0.1),
       ForeignKey("l_orderkey", o, "o_orderkey")))
       .select(concat(lit("lineitem."), col("check")).as("check_name"), col("n_violations"))
-    repO.unionByName(repL).orderBy(col("check_name"))
+    repO.unionByName(repL).transform(graft.ops.Relational.orderedOnce(col("check_name")))
   }
 
   val x75Sql: String =
@@ -1941,7 +1941,7 @@ object ExtQueries {
         ((col("r")(0) - col("r")(1)).cast(DoubleType) / col("r")(0)).as("rep_ratio"),
         (col("r")(2).cast(DoubleType) / col("r")(0)).as("top_tok_frac"),
         ((col("r")(3) - col("r")(4)).cast(DoubleType) / col("r")(3)).as("dup_bigram_frac"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x76Sql: String =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk FROM documents),
@@ -1986,7 +1986,7 @@ object ExtQueries {
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         (col("n_contaminated").cast(DoubleType) / col("n_shingles"))
           .as("contamination"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x77Sql: String =
@@ -2029,7 +2029,7 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"),
         graft.ext.Sampling.splitAssign(col("doc_id")).as("split"),
         col("quality_score"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x78Sql: String =
@@ -2083,7 +2083,7 @@ object ExtQueries {
       max(when(col("id_a") === lit(-2L) && col("id_b") === lit(-1L), 1)
         .otherwise(0)).as("n_planted_twin_hits"))
     pairs.crossJoin(broadcast(twin))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("id_a"), col("id_b")))
   }
 
   /** x89 — sliding-window document chunking
@@ -2094,7 +2094,7 @@ object ExtQueries {
     */
   def x89Chunking(s: SparkSession, dir: String): DataFrame =
     Chunking.chunk(docs(s, dir), "doc_id", "text", window = 64, stride = 32)
-      .orderBy(col("doc_id"), col("chunk_idx"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id"), col("chunk_idx")))
 
   val x89Sql: String =
     """WITH t AS (
@@ -2126,7 +2126,7 @@ object ExtQueries {
         .select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("n_toks")),
       "doc_id", "n_toks", budget = 256L)
-      .orderBy(col("doc_id"), col("seq_idx"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id"), col("seq_idx")))
 
   val x90Sql: String =
     """WITH t AS (
@@ -2167,7 +2167,7 @@ object ExtQueries {
       defaultWeight = 1L,
       budgetTokens = 15000L)
       .select(col("doc_id"), col("source"), col("src_tokens"), col("weight"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x91Sql: String =
     """WITH d AS (
@@ -2200,7 +2200,7 @@ object ExtQueries {
     Shuffling.permute(
       docs(s, dir).select(col("doc_id"), col("source")),
       "doc_id", seed = "epoch0", nShards = 8)
-      .orderBy(col("position"))
+      .transform(graft.ops.Relational.orderedOnce(col("position")))
 
   val x92Sql: String =
     """WITH r AS (
@@ -2223,7 +2223,7 @@ object ExtQueries {
     */
   def x93BigramRarity(s: SparkSession, dir: String): DataFrame =
     LmScore.bigramRarity(docs(s, dir), "doc_id", "text", rarityFactor = 50L)
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x93Sql: String =
     """WITH arr AS (
@@ -2266,7 +2266,7 @@ object ExtQueries {
       budgetTokens = 30000L)
       .select(col("doc_id"), col("source"), col("src_tokens"),
         col("weight"), col("epoch"))
-      .orderBy(col("doc_id"), col("epoch"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id"), col("epoch")))
 
   val x95Sql: String =
     """WITH d AS (
@@ -2309,7 +2309,7 @@ object ExtQueries {
     */
   def x94InvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text")
-      .orderBy(col("token"))
+      .transform(graft.ops.Relational.orderedOnce(col("token")))
 
   val x94Sql: String =
     """WITH tok AS (
@@ -2349,7 +2349,7 @@ object ExtQueries {
         norm.as("norm_text"),
         length(norm).as("n_chars_norm"),
         (col("text") =!= norm).as("changed"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x96Sql: String =
@@ -2377,7 +2377,7 @@ object ExtQueries {
     */
   def x97ContentChunks(s: SparkSession, dir: String): DataFrame =
     Chunking.contentDefinedChunks(docs(s, dir), "doc_id", "text", modulus = 64)
-      .orderBy(col("doc_id"), col("chunk_idx"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id"), col("chunk_idx")))
 
   val x97Sql: String =
     """WITH arr AS (
@@ -2421,7 +2421,7 @@ object ExtQueries {
     */
   def x98SourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(docs(s, dir), "source", "text", n = 3)
-      .orderBy(col("src_a"), col("src_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("src_a"), col("src_b")))
 
   val x98Sql: String =
     """WITH t AS (
@@ -2458,7 +2458,7 @@ object ExtQueries {
     graft.ext.Sampling.kPerStratum(
       docs(s, dir).select(col("doc_id"), col("source")),
       "doc_id", "source", k = 5)
-      .orderBy(col("source"), col("sample_rank"))
+      .transform(graft.ops.Relational.orderedOnce(col("source"), col("sample_rank")))
 
   val x99Sql: String =
     """WITH r AS (
@@ -2480,7 +2480,7 @@ object ExtQueries {
     */
   def x100RandomProjection(s: SparkSession, dir: String): DataFrame =
     Similarity.randomProjection(embs(s, dir), "vec_id", "embedding", outDims = 16)
-      .orderBy(col("vec_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id")))
 
   val x100Sql: String = {
     val yCols = (0 until 16).map { j =>
@@ -2537,7 +2537,7 @@ object ExtQueries {
   def x102BpeEncode(s: SparkSession, dir: String): DataFrame =
     graft.ext.Bpe.subwordCounts(docs(s, dir), "doc_id", "text",
       learnedMerges(s, dir))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   /** x103 — streaming twin of x89 ([[Streams.chunkingStreaming]]):
     * document chunking as an incremental append-mode stream (pure
@@ -2613,7 +2613,7 @@ object ExtQueries {
   def x105SemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
       bits = 4, tauNum = 2, tauDen = 5)
-      .orderBy(col("vec_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("vec_id")))
 
   val x105Sql: String = {
     val yCols = (0 until 4).map { j =>
@@ -2676,7 +2676,7 @@ object ExtQueries {
     */
   def x106MadOutliers(s: SparkSession, dir: String): DataFrame =
     graft.ext.Robust.madOutliers(docs(s, dir), "doc_id", "source", "n_chars")
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x106Sql: String =
     """WITH d AS (
@@ -2746,7 +2746,7 @@ object ExtQueries {
   def x108LengthBatches(s: SparkSession, dir: String): DataFrame =
     graft.ext.Chunking.lengthBatches(docs(s, dir), "doc_id", "text",
       bucketWidth = 16, maxTokensPerBatch = 256)
-      .orderBy(col("bucket"), col("batch"))
+      .transform(graft.ops.Relational.orderedOnce(col("bucket"), col("batch")))
 
   val x108Sql: String =
     """WITH t AS (
@@ -2782,7 +2782,7 @@ object ExtQueries {
       Tables.events(s, dir).select(
         col("event_id"), col("ts"), col("user_id"), col("event_type")),
       "event_id", "ts", windowSec = 3600, "user_id", "event_type")
-      .orderBy(col("event_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_id")))
 
   val x109Sql: String =
     """WITH b AS (
@@ -2830,7 +2830,7 @@ object ExtQueries {
       .where(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
         col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("id_a"), col("id_b")))
   }
 
   val x111Sql: String =
@@ -2869,7 +2869,7 @@ object ExtQueries {
     val scored = TextAnalysis.qualityFeatures(docs(s, dir), "text")
       .select(col("doc_id"), col("source"), col("quality_score"))
     graft.ext.Robust.robustZ(scored, "doc_id", "source", "quality_score")
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x112Sql: String =
@@ -2926,7 +2926,7 @@ object ExtQueries {
         (col("n_together").cast(DoubleType)
           / (col("df_a") + col("df_b") - col("n_together")).cast(DoubleType))
           .as("jaccard"))
-      .orderBy(col("tok_a"), col("tok_b"))
+      .transform(graft.ops.Relational.orderedOnce(col("tok_a"), col("tok_b")))
   }
 
   val x113Sql: String =
@@ -2979,7 +2979,7 @@ object ExtQueries {
     scored
       .withColumn("script_pred", TextAnalysis.scriptPred(
         labels.map(l => l -> col(s"n_$l"))))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   // DuckDB regexps are RE2: \x{hhhh} spells the same BMP ranges Java's
@@ -3043,7 +3043,7 @@ object ExtQueries {
         size(col("tk")).cast(LongType).as("n_tokens"),
         size(col("kept")).cast(LongType).as("n_kept"),
         (size(col("tk")) - size(col("kept"))).cast(LongType).as("n_removed"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
 
   val x115Sql: String =
     """WITH t AS (
@@ -3090,7 +3090,7 @@ object ExtQueries {
       .join(broadcast(blocklist),
         withUrl("domain") === blocklist("blocked_domain"), "left_anti")
       .select(col("doc_id"), col("url"), col("domain"))
-      .orderBy(col("doc_id"))
+      .transform(graft.ops.Relational.orderedOnce(col("doc_id")))
   }
 
   val x116Sql: String =
@@ -3159,7 +3159,7 @@ object ExtQueries {
         when(col("variance") > 0, abs(col("z")) > lit(3.0))
           .otherwise(col("n_events") * lit(24L) =!= col("base_sum"))
           .as("is_anomaly"))
-      .orderBy(col("event_type"), col("hour_ts"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_type"), col("hour_ts")))
   }
 
   val x117Sql: String =
@@ -3242,7 +3242,7 @@ object ExtQueries {
         when(col("variance") > 0, abs(col("z")) > lit(3.0))
           .otherwise(col("n_events") * lit(7L) =!= col("base_sum"))
           .as("is_anomaly"))
-      .orderBy(col("event_type"), col("hour_ts"))
+      .transform(graft.ops.Relational.orderedOnce(col("event_type"), col("hour_ts")))
   }
 
   val x118Sql: String =

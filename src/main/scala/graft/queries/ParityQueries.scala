@@ -46,7 +46,7 @@ object ParityQueries {
         sum(Casts.asMoney(col("l_extendedprice")) * (one - Casts.asMoney(col("l_discount")))
           * (one + Casts.asMoney(col("l_tax")))).cast(DoubleType).as("sum_charge"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(Relational.orderedOnce(col("l_returnflag"), col("l_linestatus")))
   }
 
   val q01Sql: String =
@@ -74,7 +74,7 @@ object ParityQueries {
           Casts.asMoney(col("l_extendedprice"))).cast(DoubleType).as("rider_amount"),
         Aggregates.conditionalSum(Relational.inList(col("l_returnflag"), Seq("N", "R")),
           Casts.asMoney(col("l_extendedprice"))).cast(DoubleType).as("total_amount"))
-      .orderBy(col("l_orderkey"))
+      .transform(Relational.orderedOnce(col("l_orderkey")))
 
   val q02Sql: String =
     """SELECT l_orderkey,
@@ -96,7 +96,7 @@ object ParityQueries {
         o, l("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"), col("l_extendedprice"), col("trx_dt"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .transform(Relational.orderedOnce(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
   }
 
   val q03Sql: String =
@@ -118,7 +118,7 @@ object ParityQueries {
       .antiJoin(l, o, l("l_orderkey") === o("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .transform(Relational.orderedOnce(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
   }
 
   val q04Sql: String =
@@ -141,7 +141,7 @@ object ParityQueries {
       .withColumn("sub_id", Windows.subEntityId(col("l_orderkey"), col("line_seq")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("line_seq"), col("business_key"), col("sub_id"))
-      .orderBy(col("l_orderkey"), col("line_seq"))
+      .transform(Relational.orderedOnce(col("l_orderkey"), col("line_seq")))
   }
 
   val q05Sql: String =
@@ -182,7 +182,7 @@ object ParityQueries {
                 r.getField("rid_number"), r.getField("rid_amount").cast(StringType))),
             "~"),
           lit("")).as("riders_digest"))
-      .orderBy(col("o_orderkey"))
+      .transform(Relational.orderedOnce(col("o_orderkey")))
   }
 
   val q06Sql: String =
@@ -218,7 +218,7 @@ object ParityQueries {
         col("rider_amount").cast(DoubleType).as("rider_amount"),
         col("other_amount").cast(DoubleType).as("other_amount"),
         col("total").cast(DoubleType).as("total"))
-      .orderBy(col("l_orderkey"))
+      .transform(Relational.orderedOnce(col("l_orderkey")))
   }
 
   val q07Sql: String =
@@ -249,7 +249,7 @@ object ParityQueries {
         Docs.decode(col("o_orderpriority"), OrdinaryPayment.PriorityCodes, "99"))
       .select(col("o_orderkey"), col("customer_name"), col("nation_name"),
         col("region_name"), col("priority_code"))
-      .orderBy(col("o_orderkey"))
+      .transform(Relational.orderedOnce(col("o_orderkey")))
   }
 
   val q08Sql: String =
@@ -275,7 +275,7 @@ object ParityQueries {
         date_format(to_date(date_format(col("ts"), "yyyyMMdd"), "yyyyMMdd"), "yyyy-MM-dd"))
       .withColumn("run_index", format_string("%s_%s", col("event_date"), lit(1)))
       .select(col("event_id"), col("event_type"), col("event_date"), col("run_index"))
-      .orderBy(col("event_id"))
+      .transform(Relational.orderedOnce(col("event_id")))
 
   val q09Sql: String =
     """SELECT event_id, event_type,
@@ -385,7 +385,7 @@ object ParityQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("trx_dt"), col("compact_dt"), col("flag_code"), col("padded"),
         col("trimmed"), col("amount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .transform(Relational.orderedOnce(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
 
   val q11Sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -418,7 +418,7 @@ object ParityQueries {
     val oo = o.filter(col("o_orderstatus") === lit("O")).select(col("o_custkey"))
     f.intersect(p).except(oo).union(f.union(p).distinct().except(f.intersect(p)))
       .distinct()
-      .orderBy(col("o_custkey"))
+      .transform(Relational.orderedOnce(col("o_custkey")))
   }
 
   val q13Sql: String =
@@ -445,7 +445,7 @@ object ParityQueries {
         coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
         col("sum_qty"), col("n_rows"))
-      .orderBy(col("returnflag"), col("linestatus"))
+      .transform(Relational.orderedOnce(col("returnflag"), col("linestatus")))
 
   val q14Sql: String =
     """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
@@ -482,7 +482,7 @@ object ParityQueries {
       .agg(sum(Casts.asMoney(col("l_extendedprice"))
         * (one - Casts.asMoney(col("l_discount")))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lineitems"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .transform(Relational.orderedOnce(col("revenue").desc, col("n_name")))
   }
 
   val q15Sql: String =
@@ -515,7 +515,7 @@ object ParityQueries {
         coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
         col("gid"), col("sum_qty"), col("n_rows"))
-      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+      .transform(Relational.orderedOnce(col("gid"), col("returnflag"), col("linestatus")))
 
   val q16Sql: String =
     """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
@@ -574,7 +574,7 @@ object ParityQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         Casts.asMoney(col("o_totalprice")).cast(DoubleType).as("totalprice"),
         col("sum_qty"))
-      .orderBy(col("o_orderkey"))
+      .transform(Relational.orderedOnce(col("o_orderkey")))
   }
 
   val q18Sql: String =
@@ -611,7 +611,7 @@ object ParityQueries {
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"),
         rank().over(w).as("rk"))
-      .orderBy(col("l_returnflag") +: key: _*)
+      .transform(df => Relational.orderedOnce((col("l_returnflag") +: key): _*)(df))
   }
 
   val q19Sql: String =
@@ -648,7 +648,7 @@ object ParityQueries {
         length(translate(col("text_a"), "aeiou", "")).as("no_vowel_len"),
         substring(reverse(col("text_a")), 1, 12).as("rev_prefix"),
         ascii(col("text_a")).as("first_byte"))
-      .orderBy(col("doc_id"))
+      .transform(Relational.orderedOnce(col("doc_id")))
   }
 
   val q20Sql: String =
@@ -675,8 +675,8 @@ object ParityQueries {
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          |  count(*) AS n_rows
          |FROM $db.lineitem
-         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-         |ORDER BY returnflag, linestatus""".stripMargin)
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      .transform(Relational.orderedOnce(col("returnflag"), col("linestatus")))
   }
 
   val q21Sql: String =
@@ -702,7 +702,7 @@ object ParityQueries {
       "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderpriority"))
+      .transform(Relational.orderedOnce(col("o_orderpriority")))
   }
 
   val q22Sql: String =
@@ -726,8 +726,8 @@ object ParityQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"),
         Casts.asMoney(col("l_extendedprice")).cast(DoubleType).as("price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"))
+      .transform(Relational.orderedOnce(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")))
   }
 
   val q23Sql: String =

@@ -25,6 +25,9 @@ class PlanQualitySpec extends SparkSpec {
     // Streaming entries execute inside the builder (memory-sink table) —
     // their returned plan is the trivial scan, which passes vacuously;
     // their internal plans are window/agg shapes covered by StreamsSpec.
+    // withPlanAudit: audit the FULL pipeline below orderedOnce's
+    // materialization point, not the truncated post-checkpoint scan
+    graft.ops.Relational.withPlanAudit {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -32,6 +35,7 @@ class PlanQualitySpec extends SparkSpec {
       if (!singleRowBroadcast(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join")
+    }
     }
   }
 
@@ -72,8 +76,10 @@ class PlanQualitySpec extends SparkSpec {
       ("x33_simhash_pairs", "graft_simhash64"),
       ("x114_script_langid", "graft_script_counts"))
     expected.foreach { case (query, exprName) =>
-      val plan = SparkEntry.queries(query)(spark, dir)
-        .queryExecution.executedPlan.toString
+      val plan = graft.ops.Relational.withPlanAudit {
+        SparkEntry.queries(query)(spark, dir)
+          .queryExecution.executedPlan.toString
+      }
       val n = exprName.r.findAllIn(plan).length
       assert(n >= 1, s"$query: $exprName missing from plan")
       assert(n <= 2, // name can appear once per side of a self-join
@@ -85,8 +91,10 @@ class PlanQualitySpec extends SparkSpec {
     // The engine's raw-timestamp window convention exists so range
     // predicates hit parquet row-group stats — pin that they actually
     // arrive at the scan instead of evaluating post-read.
-    val plan = SparkEntry.queries("q03_semi_join")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val plan = graft.ops.Relational.withPlanAudit {
+      SparkEntry.queries("q03_semi_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
     val scanLines = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
     assert(scanLines.nonEmpty, s"no PushedFilters in plan:\n$plan")
     assert(scanLines.exists(l =>
@@ -128,6 +136,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("the sanctioned nested-loop joins really have single-row build sides") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
+    graft.ops.Relational.withPlanAudit {
     singleRowBroadcast.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val nonEqui = df.queryExecution.optimizedPlan.collect {
@@ -141,6 +150,7 @@ class PlanQualitySpec extends SparkSpec {
         assert(bounded, s"$name: condition-free join without a provably " +
           s"single-row side:\n$j")
       }
+    }
     }
   }
 }
