@@ -43,12 +43,15 @@ object Curation {
     val gated = quality
       .where(col("quality_score") >= lit(qualityThreshold))
       .join(comp, "doc_id")
-    val survivors = gated
-      .groupBy(col("component"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // Survivor = the min gate-passing id of its component. A window over
+    // ONE evaluation of `gated` (ids are unique, so `doc_id == min over
+    // component` keeps exactly the groupBy+semi-join's rows) — the join
+    // spelling evaluated the whole quality projection twice: once as the
+    // aggregate input and once as the probe side.
+    val wComp = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
     gated
-      .join(survivors, Seq("doc_id"), "left_semi")
+      .withColumn("__min_id", min(col("doc_id")).over(wComp))
+      .where(col("doc_id") === col("__min_id"))
       .select(col("doc_id"), col("lang"), col("component"),
         col("quality_score").cast(DoubleType).as("quality_score"),
         col("scrubbed_md5"), col("n_tokens"))

@@ -194,16 +194,21 @@ object Dedup {
           f"(budget $maxCandidatePairs); use minhashPairs for corpus-scale " +
           "near-dup, tighten maxDocFreq, or raise maxCandidatePairs deliberately")
     }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // Per-doc sizes ride the pre-join frame as a window count (one
+    // exchange keyed by id), not as two post-aggregation joins: n_a/n_b
+    // are functionally dependent on id_a/id_b, so carrying them through
+    // the pair groupBy keys changes no cardinality (the fuzzyJoin
+    // precedent) — and the old shape re-shuffled the PAIR table (the
+    // largest frame in this operator) twice at corpus scale, where the
+    // O(docs) size table outgrows the broadcast threshold.
+    val wDoc = Window.partitionBy(col(idCol))
+    val sized = sh.withColumn("n_sh", count(lit(1)).over(wDoc))
+    val a = sized.select(col(idCol).as("id_a"), col("shingle"), col("n_sh").as("n_a"))
+    val b = sized.select(col(idCol).as("id_b"), col("shingle"), col("n_sh").as("n_b"))
+    val raw = a.join(b, Seq("shingle"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    val raw = inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
     finish(raw).localCheckpoint(true)
   }
 
