@@ -22,9 +22,16 @@ object Relational {
     * (every entry ends in a deterministic global sort for the oracle
     * compare) this measured 2-3× the whole query: q10 2.66 → 1.42 s,
     * q19 1.20 → 0.66 s, q11 2.77 → 2.02 s at sf0.1 (ProfileR21).
-    * `localCheckpoint(eager = true)` pins the child's rows to block
-    * storage so both the sampling pass and the shuffle read them back
-    * instead of recomputing the pipeline.
+    *
+    * r22 (VERDICT r21 #2): the materialization is an eager RECOMPUTABLE
+    * persist ([[MaterializeBridge.eagerPersist]]), not a localCheckpoint
+    * — identical cost and identical rows (same copy + count + LogicalRDD
+    * machinery), but lineage is retained, so at cluster scale an
+    * executor lost between the materialization and the sort recomputes
+    * its partitions instead of killing the query. Storage level is
+    * config-selectable via `spark.graft.orderedOnce.storageLevel`
+    * (default MEMORY_AND_DISK — localCheckpoint's own level; a cluster
+    * holding giant intermediates can pick MEMORY_AND_DISK_SER etc.).
     *
     * Use ONLY where the sort keys are a total order of the output (every
     * declared query pins one — the oracle hash is order-sensitive), so
@@ -33,7 +40,13 @@ object Relational {
     */
   def orderedOnce(cols: Column*)(df: DataFrame): DataFrame =
     if (planAudit.get()) df.orderBy(cols: _*)
-    else df.localCheckpoint(true).orderBy(cols: _*)
+    else {
+      val level = org.apache.spark.storage.StorageLevel.fromString(
+        df.sparkSession.conf.get("spark.graft.orderedOnce.storageLevel",
+          "MEMORY_AND_DISK"))
+      org.apache.spark.sql.graftbridge.MaterializeBridge
+        .eagerPersist(df, level).orderBy(cols: _*)
+    }
 
   /** Plan-audit seam for [[orderedOnce]]: the checkpoint truncates the
     * visible plan at a `Scan ExistingRDD`, which is correct for execution
