@@ -298,18 +298,30 @@ object AnnIndex {
     require(qdim == meta.dim,
       s"query dim $qdim != indexed dim ${meta.dim} — wrong index for this frame")
     // reuse the probe's dim — lshBucketsDim skips a second one-row job
+    //
+    // r22: the bucket frame is NOT cached and the result NOT checkpointed
+    // any more. The old shape (cache + count to fill it + eager
+    // localCheckpoint of the result + unpersist) spent three extra jobs
+    // per query materializing frames whose recompute is a cheap narrow
+    // projection: the bucket hashing is re-evaluated at most twice
+    // (worst-case-estimate path + probe join), and the returned top-k is
+    // consumed exactly once by every caller (the catalog entries
+    // materialize it via the orderedOnce seam). Guide §1.2 step 1 / §2.4:
+    // fewer sequential actions, nothing recomputed that is expensive.
     val qBuckets = Similarity
       .lshBucketsDim(queries.select(col("vec_id"), col("embedding")),
         meta.tables, meta.planes, meta.seed, meta.dim)
-      .toDF().cache()
-    try {
+      .toDF()
+    locally {
       val idxBuckets = Versioned.read(spark, bucketsRoot(stateRoot))
       // The estimate job is skippable only when the fully-degenerate
       // worst case cannot exceed the budget. That worst case scales with
       // the QUERY frame, not the index alone (ADVICE r6): every index
       // vector in one bucket per table gives ≤ qRows·tables·liveN
-      // candidates — qBuckets has qRows·tables rows (cheap count, and it
-      // fills the cache the probe join reads anyway). liveN comes from
+      // candidates — the bucket pass emits exactly `tables` rows per
+      // query row, so qRows·tables is computed from one cheap count of
+      // the query frame (a parquet metadata count for table inputs)
+      // instead of materializing the bucket projection. liveN comes from
       // the LIVE manifest's recorded row counts (no scan) so appended
       // deltas count immediately; when any live dir is missing its meta
       // we do NOT silently fall back to the stale build-time n — we run
@@ -319,7 +331,7 @@ object AnnIndex {
         System.err.println(s"[graft.AnnIndex] $stateRoot: live version " +
           "dirs missing _GRAFT_META row counts; running the full " +
           "candidate estimate instead of the driver-side skip bound")
-      val qbRows = qBuckets.count().toDouble // = qRows × tables
+      val qbRows = queries.count().toDouble * meta.tables
       val worstCase = liveNOpt.map(n => qbRows * n.toDouble)
       if (maxCandidatePairs > 0 &&
         worstCase.forall(_ > maxCandidatePairs.toDouble)) {
@@ -358,8 +370,7 @@ object AnnIndex {
             .orderBy(col("score").desc, col("neighbor_id"))))
         .where(col("rank") <= k)
         .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
-        .localCheckpoint(true)
-    } finally qBuckets.unpersist(false)
+    }
   }
 
   /** Build + publish the IVF index: deterministic centroids
@@ -507,7 +518,10 @@ object AnnIndex {
       // compiled pair scoring — see lshTopKIndexed's note
       .select(col("vec_id"), col("neighbor_id"),
         graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
-      .distinct() // a pair may meet in several probed cells
+      // r22: no distinct — published cells are disjoint (one row per
+      // vec_id, AnnIndexSpec pins the layout) and probes are distinct
+      // (vec_id, cell) rows, so each pair meets at most once; see
+      // Similarity.ivfTopK's note (guide §2.4)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("score").desc, col("neighbor_id"))))

@@ -120,14 +120,18 @@ object Fuzzy {
     // prefix-filter global order below
     val freq = borrow(l0.select(col("g")).unionAll(r0.select(col("g")))
       .groupBy(col("g")).agg(count(lit(1)).as("df_g")))
+    // r22: lp/rp are no longer cached — with the gram set carried on the
+    // prefix rows (below), each pruned side has exactly ONE consumer
+    // (its prefix window pass), so the caches bought nothing but two
+    // fill passes.
     val (lp, rp) = cap match {
       case None => (l0, r0)
       case Some(c) =>
         // combined-count rule: one freq frame over both sides, so the
         // prune is symmetric and engine-independent
         val keep = freq.where(col("df_g").cast(DoubleType) <= c).select(col("g"))
-        (borrow(l0.join(broadcast(keep), "g")),
-          borrow(r0.join(broadcast(keep), "g")))
+        (l0.join(broadcast(keep), "g"),
+          r0.join(broadcast(keep), "g"))
     }
     // sizes in the SAME gram space as the intersections (object doc) —
     // computed INSIDE the prefix window pass (count over the same id
@@ -147,26 +151,37 @@ object Fuzzy {
     // lengthens a prefix by at most one gram when t·n sits on an IEEE
     // representation boundary — conservative by construction (a longer
     // prefix only ever ADDS candidates).
-    def prefixed(grams: DataFrame, idCol: String, sizeCol: String): DataFrame = {
+    def prefixed(grams: DataFrame, idCol: String, sizeCol: String,
+        setCol: String): DataFrame = {
       val wPart = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol))
       val wOrd = wPart.orderBy(col("df_g"), col("g"))
-      // one exchange serves both window functions (same partitioning):
-      // the unordered full-partition count IS the key's pruned-gram-set
-      // size, the ordered row_number is the prefix rank
+      // one exchange serves all three window functions (same
+      // partitioning): the unordered full-partition count IS the key's
+      // pruned-gram-set size, the ordered row_number is the prefix rank,
+      // and (r22, guide §2.4 "two operations keyed the same way") the
+      // full-partition collect_list IS the key's pruned gram set — the
+      // verification payload, O(key length) small by the operator's
+      // contract (keys are ids/names), carried on the prefix rows so the
+      // verification stage needs NO join back to the gram frames.
       grams.join(broadcast(freq), "g")
         .withColumn(sizeCol, count(lit(1)).over(wPart))
+        .withColumn(setCol, collect_list(col("g")).over(wPart))
         .withColumn("__rk", row_number().over(wOrd))
         .where(col("__rk") <=
           col(sizeCol) - ceil(col(sizeCol) * lit(threshold) - lit(1e-9)) + 1)
-        .select(col("g"), col(idCol), col(sizeCol))
+        .select(col("g"), col(idCol), col(sizeCol), col(setCol))
     }
-    val prefL = borrow(prefixed(lp, "id_l", "n_l"))
-    val prefR = borrow(prefixed(rp, "id_r", "n_r"))
+    val prefL = borrow(prefixed(lp, "id_l", "n_l", "gs_l"))
+    val prefR = borrow(prefixed(rp, "id_r", "n_r", "gs_r"))
     if (maxCandidatePairs > 0) {
-      val fl = prefL.groupBy("g").agg(count(lit(1)).as("dl"))
-      val fr = prefR.groupBy("g").agg(count(lit(1)).as("dr"))
-      val est = fl.join(fr, "g")
+      // r22: ONE union-tagged aggregate instead of two groupBys + a join
+      // (same Σ dl·dr; the old spelling paid 3-4 sequential AQE stages of
+      // pure latency on tiny aggregates — guide §1.2 step 1)
+      val est = prefL.select(col("g"), lit(1L).as("dl"), lit(0L).as("dr"))
+        .unionAll(prefR.select(col("g"), lit(0L).as("dl"), lit(1L).as("dr")))
+        .groupBy(col("g"))
+        .agg(sum(col("dl")).as("dl"), sum(col("dr")).as("dr"))
         .agg(sum(col("dl").cast(DoubleType) * col("dr").cast(DoubleType)))
         .head().getAs[Any](0) match {
           case null => 0.0
@@ -179,18 +194,30 @@ object Fuzzy {
     }
     // length filter (same conservative slack), then distinct pairs.
     // n_l/n_r are functionally dependent on their ids, so carrying them
-    // through the distinct (and later the groupBy keys) changes no
-    // cardinality — and eliminates the two post-aggregation size joins.
+    // through the distinct changes no cardinality — and eliminates the
+    // two post-aggregation size joins.
+    // r22 verification shape: the pruned gram SETS ride the prefix rows
+    // (computed inside the window pass above — same id partitioning, no
+    // new exchange), so exact intersection counts come from ONE
+    // array_intersect per surviving candidate. The old shape re-exploded
+    // every candidate through two gram joins and a 4-key groupBy —
+    // |cand|·|grams per key| intersection rows shuffled per query; this
+    // one moves each pair's two O(key-length) arrays through the one
+    // distinct exchange and nothing else (guide §2.3/§2.4). Both prefix
+    // rows of a pair that meets on several grams carry the identical
+    // window-computed array, so the distinct still collapses to one row
+    // per pair; gram sets are distinct by construction (charGrams
+    // array_distinct survives the 1:1 prune join), so
+    // size(array_intersect) ≡ the former count-per-pair bit for bit.
     val cand = prefL.join(prefR, Seq("g"))
       .where(col("n_l").cast(DoubleType) >= lit(threshold) * col("n_r") - lit(1e-9) &&
         col("n_r").cast(DoubleType) >= lit(threshold) * col("n_l") - lit(1e-9))
-      .select(col("id_l"), col("id_r"), col("n_l"), col("n_r")).distinct()
-    // verification: exact intersection counts over the FULL pruned gram
-    // sets, restricted to the surviving candidates
-    cand.join(lp, Seq("id_l"))
-      .join(rp, Seq("g", "id_r"))
-      .groupBy(col("id_l"), col("id_r"), col("n_l"), col("n_r"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_l"), col("id_r"), col("n_l"), col("n_r"),
+        col("gs_l"), col("gs_r"))
+      .distinct()
+    cand
+      .withColumn("n_common",
+        size(array_intersect(col("gs_l"), col("gs_r"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType)
           / (col("n_l") + col("n_r") - col("n_common")).cast(DoubleType))

@@ -523,7 +523,13 @@ object Similarity {
       // compiled pair scoring — see lshTopK's note
       .select(col("vec_id"), col("neighbor_id"),
         graft.functions.CosineSim.column(col("emb_a"), col("emb_b")).as("score"))
-      .distinct() // a pair may meet in several probed cells
+      // r22: no distinct — cells are DISJOINT (the assignment emits exactly
+      // one best cell per index vector) and a query probes nprobe DISTINCT
+      // cells, so a (query, neighbor) pair meets at most once; the former
+      // .distinct() was guide §2.4's "distinct on data that is already
+      // unique" — a full exchange + aggregate of the scored candidate
+      // frame, the largest in the operator (LSH keeps its distinct: a pair
+      // CAN meet in several hash tables there)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("score").desc, col("neighbor_id"))))

@@ -45,6 +45,30 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("r22 doGenCode: compiled path bit-identical to the interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rnd = new scala.util.Random(11)
+    val pairs: Seq[(Array[Float], Array[Float])] = ((0 until 30).map { _ =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat))
+    }) :+ ((Array(0f, 0f), Array(1f, 2f)))
+    val interpreted = pairs.map { case (a, b) =>
+      graft.functions.CosineSim(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType)))
+        .eval(null).asInstanceOf[Double]
+    }
+    // the DataFrame select runs the whole-stage-generated loop
+    val compiled = viaExpression(pairs)
+    interpreted.zip(compiled).zipWithIndex.foreach { case ((i0, c0), n) =>
+      assert(java.lang.Double.doubleToRawLongBits(i0)
+        == java.lang.Double.doubleToRawLongBits(c0)
+        || (i0.isNaN && c0.isNaN),
+        s"pair $n: interpreted $i0 != compiled $c0")
+    }
+  }
+
   test("CosineSim is null-intolerant: null array in, null out") {
     val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
       .toDF("a", "b")
