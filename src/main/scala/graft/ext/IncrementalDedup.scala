@@ -174,7 +174,10 @@ object IncrementalDedup {
 
     // 1a. within-delivery EXACT dedup on the normalized content hash —
     //     catches everything identical, including sub-n-token documents
-    //     the shingle tier can't see; min-id survivor via one window
+    //     the shingle tier can't see; min-id survivor via one window.
+    //     r22: materialized ONCE — it feeds the minhash signature pass,
+    //     the verification shingle sets, and the keptWithin join, each of
+    //     which re-ran the delivery scan + hash + window before.
     val hashed = delivery.select(col(idCol), col(textCol),
       TextAnalysis.fingerprintMd5(col(textCol)).as("content_hash"))
     val exactKept = hashed
@@ -182,6 +185,7 @@ object IncrementalDedup {
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("content_hash"))))
       .where(col("keep"))
       .drop("keep")
+      .localCheckpoint(true)
 
     // 1b. within-delivery NEAR dedup: LSH pairs → components → min-id
     val pairs = Dedup
@@ -197,6 +201,10 @@ object IncrementalDedup {
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("component"))))
       .where(col("keep"))
       .select(col(idCol), col(textCol), col("content_hash"))
+      // r22: materialized ONCE — consumed by the corpus hash tier, the
+      // signature pass, the verification sets, the novel anti-join, AND
+      // keptCount, each of which re-ran the window pipeline before
+      .localCheckpoint(true)
 
     // 2. delivery-vs-corpus, two tiers. Corpus side prunes to narrow
     //    columns (hash / bands) — text is only fetched for candidates.

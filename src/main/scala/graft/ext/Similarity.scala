@@ -750,8 +750,11 @@ object Similarity {
       col("__n2").as("__na2"), col("bucket"))
     val b = base.select(col("__id").as("__ib"), col("__qv").as("__qb"),
       col("__n2").as("__nb2"), col("bucket"))
-    val dot = aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    // r22 (guide step 4): compiled long-dot — the former
+    // aggregate(zip_with(...)) HOF pair was interpreted per candidate
+    // pair (the hot loop of the bucket join); value-identical inside the
+    // dim ≤ 128 envelope enforced above, pinned by LongDotSpec
+    val dot = graft.functions.LongDot.column(col("__qa"), col("__qb"))
     val witnesses = a.join(b, Seq("bucket")) // equi-join: never cartesian
       .filter(col("__ia") < col("__ib"))
       .withColumn("__dot", dot)
