@@ -33,12 +33,23 @@ object Dedup {
     * text so shingling agrees with the exact-dedup normalization.
     * Output: (idCol, shingle).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      spreadByKey: Boolean = true): DataFrame = {
     // CPU-heavy per-row work (tokenize + n-gram build) must be spread
     // across cores even when the input is a single small parquet split —
     // the scan parallelism of a small file is NOT the right parallelism
     // for the work derived from it.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    //
+    // r22 (guide §2.4/§2.5): spread by HASH OF THE ID, not round-robin —
+    // the id is exactly what the downstream per-doc window/groupBy passes
+    // partition by, so the EXPLODED shingle frame (the largest in every
+    // dedup operator) is never re-exchanged for them, and the keyless
+    // repartition's sort-before-repartition local sort disappears.
+    // Callers whose id is low-cardinality (sourceOverlap's ~5 sources)
+    // pass spreadByKey = false and keep the round-robin spread.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (spreadByKey) df.repartition(p, col(idCol))
+      else df.repartition(p)
     // Custom compiled expression (graft.functions.WordShingles) — the HOF
     // spelling interprets a lambda per n-gram and profiled ~10× slower.
     spread.select(col(idCol),
@@ -726,7 +737,7 @@ object Dedup {
     // (source, shingle) rows ONCE — they feed `sizes` and BOTH sides of
     // the self-join, and without the checkpoint the tokenize+shingle
     // pipeline re-evaluates per consumer (same fix as jaccardPairs)
-    val srcSh = shingles(df, sourceCol, textCol, n)
+    val srcSh = shingles(df, sourceCol, textCol, n, spreadByKey = false)
       .withColumnRenamed(sourceCol, "source")
       .distinct()
       .localCheckpoint(true)
