@@ -138,15 +138,32 @@ object OrdinaryPayment {
           windowed("l_orderkey") === orders("o_orderkey"))
     }
 
-    // ── Stage 2: rider pre-aggregation (W1 + A1) ──
+    // ── Stage 2 + 4: period sequencing and rider numbering in ONE window
+    // pass over fact (W1 + W2) ──
     // Sub-entity numbering must be a total order: (l_linenumber, l_partkey,
     // l_suppkey) is unique within an order in this data.
-    val riderSeq = Windows.sequenceWithin(
-      Seq(col("l_orderkey")),
-      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-    val riders = fact
+    //
+    // r22 (guide §2.4/§7.2): rid_seq is a running conditional count over
+    // the SAME (partition, order) spec as the period sequencing window,
+    // computed on the UNFILTERED fact before the returnflag='R' cut —
+    // on a total order, "rank among R rows" ≡ "count of R rows at or
+    // before me", read at R rows only. The old spelling filtered first,
+    // which pushed the R predicate into a SECOND lineitem scan +
+    // semi-join + shuffle for the riders branch; with both window specs
+    // over the identical child, Catalyst plans ONE exchange of fact and
+    // reuses it for the riders aggregate (ReusedExchange in the plan).
+    val seqOrder = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val periodSeq = Windows.sequenceWithin(Seq(col("l_orderkey")), seqOrder)
+    val riderRun = sum(when(col("l_returnflag") === lit("R"), 1).otherwise(0))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey")).orderBy(seqOrder: _*))
+      .cast("int")
+    val factSeq = fact
+      .withColumn("pmt_prd_premium_seq", periodSeq)
+      .withColumn("__rid_run", riderRun)
+    val riders = factSeq
       .filter(col("l_returnflag") === lit("R"))
-      .withColumn("rid_seq", riderSeq)
+      .withColumn("rid_seq", col("__rid_run"))
       .withColumn("rid_number", Windows.subEntityId(col("l_orderkey"), col("rid_seq")))
       .withColumn("rid_amount", Casts.asMoney(col("l_extendedprice")))
       .groupBy(col("l_orderkey").as("rid_orderkey"))
@@ -157,14 +174,11 @@ object OrdinaryPayment {
           col("rid_amount").as("rid_amount"))
         .as("payment_riders"))
 
-    // ── Stage 3 + 4: rider attach (J2) + period sequencing (W2) ──
-    val periodSeq = Windows.sequenceWithin(
-      Seq(col("l_orderkey")),
-      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
-    val sequenced = fact
+    // ── Stage 3: rider attach (J2) ──
+    val sequenced = factSeq
+      .drop("__rid_run")
       .join(riders, col("l_orderkey") === col("rid_orderkey"), "left")
       .drop("rid_orderkey")
-      .withColumn("pmt_prd_premium_seq", periodSeq)
 
     // ── Stage 5: attach the payment header (orders) ──
     val withHeader = sequenced.join(
